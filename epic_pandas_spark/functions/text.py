@@ -1,0 +1,105 @@
+"""Text-analysis expression builders for the LLM-data-pipeline tier
+(extension layer; no reference analog — SURVEY.md §7.1 step 9).
+
+All pure Column expressions (whole-stage codegen, zero Python in the hot
+path): token counting, quality scoring, n-gram-heuristic language ID, and
+document fingerprinting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# minimal stopword marker sets per language for the n-gram heuristic
+_LANG_MARKERS = {
+    "en": [" the ", " and ", " of ", " to "],
+    "de": [" der ", " und ", " die ", " ist "],
+    "fr": [" le ", " la ", " et ", " les "],
+    "es": [" el ", " de ", " que ", " los "],
+}
+
+
+def token_count_expr(text: Column) -> Column:
+    """Whitespace token count; empty/null-safe."""
+    trimmed = F.trim(text)
+    return F.when(
+        trimmed.isNull() | (F.length(trimmed) == 0), F.lit(0)
+    ).otherwise(F.size(F.split(trimmed, r"\s+")))
+
+
+def _count_occurrences(text: Column, needle: str) -> Column:
+    """Occurrences of a literal substring via length arithmetic — avoids
+    regex escaping issues and stays codegen-friendly."""
+    return (F.length(text) - F.length(F.replace(text, F.lit(needle), F.lit("")))) / len(needle)
+
+
+def quality_score_exprs(text: Column) -> dict[str, Column]:
+    """Heuristic document-quality features: length, token count, mean token
+    length, alpha/space/punct ratios, uppercase ratio, and a composite
+    [0,1] score. Each is a single expression over the text column."""
+    n = F.length(text).cast("double")
+    safe_n = F.greatest(n, F.lit(1.0))
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    n_digit = F.length(F.regexp_replace(text, r"[^0-9]", ""))
+    n_space = F.length(F.regexp_replace(text, r"[^ \t\n]", ""))
+    n_upper = F.length(F.regexp_replace(text, r"[^A-Z]", ""))
+    n_tokens = token_count_expr(text).cast("double")
+    alpha_ratio = n_alpha / safe_n
+    space_ratio = n_space / safe_n
+    punct_ratio = (n - n_alpha - n_digit - n_space) / safe_n
+    upper_ratio = n_upper / F.greatest(n_alpha.cast("double"), F.lit(1.0))
+    mean_token_len = F.when(n_tokens > 0, (n - n_space) / n_tokens).otherwise(F.lit(0.0))
+    score = (
+        F.least(F.lit(1.0), n_tokens / F.lit(20.0)) * F.lit(0.4)
+        + alpha_ratio * F.lit(0.4)
+        + (F.lit(1.0) - F.least(F.lit(1.0), punct_ratio * F.lit(5.0))) * F.lit(0.2)
+    )
+    return {
+        "n_chars": n.cast("long"),
+        "n_tokens": n_tokens.cast("long"),
+        "mean_token_len": mean_token_len,
+        "alpha_ratio": alpha_ratio,
+        "space_ratio": space_ratio,
+        "punct_ratio": punct_ratio,
+        "upper_ratio": upper_ratio,
+        "quality_score": score,
+    }
+
+
+def lang_id_expr(text: Column) -> Column:
+    """n-gram/stopword-heuristic language ID: count marker hits per
+    language on the lowercased text, take the argmax, 'und' when no
+    markers hit. Expression-only (a few replace/length passes)."""
+    lowered = F.concat(F.lit(" "), F.lower(text), F.lit(" "))
+    scores = [
+        (lang, sum([_count_occurrences(lowered, m) for m in markers], F.lit(0.0)))
+        for lang, markers in _LANG_MARKERS.items()
+    ]
+    best = F.greatest(*[s for _, s in scores])
+    expr = F.lit("und")
+    # reverse order so earlier languages win ties (argmax-first semantics)
+    for lang, s in reversed(scores):
+        expr = F.when((best > 0) & (s == best), F.lit(lang)).otherwise(expr)
+    return expr
+
+
+def fingerprint_expr(text: Column, normalize: bool = True) -> Column:
+    """64-bit document fingerprint: xxhash64 of the
+    whitespace/case-normalized text — the exact-dedup key. (A rolling
+    shingle fingerprint lives in extensions.dedup.)"""
+    t = text
+    if normalize:
+        t = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(t)
+
+
+def ngrams_expr(text: Column, n: int = 3) -> Column:
+    """Character n-gram (shingle) array of the normalized text — basis for
+    Jaccard/MinHash dedup. Built with sequence+transform: stays in codegen,
+    no UDF."""
+    t = F.regexp_replace(F.lower(text), r"\s+", " ")
+    length = F.length(t)
+    starts = F.sequence(F.lit(1), F.greatest(length - F.lit(n - 1), F.lit(1)))
+    return F.when(length >= n, F.transform(starts, lambda i: F.substring(t, i, n))).otherwise(
+        F.array(t)
+    )

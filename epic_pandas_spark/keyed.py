@@ -1,0 +1,91 @@
+"""Keyed-frame convention: the pandas row index becomes explicit key columns.
+
+The reference aligns frames implicitly by index labels (e.g. upsert at
+/root/reference/epic/pandas/utils.py:469-489, alignable at utils.py:492-513,
+reindex calls at utils.py:245,435,806). Spark rows are unordered and
+unlabeled, so every "index-aware" operator here takes the key column name(s)
+explicitly and composes joins on them. MultiIndex == multiple key columns.
+
+All checks are expressed as aggregations (no collect of data rows), so they
+hold at any scale: key-uniqueness is a count vs countDistinct comparison and
+key-set equality is a full-outer join null count.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+DEFAULT_KEY = "__key"
+
+
+def as_keys(key: str | Sequence[str] | None) -> list[str]:
+    if key is None:
+        return [DEFAULT_KEY]
+    if isinstance(key, str):
+        return [key]
+    return list(key)
+
+
+def with_row_key(df: DataFrame, name: str = DEFAULT_KEY) -> DataFrame:
+    """Attach a unique (not contiguous) row id, like a fresh RangeIndex.
+
+    ``monotonically_increasing_id`` is partition-local and never shuffles;
+    ids are unique but sparse — the right trade at scale. Use
+    ``zip_with_index`` when contiguity actually matters.
+    """
+    return df.withColumn(name, F.monotonically_increasing_id())
+
+
+def zip_with_index(df: DataFrame, name: str = DEFAULT_KEY) -> DataFrame:
+    """Contiguous 0..n-1 row ids via RDD zipWithIndex (one extra job to
+    count partition sizes; no single-partition shuffle). Only for when the
+    reference's RangeIndex contiguity is semantically required."""
+    schema = df.schema
+    rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
+    out_schema = schema.add(name, "long", False)
+    return df.sparkSession.createDataFrame(rdd, out_schema)
+
+
+def is_key_unique(df: DataFrame, key: str | Sequence[str] | None = None) -> bool:
+    """True iff the key columns identify rows 1:1 (cf. Index.is_unique,
+    used by alignable at utils.py:492-513)."""
+    keys = as_keys(key)
+    row = df.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
+        *[F.sum(F.col(k).isNull().cast("long")).alias(f"null_{i}") for i, k in enumerate(keys)],
+    ).first()
+    n_null = sum(row[f"null_{i}"] or 0 for i in range(len(keys)))
+    return row["n"] == row["nd"] and n_null == 0
+
+
+def alignable(df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | None = None) -> bool:
+    """True iff both frames are key-unique and have identical key sets —
+    the exact-1:1-joinability test of the reference (utils.py:492-513),
+    re-expressed as two uniqueness aggs + a full-outer null count."""
+    keys = as_keys(key)
+    if not (is_key_unique(df1, keys) and is_key_unique(df2, keys)):
+        return False
+    k1 = df1.select(*keys)
+    k2 = df2.select(*keys)
+    mismatches = (
+        k1.withColumn("__l", F.lit(1))
+        .join(k2.withColumn("__r", F.lit(1)), on=keys, how="full_outer")
+        .filter(F.col("__l").isNull() | F.col("__r").isNull())
+        .limit(1)
+        .count()
+    )
+    return mismatches == 0
+
+
+def reindex(
+    df: DataFrame,
+    target_keys: DataFrame,
+    key: str | Sequence[str] | None = None,
+) -> DataFrame:
+    """Left-join ``df`` onto a target key set: rows for missing keys appear
+    null-filled, rows absent from the target drop (utils.py:245,435,806)."""
+    keys = as_keys(key)
+    return target_keys.select(*keys).join(df, on=keys, how="left")

@@ -1,0 +1,28 @@
+"""Composite relational operators over pyspark.sql.
+
+Each module re-expresses one operator family from the reference
+(SURVEY.md §2) as lazy DataFrame transformations — Catalyst plans the
+physical execution; nothing here materializes data on the driver beyond
+tiny aggregates (stratum counts, bin edges).
+"""
+
+from epic_pandas_spark.operators.value_counts import value_counts, value_counts_binned
+from epic_pandas_spark.operators.upsert import upsert
+from epic_pandas_spark.operators.dedup import drop_duplicates_by_key, unique_row_ids
+from epic_pandas_spark.operators.stats import column_stats, weighted_average
+from epic_pandas_spark.operators.sampling import sample_at_most, sample_with_distribution
+from epic_pandas_spark.operators.nulls import fillna, dropna
+from epic_pandas_spark.operators.windows import cumsum, diff, smooth_with_gaussian, split_with_overlap
+from epic_pandas_spark.operators.setops import union_all, intersect_keys, symmetric_difference
+from epic_pandas_spark.operators.sparse import dfdiag, coo_density, coo_is_square, coo_transpose
+
+__all__ = [
+    "value_counts", "value_counts_binned", "upsert",
+    "drop_duplicates_by_key", "unique_row_ids",
+    "column_stats", "weighted_average",
+    "sample_at_most", "sample_with_distribution",
+    "fillna", "dropna",
+    "cumsum", "diff", "smooth_with_gaussian", "split_with_overlap",
+    "union_all", "intersect_keys", "symmetric_difference",
+    "dfdiag", "coo_density", "coo_is_square", "coo_transpose",
+]

@@ -1,0 +1,57 @@
+"""Set operations on frames and key sets (SURVEY.md §2.7).
+
+The reference does set math on indexes: concat = UNION ALL
+(/root/reference/epic/pandas/utils.py:489), `index.intersection`
+(utils.py:338), `index.symmetric_difference` (utils.py:512), `index.isin`
+membership (utils.py:489). Spark's set operators shuffle on the full row;
+key-level ops project first so only the key columns move.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, functions as F
+
+from epic_pandas_spark.keyed import as_keys
+
+
+def union_all(*dfs: DataFrame, allow_missing_columns: bool = True) -> DataFrame:
+    """Row-wise concat of any number of frames, by column name, null-filling
+    columns absent on one side (schema union, create.py:144-160)."""
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d, allowMissingColumns=allow_missing_columns)
+    return out
+
+
+def intersect_keys(df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | None = None) -> DataFrame:
+    keys = as_keys(key)
+    return df1.select(*keys).intersect(df2.select(*keys))
+
+
+def symmetric_difference(
+    df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | None = None
+) -> DataFrame:
+    """(A∖B) ∪ (B∖A) on key sets — one full-outer join on distinct keys
+    instead of two except-alls (half the shuffles)."""
+    keys = as_keys(key)
+    a = df1.select(*keys).distinct().withColumn("__l", F.lit(1))
+    b = df2.select(*keys).distinct().withColumn("__r", F.lit(1))
+    return (
+        a.join(b, on=keys, how="full_outer")
+        .filter(F.col("__l").isNull() | F.col("__r").isNull())
+        .select(*keys)
+    )
+
+
+def semi_join(df: DataFrame, keys_df: DataFrame, key: str | Sequence[str] | None = None) -> DataFrame:
+    """`index.isin` membership filter (utils.py:489) as a LEFT SEMI join —
+    Catalyst broadcasts the key side when small."""
+    keys = as_keys(key)
+    return df.join(keys_df.select(*keys), on=keys, how="left_semi")
+
+
+def anti_join(df: DataFrame, keys_df: DataFrame, key: str | Sequence[str] | None = None) -> DataFrame:
+    keys = as_keys(key)
+    return df.join(keys_df.select(*keys), on=keys, how="left_anti")

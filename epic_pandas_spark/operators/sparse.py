@@ -1,0 +1,70 @@
+"""Sparse matrices as COO long-format frames.
+
+The reference's `SparseDataFrame` (/root/reference/epic/pandas/sparse.py:22-167)
+wraps a scipy CSR matrix with row/column labels. The distributed-native
+representation is the COO long format `(row_key, col_key, value)` — exactly
+what its `stack()` emits (sparse.py:153-167). Density/shape/diag become
+aggregations and filters; `todense` is a pivot. Parquet's RLE/dictionary
+encoding stores the elided zeros for free (SURVEY.md §4.2).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+ROW, COL, VAL = "row_key", "col_key", "value"
+
+
+def dfdiag(coo: DataFrame, row: str = ROW, col: str = COL) -> DataFrame:
+    """Diagonal extraction — keys present as both row and column label
+    (reference utils.py:323-338, `index.intersection(columns)` at 338).
+    On COO this is a pure filter — no join, no shuffle."""
+    return coo.filter(F.col(row) == F.col(col))
+
+
+def coo_is_square(coo: DataFrame, row: str = ROW, col: str = COL) -> DataFrame:
+    """True iff row-label set == column-label set (sparse.py:97-100) —
+    full-outer join of the two distinct label sets, zero mismatches."""
+    r = coo.select(F.col(row).alias("k")).distinct().withColumn("__l", F.lit(1))
+    c = coo.select(F.col(col).alias("k")).distinct().withColumn("__r", F.lit(1))
+    return (
+        r.join(c, on="k", how="full_outer")
+        .agg(
+            (F.sum(F.when(F.col("__l").isNull() | F.col("__r").isNull(), 1).otherwise(0)) == 0)
+            .alias("is_square")
+        )
+    )
+
+
+def coo_density(coo: DataFrame, row: str = ROW, col: str = COL) -> DataFrame:
+    """nnz / (n_rows * n_cols) (sparse.py:105-108) — one aggregate."""
+    return coo.agg(
+        (
+            F.count(F.lit(1)).cast("double")
+            / (F.count_distinct(F.col(row)) * F.count_distinct(F.col(col)))
+        ).alias("density")
+    )
+
+
+def coo_transpose(coo: DataFrame, row: str = ROW, col: str = COL) -> DataFrame:
+    """Transpose = swap the label columns (sparse.py:117-120); free."""
+    others = [c for c in coo.columns if c not in (row, col)]
+    return coo.select(F.col(col).alias(row), F.col(row).alias(col), *others)
+
+
+def coo_todense(coo: DataFrame, row: str = ROW, col: str = COL, val: str = VAL, fill=0.0) -> DataFrame:
+    """Pivot to wide/dense form (sparse.py:131-140 `toarray`). Only for
+    modest column cardinality — a dense 100 TB matrix is the thing this
+    representation exists to avoid."""
+    return coo.groupBy(row).pivot(col).agg(F.first(val)).na.fill(fill)
+
+
+def stack(df: DataFrame, key_col: str, value_cols: list[str], dropna: bool = True) -> DataFrame:
+    """Wide → COO long (`stack()`, sparse.py:153-167): unpivot the value
+    columns into (row_key, col_key, value) rows."""
+    n = len(value_cols)
+    args = ", ".join(f"'{c}', `{c}`" for c in value_cols)
+    out = df.selectExpr(key_col, f"stack({n}, {args}) as (`{COL}`, `{VAL}`)").withColumnRenamed(
+        key_col, ROW
+    )
+    return out.filter(F.col(VAL).isNotNull()) if dropna else out

@@ -1,0 +1,83 @@
+"""Per-column statistics and weighted aggregates.
+
+- `column_stats` — the reference's per-column profile
+  (/root/reference/epic/pandas/utils.py:760-808): dtype, n_unique, n_null,
+  most-frequent value + its count, second value. The reference fans columns
+  out to a process pool (papply, utils.py:804); in Spark all per-column
+  counters fuse into ONE multi-aggregate pass (whole-stage codegen computes
+  every counter in the same scan), and the top-2 values come from one
+  groupBy-per-column union over already-aggregated (tiny) results.
+- `weighted_average` — Σ(x·w)/Σ(w) (/root/reference/epic/pandas/algorithm.py:95-115),
+  a single aggregate expression.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+
+def weighted_average(df: DataFrame, data_col: str, weight_col: str, out_col: str = "wavg") -> DataFrame:
+    """Single-pass Σ(x·w)/Σ(w); nulls in either column drop the row,
+    matching the masked computation at algorithm.py:106-114."""
+    x, w = F.col(data_col), F.col(weight_col)
+    mask = x.isNotNull() & w.isNotNull()
+    return df.agg(
+        (F.sum(F.when(mask, x * w)) / F.sum(F.when(mask, w))).alias(out_col)
+    )
+
+
+def column_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+    """Profile each column: (column, dtype, n_unique, n_null, top_value,
+    top_count, second_value). Output is |columns| rows.
+
+    One full-table pass computes n_unique/n_null for ALL columns fused;
+    top-2 per column needs per-column value counts — each is its own
+    hash-agg over the scan, but results are tiny and the scans share the
+    cached input when the caller persists. All values stringified so the
+    profile has one schema regardless of column types (the reference keeps
+    python objects; utils.py:794-801).
+    """
+    cols = list(columns) if columns is not None else list(df.columns)
+    dtypes = dict(df.dtypes)
+
+    base = df.agg(
+        *[F.count_distinct(F.col(c)).alias(f"u_{c}") for c in cols],
+        *[F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}") for c in cols],
+    )
+
+    spark = df.sparkSession
+    profiles = []
+    for c in cols:
+        top2 = (
+            df.filter(F.col(c).isNotNull())
+            .groupBy(F.col(c).cast("string").alias("v"))
+            .agg(F.count(F.lit(1)).alias("cnt"))
+            .withColumn(
+                "rn",
+                F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("v").asc())),
+            )
+            .filter(F.col("rn") <= 2)
+        )
+        prof = top2.groupBy().agg(
+            F.lit(c).alias("column"),
+            F.lit(dtypes[c]).alias("dtype"),
+            F.max(F.when(F.col("rn") == 1, F.col("v"))).alias("top_value"),
+            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("top_count"),
+            F.max(F.when(F.col("rn") == 2, F.col("v"))).alias("second_value"),
+        )
+        profiles.append(prof)
+    tops = profiles[0]
+    for p in profiles[1:]:
+        tops = tops.unionByName(p)
+
+    uniq_nulls = base.selectExpr(
+        "stack({n}, {args}) as (column, n_unique, n_null)".format(
+            n=len(cols),
+            args=", ".join(f"'{c}', u_{c}, n_{c}" for c in cols),
+        )
+    )
+    return uniq_nulls.join(tops, on="column", how="left").select(
+        "column", "dtype", "n_unique", "n_null", "top_value", "top_count", "second_value"
+    )

@@ -1,0 +1,127 @@
+"""Window-function operators (SURVEY.md §2.5).
+
+The reference's windowing is implicit: cumsum+diff for largest-remainder
+allocation (/root/reference/epic/pandas/utils.py:268-271), zero-copy strided
+array segmentation `split_with_overlap` (numpy.py:185-241), and 1-D Gaussian
+smoothing (algorithm.py:71-92). Here each is an explicit Spark window or a
+higher-order array expression — all inside whole-stage codegen, one shuffle
+on the partition key at most.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _window(partition_by: Sequence[str] | None, order_by: Sequence[str]):
+    w = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    return w.orderBy(*[F.col(c) for c in order_by])
+
+
+def cumsum(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Running total (utils.py:268: `.cumsum()`). Partitioned windows scale
+    linearly; an unpartitioned running total funnels through one partition —
+    callers should partition whenever the data is keyed."""
+    w = _window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out_col or f"{col}_cumsum", F.sum(F.col(col)).over(w))
+
+
+def diff(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Lag-1 difference (utils.py:271: `.diff()`); first row per partition
+    yields null, matching pandas."""
+    w = _window(partition_by, order_by)
+    return df.withColumn(out_col or f"{col}_diff", F.col(col) - F.lag(F.col(col), 1).over(w))
+
+
+def gaussian_kernel(sigma: float, truncate: float = 4.0) -> list[float]:
+    """Normalized 1-D Gaussian kernel, radius = truncate*sigma rounded up —
+    the same kernel scipy's gaussian_filter1d builds (algorithm.py:71-92
+    delegates to scipy). Pure driver-side math."""
+    radius = int(truncate * sigma + 0.5)
+    ks = [math.exp(-0.5 * (i / sigma) ** 2) for i in range(-radius, radius + 1)]
+    s = sum(ks)
+    return [k / s for k in ks]
+
+
+def smooth_with_gaussian(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    sigma: float = 1.0,
+    truncate: float = 4.0,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Gaussian-weighted moving average over an ordered sequence
+    (algorithm.py:71-92). Edge handling: weights renormalize over the
+    in-bounds neighbors (truncated-kernel normalization) — deterministic
+    and oracle-expressible, unlike scipy's default reflect padding
+    (documented deviation).
+
+    Implemented as Σ w_i·lag/lead(x,i) with explicit per-offset terms:
+    stays in codegen, single shuffle on the partition key.
+    """
+    kernel = gaussian_kernel(sigma, truncate)
+    radius = len(kernel) // 2
+    w = _window(partition_by, order_by)
+
+    num: Column = F.lit(0.0)
+    den: Column = F.lit(0.0)
+    for i, wt in enumerate(kernel):
+        off = i - radius
+        if off < 0:
+            neighbor = F.lag(F.col(col), -off).over(w)
+        elif off > 0:
+            neighbor = F.lead(F.col(col), off).over(w)
+        else:
+            neighbor = F.col(col)
+        num = num + F.coalesce(neighbor * F.lit(wt), F.lit(0.0))
+        den = den + F.when(neighbor.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return df.withColumn(out_col or f"{col}_smooth", num / den)
+
+
+def split_with_overlap(
+    df: DataFrame,
+    array_col: str,
+    length: int,
+    overlap: int = 0,
+    partials: bool = False,
+) -> DataFrame:
+    """Fixed-length overlapping segments of an array column — the
+    reference's zero-copy strided view (numpy.py:185-241, as_strided at
+    230-235) re-expressed as a higher-order `transform` + `slice` over a
+    start-offset sequence; `posexplode` yields (seg_idx, segment) rows.
+
+    ``partials=False`` drops trailing segments shorter than ``length``
+    (the reference masks them; numpy.py:214-223).
+
+    No Python execution: sequence/slice/explode are all codegen
+    expressions, and explode is pipeline-parallel (no shuffle).
+    """
+    if not 0 <= overlap < length:
+        raise ValueError("need 0 <= overlap < length")
+    skip = length - overlap
+    arr = F.col(array_col)
+    n = F.size(arr)
+    starts = F.sequence(F.lit(1), F.greatest(n, F.lit(1)), F.lit(skip))
+    segments = F.transform(starts, lambda s: F.slice(arr, s, length))
+    if not partials:
+        segments = F.filter(segments, lambda seg: F.size(seg) == length)
+    return df.select(
+        *df.columns, F.posexplode(segments).alias("seg_idx", "segment")
+    )
