@@ -30,6 +30,8 @@ from epic_pandas_spark.operators import (
     cumsum,
     diff,
     symmetric_difference,
+    smooth_with_gaussian,
+    split_with_overlap,
 )
 from epic_pandas_spark.operators.dedup import n_distinct_rows
 from epic_pandas_spark.session import load_table
@@ -382,3 +384,356 @@ def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = {"F": 0.3, "O": 0.5, "P": 0.2}  # sorted keys == ORDER BY stratum
     sampled = sample_with_distribution(ords, "o_orderstatus", 300, dist, seed=42)
     return sampled.groupBy("o_orderstatus").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+# ---------------------------------------------------------------------------
+# headline TPC-H-style plans (plans/tpch.py)
+# ---------------------------------------------------------------------------
+
+from epic_pandas_spark.plans import tpch as _tpch  # noqa: E402
+
+register("tpch_q1", _tpch.TPCH_Q1_SQL)(_tpch.tpch_q1)
+register("tpch_q3", _tpch.TPCH_Q3_SQL)(_tpch.tpch_q3)
+register("tpch_q5", _tpch.TPCH_Q5_SQL)(_tpch.tpch_q5)
+
+
+# ---------------------------------------------------------------------------
+# algorithm tier: entropy / KL / smoothing / segmentation (SURVEY.md §2.4-2.5)
+# ---------------------------------------------------------------------------
+
+@register(
+    "entropy_per_doc",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS chr FROM documents
+    ), hist AS (
+      SELECT doc_id, chr, COUNT(*) AS cnt FROM chars GROUP BY doc_id, chr
+    ), tot AS (
+      SELECT doc_id, SUM(cnt) AS n FROM hist GROUP BY doc_id
+    )
+    SELECT h.doc_id, ROUND(SUM(-(cnt/n) * log2(cnt/n)), 6) AS entropy
+    FROM hist h JOIN tot USING (doc_id) GROUP BY h.doc_id
+    """,
+)
+def q_entropy_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epic_pandas_spark.functions.entropy import shannon_entropy
+
+    docs = load_table(spark, sf_dir, "documents")
+    return shannon_entropy(docs, "text", by=["doc_id"]).select(
+        "doc_id", F.round("entropy", 6).alias("entropy")
+    )
+
+
+@register(
+    "kl_divergence",
+    """
+    WITH c1 AS (
+      SELECT unnest(string_split(text, '')) AS sym FROM documents WHERE lang = 'en'
+    ), c2 AS (
+      SELECT unnest(string_split(text, '')) AS sym FROM documents WHERE lang <> 'en'
+    ), h1 AS (SELECT sym, COUNT(*) AS c1 FROM c1 GROUP BY sym),
+       h2 AS (SELECT sym, COUNT(*) AS c2 FROM c2 GROUP BY sym),
+       j AS (
+      SELECT COALESCE(h1.c1, 0) / (SELECT SUM(c1) FROM h1) AS p1,
+             COALESCE(h2.c2, 0) / (SELECT SUM(c2) FROM h2) AS p2
+      FROM h1 FULL OUTER JOIN h2 USING (sym)
+    )
+    SELECT ROUND(SUM(CASE WHEN p1 > 0 THEN p1 * log2(p1 / (p2 + 1e-7)) ELSE 0 END), 6) AS kl_divergence
+    FROM j
+    """,
+)
+def q_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KL(en-docs ‖ other-docs) over char distributions
+    (algorithm.py:47-68 with the same 1e-7 smoothing)."""
+    from epic_pandas_spark.functions.entropy import char_histogram, kullback_leibler
+
+    docs = load_table(spark, sf_dir, "documents")
+    h1 = char_histogram(docs.filter(F.col("lang") == "en"), "text")
+    h2 = char_histogram(docs.filter(F.col("lang") != "en"), "text")
+    return kullback_leibler(h1, h2).select(F.round("kl_divergence", 6).alias("kl_divergence"))
+
+
+def _gaussian_sql_terms(sigma: float, truncate: float) -> tuple[str, str]:
+    from epic_pandas_spark.operators.windows import gaussian_kernel
+
+    kernel = gaussian_kernel(sigma, truncate)
+    radius = len(kernel) // 2
+    num_terms, den_terms = [], []
+    for i, wt in enumerate(kernel):
+        off = i - radius
+        if off < 0:
+            nb = f"LAG(value, {-off}) OVER w"
+        elif off > 0:
+            nb = f"LEAD(value, {off}) OVER w"
+        else:
+            nb = "value"
+        num_terms.append(f"COALESCE({nb} * {wt!r}, 0.0)")
+        den_terms.append(f"CASE WHEN {nb} IS NOT NULL THEN {wt!r} ELSE 0.0 END")
+    return " + ".join(num_terms), " + ".join(den_terms)
+
+
+_SM_NUM, _SM_DEN = _gaussian_sql_terms(1.0, 2.0)
+
+@register(
+    "smooth_gaussian",
+    f"""
+    SELECT event_id, ROUND(({_SM_NUM}) / ({_SM_DEN}), 6) AS value_smooth
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def q_smooth_gaussian(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaussian smoothing of each user's event-value series
+    (algorithm.py:71-92): truncated-kernel normalization at the edges;
+    event_id breaks ts ties deterministically."""
+    ev = load_table(spark, sf_dir, "events")
+    out = smooth_with_gaussian(
+        ev, "value", order_by=["ts", "event_id"], partition_by=["user_id"],
+        sigma=1.0, truncate=2.0, out_col="value_smooth",
+    )
+    return out.select("event_id", F.round("value_smooth", 6).alias("value_smooth"))
+
+
+@register(
+    "split_with_overlap",
+    """
+    WITH seg AS (
+      SELECT vec_id, embedding, unnest(generate_series(1, len(embedding), 8)) AS s
+      FROM embeddings
+    ), sl AS (
+      SELECT vec_id, s, list_slice(embedding, s, s + 15) AS segment
+      FROM seg
+    )
+    SELECT vec_id,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY s) - 1 AS seg_idx,
+           segment[1] AS seg_first, len(segment) AS seg_len
+    FROM sl WHERE len(segment) = 16
+    """,
+)
+def q_split_with_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping segmentation (length 16, overlap 8) of the embedding
+    arrays (numpy.py:185-241). Compared on (seg_idx, first element, len) —
+    exact float equality, no accumulation."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    segs = split_with_overlap(emb, "embedding", length=16, overlap=8, partials=False)
+    return segs.select(
+        "vec_id",
+        "seg_idx",
+        F.col("segment")[0].alias("seg_first"),
+        F.size("segment").alias("seg_len"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# events: time windows + semi-structured JSON props (§2.8, §2.10 batch shape)
+# ---------------------------------------------------------------------------
+
+@register(
+    "events_hourly",
+    r"""
+    SELECT date_trunc('hour', ts) AS hour, event_type,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(30,6))) AS DOUBLE) AS sum_value,
+           CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+    FROM events GROUP BY 1, 2
+    """,
+)
+def q_events_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour aggregation with JSON-prop extraction — the batch
+    twin of the streaming window (streaming/ runs the same plan on
+    readStream; F.window('1 hour').start == date_trunc for aligned
+    tumbling windows)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", "1 hour").start.alias("hour"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.col("value").cast("decimal(30,6)")).cast("double").alias("sum_value"),
+            F.sum(F.regexp_extract("props", r'"k":\s*(\d+)', 1).cast("long")).alias("sum_k"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# null tier (§2.2): deterministic injected nulls, fill + drop
+# ---------------------------------------------------------------------------
+
+@register(
+    "fillna_mapped",
+    """
+    SELECT c_custkey,
+           COALESCE(CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END, 0.0) AS acctbal_filled,
+           COALESCE(CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END, 'UNKNOWN') AS segment_filled
+    FROM customer
+    """,
+)
+def q_fillna_mapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epic_pandas_spark.operators import fillna
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey",
+        F.when(F.col("c_custkey") % 7 == 0, None).otherwise(F.col("c_acctbal")).alias("acctbal_filled"),
+        F.when(F.col("c_custkey") % 11 == 0, None).otherwise(F.col("c_mktsegment")).alias("segment_filled"),
+    )
+    return fillna(cust, {"acctbal_filled": 0.0, "segment_filled": "UNKNOWN"})
+
+
+@register(
+    "dropna_any",
+    """
+    SELECT COUNT(*) AS n_kept FROM (
+      SELECT CASE WHEN c_custkey % 7 = 0 THEN NULL ELSE c_acctbal END AS a,
+             CASE WHEN c_custkey % 11 = 0 THEN NULL ELSE c_mktsegment END AS s
+      FROM customer
+    ) WHERE a IS NOT NULL AND s IS NOT NULL
+    """,
+)
+def q_dropna_any(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epic_pandas_spark.operators import dropna
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.when(F.col("c_custkey") % 7 == 0, None).otherwise(F.col("c_acctbal")).alias("a"),
+        F.when(F.col("c_custkey") % 11 == 0, None).otherwise(F.col("c_mktsegment")).alias("s"),
+    )
+    return dropna(cust, how="any").agg(F.count(F.lit(1)).alias("n_kept"))
+
+
+# ---------------------------------------------------------------------------
+# grouped value_counts + pivot, Others-collapse (§2.4, plot.py pipelines)
+# ---------------------------------------------------------------------------
+
+@register(
+    "grouped_vc_pivot",
+    """
+    SELECT o_orderpriority,
+           ROUND(100.0 * COUNT(*) FILTER (o_orderstatus = 'F')
+             / (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'F'), 6) AS F,
+           ROUND(100.0 * COUNT(*) FILTER (o_orderstatus = 'O')
+             / (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'O'), 6) AS O,
+           ROUND(100.0 * COUNT(*) FILTER (o_orderstatus = 'P')
+             / (SELECT COUNT(*) FROM orders WHERE o_orderstatus = 'P'), 6) AS P
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def q_grouped_vc_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The plot.py:485 pipeline — groupby(by)[col].value_counts(normalize)
+    .mul(100).unstack(level=0) — as groupBy + pivot + per-column window
+    normalization. Pivot values passed explicitly so no extra pass to
+    discover them."""
+    from epic_pandas_spark.operators.pivots import grouped_value_counts_pivot
+
+    ords = load_table(spark, sf_dir, "orders")
+    out = grouped_value_counts_pivot(
+        ords, by="o_orderstatus", col="o_orderpriority",
+        by_values=["F", "O", "P"], normalize=True, mul=100.0,
+    )
+    return out.select(
+        "o_orderpriority",
+        *[F.round(F.col(c), 6).alias(c) for c in ("F", "O", "P")],
+    )
+
+
+@register(
+    "others_collapse",
+    """
+    WITH counts AS (
+      SELECT o_orderstatus, o_orderpriority, COUNT(*) AS cnt FROM orders GROUP BY 1, 2
+    ), tot AS (
+      SELECT o_orderstatus, SUM(cnt) AS grp_total FROM counts GROUP BY 1
+    ), keyed AS (
+      SELECT c.o_orderstatus,
+             CASE WHEN cnt / grp_total <= 0.2 THEN 'Others' ELSE o_orderpriority END AS o_orderpriority,
+             cnt
+      FROM counts c JOIN tot USING (o_orderstatus)
+    )
+    SELECT o_orderstatus, o_orderpriority, CAST(SUM(cnt) AS BIGINT) AS count
+    FROM keyed GROUP BY 1, 2
+    """,
+)
+def q_others_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise Others-collapse (plot.py:208-218): subcategories whose
+    within-group ratio ≤ threshold re-keyed to 'Others' and re-aggregated —
+    a when/otherwise re-key, zero per-group Python."""
+    from epic_pandas_spark.operators.pivots import collapse_small_categories
+
+    ords = load_table(spark, sf_dir, "orders")
+    return collapse_small_categories(
+        ords, group="o_orderstatus", subcat="o_orderpriority", threshold=0.2
+    )
+
+
+# ---------------------------------------------------------------------------
+# COO sparse tier (§1.1, sparse.py)
+# ---------------------------------------------------------------------------
+
+_COO_SQL_BASE = """
+      SELECT o_custkey % 10 AS row_key, o_orderkey % 10 AS col_key,
+             COUNT(*) AS value
+      FROM orders GROUP BY 1, 2
+"""
+
+
+def _coo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ords = load_table(spark, sf_dir, "orders")
+    return (
+        ords.groupBy(
+            (F.col("o_custkey") % 10).alias("row_key"),
+            (F.col("o_orderkey") % 10).alias("col_key"),
+        )
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+
+
+@register("dfdiag", f"WITH coo AS ({_COO_SQL_BASE}) SELECT * FROM coo WHERE row_key = col_key")
+def q_dfdiag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epic_pandas_spark.operators import dfdiag
+
+    return dfdiag(_coo(spark, sf_dir))
+
+
+@register(
+    "coo_density",
+    f"""
+    WITH coo AS ({_COO_SQL_BASE})
+    SELECT ROUND(COUNT(*) / (COUNT(DISTINCT row_key) * COUNT(DISTINCT col_key)), 6) AS density
+    FROM coo
+    """,
+)
+def q_coo_density(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epic_pandas_spark.operators import coo_density
+
+    return coo_density(_coo(spark, sf_dir)).select(F.round("density", 6).alias("density"))
+
+
+# ---------------------------------------------------------------------------
+# alignment predicate (§2.3 alignable)
+# ---------------------------------------------------------------------------
+
+@register(
+    "alignable",
+    """
+    SELECT
+      ((SELECT COUNT(*) = COUNT(DISTINCT c_custkey) FROM customer)
+       AND (SELECT COUNT(*) = COUNT(DISTINCT o_orderkey) FROM orders)
+       AND NOT EXISTS (
+         SELECT 1 FROM (SELECT DISTINCT c_custkey FROM customer) c
+         FULL OUTER JOIN (SELECT DISTINCT o_orderkey FROM orders) o
+           ON c.c_custkey = o.o_orderkey
+         WHERE c.c_custkey IS NULL OR o.o_orderkey IS NULL
+       )) AS cust_vs_orders,
+      (SELECT COUNT(*) = COUNT(DISTINCT c_custkey) FROM customer) AS cust_vs_self
+    """,
+)
+def q_alignable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`alignable` (utils.py:492-513) as a data-driven predicate: customer
+    is 1:1-joinable with itself but not with the orders key set."""
+    from epic_pandas_spark.keyed import alignable
+
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey"))
+    ords = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("c_custkey"))
+    a = alignable(cust, ords, key="c_custkey")
+    b = alignable(cust, cust, key="c_custkey")
+    return spark.createDataFrame([(a, b)], "cust_vs_orders boolean, cust_vs_self boolean")

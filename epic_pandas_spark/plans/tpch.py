@@ -1,0 +1,131 @@
+"""Headline analytical queries (TPC-H-style) over the driver tables —
+the benchmark workhorses exercising scan → filter-pushdown → hash-agg,
+multi-way broadcast joins, and top-k.
+
+These have no reference analog (the reference is a utility layer, not a
+query engine); they exist to prove the engine composes into real analytics
+and to anchor BENCH numbers. All money sums go through DECIMAL staging so
+the DuckDB oracle matches bit-for-bit (see plans.registry docstring).
+
+Scale notes baked into the plans:
+- Q1: single shuffle on the two grouping columns; partial aggregation is
+  map-side, so 100 TB reduces to |groups| rows before the exchange.
+- Q3/Q5: dimension tables (region/nation/customer/supplier at TPC-H
+  ratios) are broadcast; only lineitem/orders shuffle — and only when the
+  join key isn't already co-partitioned.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from epic_pandas_spark.session import load_table
+
+
+def _dec(col: str):
+    return F.col(col).cast("decimal(30,4)")
+
+
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pricing summary: groupBy(returnflag, linestatus) + 8 aggregates over
+    shipped lineitems. Filter pushes to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp")
+    )
+    disc_price = _dec("l_extendedprice") * (F.lit(1).cast("decimal(30,4)") - _dec("l_discount"))
+    charge = disc_price * (F.lit(1).cast("decimal(30,4)") + _dec("l_tax"))
+    out = (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
+            F.sum(disc_price).cast("double").alias("sum_disc_price"),
+            F.sum(charge).cast("double").alias("sum_charge"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
+        .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
+        .withColumn("sum_disc_price", F.round("sum_disc_price", 6))
+        .withColumn("sum_charge", F.round("sum_charge", 6))
+    )
+    return out.orderBy("l_returnflag", "l_linestatus")
+
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
+       CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4)))) AS DOUBLE), 6) AS sum_disc_price,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4))) * (CAST(1 AS DECIMAL(30,4)) + CAST(l_tax AS DECIMAL(30,4)))) AS DOUBLE), 6) AS sum_charge,
+       COUNT(*) AS count_order,
+       ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-priority: BUILDING-segment customers ⋈ orders ⋈ lineitem,
+    revenue per order, top 10. customer is broadcast (dimension-sized);
+    orders⋈lineitem shuffles on the orderkey once."""
+    cust = load_table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(30,4)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey")
+        .agg(F.round(F.sum(revenue).cast("double"), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+    )
+
+
+TPCH_Q3_SQL = """
+SELECT l_orderkey,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4)))) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY l_orderkey
+ORDER BY revenue DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per nation: the full star join. region/nation/customer/
+    supplier all broadcast; the fact tables shuffle once on orderkey."""
+    region = load_table(spark, sf_dir, "region")
+    nation = load_table(spark, sf_dir, "nation")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(30,4)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 6).alias("revenue"))
+    )
+
+
+TPCH_Q5_SQL = """
+SELECT n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4)))) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY n_name
+"""

@@ -47,6 +47,10 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+        # driver testdata writes events.ts as parquet timestamp[ns], which
+        # Spark's vectorized reader rejects; read as long and convert in
+        # load_table
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", os.environ.get("SPARK_GRAFT_UI", "false"))
     )
     for k, v in (extra_conf or {}).items():
@@ -57,5 +61,15 @@ def get_spark(
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str):
-    """Read one driver-generated parquet table (TESTDATA.md)."""
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read one driver-generated parquet table (TESTDATA.md).
+
+    events.ts is stored as timestamp[ns]; with nanosAsLong it surfaces as a
+    long which we convert to a microsecond timestamp (matching DuckDB's
+    ns→µs truncation)."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+    return df
