@@ -1,0 +1,190 @@
+"""Document deduplication for large-scale training-data pipelines
+(extension layer — no reference analog; SURVEY.md §7.1 step 9).
+
+Four families, each with an explicit 100 TB story:
+
+- exact:    normalized-text fingerprint (xxhash64) → keep min-id per group.
+            One shuffle on the 8-byte fingerprint, never on the text.
+- jaccard:  word-shingle set similarity via an inverted-index join
+            (explode shingles → join on shingle → count common / union).
+            The classic pair-generation plan; a doc-frequency cap keeps
+            hot shingles from exploding the join at scale.
+- minhash:  k seeded xxhash64 min-signatures + banded LSH bucketing →
+            candidate pairs → exact-jaccard verification. Signature
+            computation is embarrassingly parallel (higher-order
+            expressions, no UDF); the only shuffle is the band-bucket join.
+- simhash:  64-bit weighted bit-majority fingerprint; near-dups =
+            small hamming distance. Pure expression pipeline.
+
+All of these operate on arrays built by functions.text.ngrams_expr /
+word splitting — no Python in the hot path anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from epic_pandas_spark.functions.text import fingerprint_expr
+
+
+def word_set_expr(text: Column) -> Column:
+    """Distinct-word array of the normalized text (unigram shingles)."""
+    return F.array_distinct(
+        F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the smallest-id row per normalized-text group. The shuffle key
+    is the 64-bit fingerprint, so payload movement is O(ids), not O(text)."""
+    fp = fingerprint_expr(F.col(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__fp", "__rn")
+    )
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    max_doc_freq: int | None = None,
+) -> DataFrame:
+    """All (id_a < id_b) pairs with word-set Jaccard ≥ threshold, via the
+    inverted-index self-join.
+
+    ``max_doc_freq`` drops shingles appearing in more than that many docs
+    before the join — the standard guard against hot-token join blowup at
+    scale (a shingle in 1M docs would alone generate 10^12 pairs). Dropping
+    ubiquitous shingles changes scores slightly; leave None for exact
+    semantics on modest data.
+    """
+    words = df.select(F.col(id_col).alias("id"), word_set_expr(F.col(text_col)).alias("ws"))
+    sizes = words.select("id", "ws", F.size("ws").alias("n"))
+    inv = sizes.select("id", "n", F.explode("ws").alias("w"))
+    if max_doc_freq is not None:
+        dfreq = inv.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(F.broadcast(dfreq.filter(F.col("df") <= max_doc_freq)), "w", "left_semi")
+    a = inv.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "w")
+    b = inv.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "w")
+    common = (
+        a.join(b, on="w")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    jac = F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+    return (
+        common.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_signatures(words: DataFrame, n_hashes: int = 32, seed: int = 7) -> DataFrame:
+    """Append ``sig`` — array of n_hashes min-hash values over the ``ws``
+    shingle array. Each hash_i = min over shingles of xxhash64(shingle, i):
+    a pure projection, no shuffle, no UDF."""
+    def min_hash(i: int):
+        # closure factory, not a default arg: a 2-arg lambda would make
+        # F.transform pass the element index as the second parameter
+        return F.array_min(F.transform(F.col("ws"), lambda s: F.xxhash64(s, F.lit(seed + i))))
+
+    sigs = F.array(*[min_hash(i) for i in range(n_hashes)])
+    return words.withColumn("sig", sigs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    n_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 7,
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified: band the signature into
+    ``bands`` buckets of r = n_hashes/bands rows, join on (band, bucket
+    hash) to get candidates, then verify candidates with EXACT word-set
+    Jaccard ≥ threshold.
+
+    Scale shape: candidate generation shuffles on the band hash (8 bytes ×
+    bands per doc); verification touches only candidate pairs. Identical
+    shingle sets always collide in every band, so recall at threshold→1.0
+    is exactly 1."""
+    if n_hashes % bands != 0:
+        raise ValueError("bands must divide n_hashes")
+    r = n_hashes // bands
+    words = df.select(F.col(id_col).alias("id"), word_set_expr(F.col(text_col)).alias("ws"))
+    signed = minhash_signatures(words, n_hashes=n_hashes, seed=seed)
+    banded = signed.select(
+        "id",
+        "ws",
+        F.posexplode(
+            F.array(*[F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]) for b in range(bands)])
+        ).alias("band", "bucket"),
+    )
+    lhs = banded.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a"), "band", "bucket")
+    rhs = banded.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b"), "band", "bucket")
+    candidates = (
+        lhs.join(rhs, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "ws_a", "ws_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("ws_a", "ws_b"))
+    union = F.size(F.array_union("ws_a", "ws_b"))
+    jac = inter.cast("double") / union
+    return (
+        candidates.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def simhash_expr(text: Column, n_bits: int = 64) -> Column:
+    """SimHash: per-token xxhash64, then per-bit weighted majority over the
+    token bag, reassembled into one long. 64 conditional-sum aggregates over
+    the token array — heavy expression, but single-pass, no shuffle, no UDF."""
+    tokens = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+    hashes = F.transform(tokens, lambda t: F.xxhash64(t))
+    one = F.lit(1).cast("long")
+
+    def vote(b: int):
+        # shiftleft instead of a 1<<b literal: 1<<63 overflows a signed
+        # long at the py4j boundary
+        mask = F.shiftleft(one, b)
+        return F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc + F.when(h.bitwiseAND(mask) != 0, 1).otherwise(-1),
+        )
+
+    bit_votes = [vote(b) for b in range(n_bits)]
+    out = F.lit(0).cast("long")
+    for b, v in enumerate(bit_votes):
+        out = out + F.when(v > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+    return out
+
+
+def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance. Pair generation blocks
+    on the top-16-bit prefix (docs differing in ≤3 bits of 64 usually share
+    a 16-bit band — 4-band blocking would be exact; prefix blocking keeps
+    the demo simple) then filters by bit_count(xor)."""
+    sh = df.select(F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("sh"))
+    sh = sh.withColumn("block", F.shiftrightunsigned("sh", 48))
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "block")
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "block")
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        a.join(b, on="block")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", ham)
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+    )

@@ -1,0 +1,186 @@
+"""Similarity search over embedding columns (extension layer).
+
+- `knn_bruteforce`: exact top-k cosine neighbors for a (small) query set.
+  Plan: broadcast the queries, one pass over the corpus computing the
+  cosine as a higher-order expression, per-query top-k window. At scale
+  this is the always-correct baseline: O(corpus × queries) FLOPs but a
+  single corpus scan, no shuffle of the corpus (the window partitions by
+  query id over corpus×queries rows — rows are (qid, vec_id, score)
+  triples, tiny relative to the vectors).
+- `knn_bruteforce_pandas`: same semantics through one vectorized numpy
+  matmul per Arrow batch — the throughput path when Python+BLAS beats
+  per-element codegen.
+- `lsh_bucketed_knn`: approximate scale path — random-hyperplane signs
+  bucket the corpus; candidates searched only within the query's bucket
+  (and optionally neighboring buckets via multi-probe).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window, functions as F
+
+from epic_pandas_spark.functions.vectors import cosine_similarity_expr
+
+
+def _as_double(col):
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def knn_bruteforce(
+    corpus: DataFrame,
+    queries: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    include_self: bool = False,
+) -> DataFrame:
+    """Exact top-k cosine neighbors of each query vector.
+
+    Output: (query_id, vec_id, cosine) — k rows per query, ties broken by
+    ascending corpus id for determinism.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+    )
+    c = corpus.select(F.col(id_col).alias(id_col), _as_double(vec_col).alias("__cv"))
+    scored = c.crossJoin(F.broadcast(q)).withColumn(
+        "cosine", cosine_similarity_expr(F.col("__qv"), F.col("__cv"))
+    )
+    if not include_self:
+        scored = scored.filter(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", id_col, "cosine")
+    )
+
+
+def knn_bruteforce_pandas(
+    corpus: DataFrame,
+    query_vectors: dict[int, list[float]],
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """BLAS variant: queries are a driver-side dict (id -> vector),
+    broadcast into a mapInPandas that does one normalized matmul per Arrow
+    batch, emitting per-batch local top-k; a final global top-k window
+    reduces batch candidates to exact answers. Executors never exchange
+    vectors — only (query_id, vec_id, cosine) candidates."""
+    qids = sorted(query_vectors)
+    qm = np.asarray([query_vectors[i] for i in qids], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    def score(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+            mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
+            sims = mat @ qm.T  # (batch, n_queries)
+            for j, qid in enumerate(qids):
+                col = sims[:, j].copy()
+                col[ids == qid] = -np.inf  # exclude self before local top-k
+                top = min(k, len(ids))
+                idx = np.argpartition(-col, top - 1)[:top]
+                idx = idx[np.isfinite(col[idx])]
+                yield pd.DataFrame(
+                    {"query_id": qid, id_col: ids[idx], "cosine": col[idx]}
+                )
+
+    candidates = corpus.select(id_col, vec_col).mapInPandas(
+        score, schema=f"query_id long, {id_col} long, cosine double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        candidates.filter(F.col("query_id") != F.col(id_col))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", id_col, "cosine")
+    )
+
+
+def random_hyperplanes(dim: int, n_planes: int, seed: int = 11) -> list[list[float]]:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((n_planes, dim)).tolist()
+
+
+def lsh_bucket_expr(vec_col, planes: list[list[float]]):
+    """Sign-pattern bucket id of a vector under random hyperplanes —
+    sum of 2^i over planes with positive dot product. Pure expressions."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(planes):
+        dot = F.aggregate(
+            F.zip_with(
+                vec_col,
+                F.array(*[F.lit(float(x)) for x in plane]),
+                lambda a, b: a * b,
+            ),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        bucket = bucket + F.when(dot > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+    return bucket
+
+
+def lsh_bucketed_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    dim: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    n_planes: int = 8,
+    seed: int = 11,
+) -> DataFrame:
+    """Approximate top-k: hash corpus and queries into sign buckets, search
+    only same-bucket candidates. 2^n_planes buckets shrink the scanned
+    fraction to ~1/2^n_planes at some recall cost — the IVF-style scale
+    path. Same output schema as knn_bruteforce."""
+    planes = random_hyperplanes(dim, n_planes, seed)
+    c = corpus.select(id_col, _as_double(vec_col).alias("__cv")).withColumn(
+        "bucket", lsh_bucket_expr(F.col("__cv"), planes)
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+    ).withColumn("bucket", lsh_bucket_expr(F.col("__qv"), planes))
+    scored = c.join(F.broadcast(q), on="bucket").withColumn(
+        "cosine", cosine_similarity_expr(F.col("__qv"), F.col("__cv"))
+    )
+    scored = scored.filter(F.col("query_id") != F.col(id_col))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", id_col, "cosine")
+    )
+
+
+def embedding_neardup_pairs(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    block_col: str | None = None,
+    threshold: float = 0.9,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+    ``block_col`` restricts comparison to equal-block pairs (label, LSH
+    bucket, shard...) — mandatory at scale; the all-pairs cross join is
+    quadratic."""
+    a = df.select(
+        F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    b = df.select(
+        F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"),
+        *([F.col(block_col)] if block_col else []),
+    )
+    joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
+    return (
+        joined.filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("cosine", cosine_similarity_expr(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= F.lit(threshold))
+        .select("id_a", "id_b", "cosine")
+    )

@@ -1,0 +1,54 @@
+"""`papply` — chunked parallel apply, reborn as Spark's native execution
+model (reference: /root/reference/epic/pandas/parallel.py:15-93).
+
+The reference slices a frame into contiguous chunks, ships each to a
+process pool, runs pandas `apply` per chunk, and concats ordered results.
+In Spark the partitions ARE the chunks and the scheduler IS the pool
+(SURVEY.md §3.3), so these wrappers only adapt signatures:
+
+- `papply`          → mapInPandas   (per-row/batch apply, axis=1)
+- `grouped_papply`  → applyInPandas (the groupby().apply escape hatch)
+- `papply_series`   → pandas_udf    (vectorized scalar function)
+
+Ordering: the reference guarantees input order of results; Spark output
+order is partition-arbitrary. Callers needing order attach a key and sort
+— noted as the documented deviation (SURVEY.md §7.3 item 4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+def papply(df: DataFrame, func: Callable[[pd.DataFrame], pd.DataFrame], schema) -> DataFrame:
+    """Apply a pandas-frame→frame function to every Arrow batch.
+    `func` sees a chunk exactly like a reference papply worker did; Spark
+    handles slicing (partitions), shipping (Arrow), and reassembly."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = func(pdf)
+            if out is not None and len(out):
+                yield out
+
+    return df.mapInPandas(run, schema=schema)
+
+
+def grouped_papply(
+    df: DataFrame, keys: list[str], func: Callable[[pd.DataFrame], pd.DataFrame], schema
+) -> DataFrame:
+    """groupby().apply(fn) (utils.py:274; plot.py:218,241): one pandas
+    frame per key group. Shuffles once on the keys; skewed groups are the
+    caller's watch-out (salt or pre-aggregate)."""
+    return df.groupBy(*keys).applyInPandas(func, schema=schema)
+
+
+def papply_series(func: Callable[[pd.Series], pd.Series], return_type: str):
+    """Vectorized scalar transform: wrap a Series→Series function as an
+    Arrow-batched pandas_udf (the per-element `apply`/`map` analog)."""
+    from pyspark.sql.functions import pandas_udf
+
+    return pandas_udf(func, returnType=return_type)

@@ -737,3 +737,301 @@ def q_alignable(spark: SparkSession, sf_dir: str) -> DataFrame:
     a = alignable(cust, ords, key="c_custkey")
     b = alignable(cust, cust, key="c_custkey")
     return spark.createDataFrame([(a, b)], "cust_vs_orders boolean, cust_vs_self boolean")
+
+
+# ---------------------------------------------------------------------------
+# extension tier: dedup family (extensions/dedup.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    """
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id
+    FROM unioned
+    GROUP BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+    """,
+)
+def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on a corpus with injected duplicates (every 5th doc
+    re-appended under a shifted id): keep the min-id row per normalized
+    text. Shuffle key is the 64-bit fingerprint, not the text."""
+    from epic_pandas_spark.extensions.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    unioned = docs.unionByName(dups)
+    return exact_dedup(unioned, "text", "doc_id").select("doc_id")
+
+
+_JACCARD_PAIRS_SQL = """
+    WITH ws AS (
+      SELECT doc_id, list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
+      FROM documents
+    )
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           ROUND(len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)), 6) AS jaccard
+    FROM ws a JOIN ws b ON a.doc_id < b.doc_id
+    WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.99
+"""
+
+@register("dedup_jaccard", _JACCARD_PAIRS_SQL)
+def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-set Jaccard near-dup pairs (τ=0.99 ⇒ effectively equal word
+    sets) via the inverted-index self-join."""
+    from epic_pandas_spark.extensions.dedup import jaccard_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = jaccard_pairs(docs, "text", "doc_id", threshold=0.99)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_minhash_lsh", _JACCARD_PAIRS_SQL)
+def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH candidates verified by exact Jaccard — at τ=0.99 the
+    surviving pairs have (near-)identical shingle sets, which collide in
+    every LSH band, so recall is exactly 1 and the result must equal the
+    exact-join oracle (same SQL as dedup_jaccard, different physical plan:
+    banded bucket join instead of inverted-index join)."""
+    from epic_pandas_spark.extensions.dedup import minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.99, n_hashes=32, bands=16)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+
+@register("dedup_simhash", None)  # cross-engine-portable hash doesn't exist in SQL → rows-only
+def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs (hamming ≤ 3 over 64-bit bag-of-words
+    fingerprints). No oracle: the fingerprint depends on xxhash64, which
+    DuckDB can't reproduce; properties are unit-tested instead
+    (tests/test_extensions.py)."""
+    from epic_pandas_spark.extensions.dedup import simhash_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+
+
+# ---------------------------------------------------------------------------
+# extension tier: similarity search (extensions/similarity.py)
+# ---------------------------------------------------------------------------
+
+_KNN_ORACLE_SQL = """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qe FROM c WHERE vec_id < 5),
+    scored AS (
+      SELECT q.query_id, c.vec_id,
+             list_sum(list_transform(list_zip(q.qe, c.e), x -> x[1]*x[2]))
+               / (sqrt(list_sum(list_transform(q.qe, x -> x*x)))
+                  * sqrt(list_sum(list_transform(c.e, x -> x*x)))) AS cosine
+      FROM c, q WHERE c.vec_id <> q.query_id
+    ), ranked AS (
+      SELECT query_id, vec_id, cosine,
+             ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cosine DESC, vec_id ASC) AS rn
+      FROM scored
+    )
+    SELECT query_id, vec_id, ROUND(cosine, 6) AS cosine FROM ranked WHERE rn <= 5
+"""
+
+@register("knn_bruteforce", _KNN_ORACLE_SQL)
+def q_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 cosine neighbors for query vectors vec_id<5 — broadcast
+    queries, single corpus scan, per-query top-k window."""
+    from epic_pandas_spark.extensions.similarity import knn_bruteforce
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = knn_bruteforce(emb, emb.filter(F.col("vec_id") < 5), k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register("knn_bruteforce_pandas", _KNN_ORACLE_SQL)
+def q_knn_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same answer through the Arrow/numpy matmul path (mapInPandas with
+    per-batch local top-k) — proves the vectorized fast path returns
+    byte-identical results to the expression plan."""
+    from epic_pandas_spark.extensions.similarity import knn_bruteforce_pandas
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    qvecs = {
+        r["vec_id"]: list(r["embedding"])
+        for r in emb.filter(F.col("vec_id") < 5).select("vec_id", "embedding").collect()
+    }
+    out = knn_bruteforce_pandas(emb, qvecs, k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register("lsh_bucketed_knn", None)  # approximate by design → rows-only check
+def q_lsh_bucketed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane buckets; recall vs
+    bruteforce is unit-tested (tests/test_extensions.py), not
+    oracle-matched (approximation is the point)."""
+    from epic_pandas_spark.extensions.similarity import lsh_bucketed_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return lsh_bucketed_knn(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=4)
+
+
+@register(
+    "embedding_neardup",
+    """
+    WITH c AS (SELECT vec_id, label, embedding::DOUBLE[] AS e FROM embeddings)
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           ROUND(list_sum(list_transform(list_zip(a.e, b.e), x -> x[1]*x[2]))
+             / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.e, x -> x*x)))), 6) AS cosine
+    FROM c a JOIN c b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_sum(list_transform(list_zip(a.e, b.e), x -> x[1]*x[2]))
+             / (sqrt(list_sum(list_transform(a.e, x -> x*x)))
+                * sqrt(list_sum(list_transform(b.e, x -> x*x)))) >= 0.4
+    """,
+)
+def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs blocked on label (the quadratic
+    cross-join is confined to each label block — the scale pattern)."""
+    from epic_pandas_spark.extensions.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = embedding_neardup_pairs(emb, block_col="label", threshold=0.4)
+    return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+
+
+# ---------------------------------------------------------------------------
+# extension tier: text analysis (functions/text.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_quality",
+    """
+    SELECT doc_id,
+           length(text) AS n_chars,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens,
+           ROUND(length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+             / GREATEST(length(text), 1), 6) AS alpha_ratio,
+           ROUND((length(text) - length(regexp_replace(text, '[^A-Za-z]', '', 'g'))
+                  - length(regexp_replace(text, '[^0-9]', '', 'g'))
+                  - length(regexp_replace(text, '[^ \t\n]', '', 'g')))::DOUBLE
+             / GREATEST(length(text), 1), 6) AS punct_ratio
+    FROM documents
+    """,
+)
+def q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from epic_pandas_spark.functions.text import quality_score_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = quality_score_exprs(F.col("text"))
+    return docs.select(
+        "doc_id",
+        ex["n_chars"].alias("n_chars"),
+        ex["n_tokens"].alias("n_tokens"),
+        F.round(ex["alpha_ratio"], 6).alias("alpha_ratio"),
+        F.round(ex["punct_ratio"], 6).alias("punct_ratio"),
+    )
+
+
+_LANG_SQL_SCORES = {
+    "en": [" the ", " and ", " of ", " to "],
+    "de": [" der ", " und ", " die ", " ist "],
+    "fr": [" le ", " la ", " et ", " les "],
+    "es": [" el ", " de ", " que ", " los "],
+}
+
+def _lang_score_sql(markers):
+    padded = "(' ' || lower(text) || ' ')"
+    terms = [
+        f"(length({padded}) - length(replace({padded}, '{m}', ''))) / {len(m)}.0"
+        for m in markers
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+_LANG_SQL = (
+    "SELECT doc_id, CASE "
+    + " WHEN greatest("
+    + ", ".join(_lang_score_sql(m) for m in _LANG_SQL_SCORES.values())
+    + ") <= 0 THEN 'und' "
+    + " ".join(
+        f"WHEN {_lang_score_sql(m)} = greatest("
+        + ", ".join(_lang_score_sql(mm) for mm in _LANG_SQL_SCORES.values())
+        + f") THEN '{lang}'"
+        for lang, m in _LANG_SQL_SCORES.items()
+    )
+    + " END AS lang_guess FROM documents"
+)
+
+@register("lang_id", _LANG_SQL)
+def q_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-marker language ID; the oracle replicates the same
+    replace-length arithmetic, with WHEN-order = first-language-wins on
+    ties matching the expression's argmax-first semantics."""
+    from epic_pandas_spark.functions.text import lang_id_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", lang_id_expr(F.col("text")).alias("lang_guess"))
+
+
+@register(
+    "doc_fingerprint",
+    """
+    SELECT COUNT(*) AS n_docs,
+           COUNT(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS n_distinct_fp
+    FROM documents
+    """,
+)
+def q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """xxhash64 fingerprint cardinality == distinct normalized texts
+    (collision-free at this scale) — the oracle-checkable fingerprint
+    property."""
+    from epic_pandas_spark.functions.text import fingerprint_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(fingerprint_expr(F.col("text"))).alias("n_distinct_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# extension tier: multimodal plumbing (extensions/multimodal.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_features",
+    """
+    WITH chars AS (
+      SELECT doc_id, unnest(string_split(text, '')) AS c FROM documents
+    ), sums AS (
+      SELECT doc_id, SUM(ascii(c)) AS s FROM chars GROUP BY doc_id
+    )
+    SELECT d.doc_id AS id,
+           CAST(length(d.text) AS DOUBLE) AS f_len,
+           CAST(ascii(substr(d.text, 1, 1)) AS DOUBLE) AS f_first,
+           CAST(ascii(substr(d.text, length(d.text), 1)) AS DOUBLE) AS f_last,
+           CAST(s % 256 AS DOUBLE) AS f_sum
+    FROM documents d JOIN sums USING (doc_id)
+    """,
+)
+def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multimodal feature-extraction pipeline driven end-to-end with
+    the deterministic fake kernel: text bytes stand in for an opaque
+    payload; mapInPandas computes (len, first, last, byte-sum%256). The
+    oracle recomputes the same features in SQL — verifying the Arrow
+    batch plumbing, not just the math."""
+    from epic_pandas_spark.extensions.multimodal import extract_features
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), F.col("text").cast("binary").alias("payload")
+    )
+    feats = extract_features(docs, n_features=4)
+    return feats.select(
+        "id",
+        F.col("features")[0].alias("f_len"),
+        F.col("features")[1].alias("f_first"),
+        F.col("features")[2].alias("f_last"),
+        F.col("features")[3].alias("f_sum"),
+    )

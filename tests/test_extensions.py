@@ -1,0 +1,75 @@
+"""Property tests for extension operators whose semantics aren't
+SQL-expressible (simhash hashes, LSH approximation, multimodal stubs)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from epic_pandas_spark.extensions.dedup import simhash_expr, simhash_pairs
+from epic_pandas_spark.extensions.similarity import knn_bruteforce, lsh_bucketed_knn
+from epic_pandas_spark.extensions.multimodal import (
+    with_media_metadata,
+    extract_features,
+    sample_frames,
+    decode_image_batch,
+)
+from epic_pandas_spark.session import load_table
+from tests.conftest import SF_DIR
+
+
+def test_simhash_invariants(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "delta gamma beta alpha"),   # permutation -> same bag -> same hash
+            (3, "completely different words entirely"),
+        ],
+        "id long, text string",
+    )
+    rows = {r["id"]: r["sh"] for r in df.select("id", simhash_expr(F.col("text")).alias("sh")).collect()}
+    assert rows[1] == rows[2]
+    assert rows[1] != rows[3]
+
+
+def test_simhash_pairs_finds_permuted_docs(spark):
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g h"), (2, "h g f e d c b a"), (3, "x y z w v u t s")],
+        "id long, text string",
+    )
+    pairs = simhash_pairs(df, "text", "id", max_hamming=0).collect()
+    assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
+
+
+def test_lsh_finds_identical_vector(spark):
+    # an exact duplicate always hashes to the same bucket -> guaranteed hit
+    emb = load_table(spark, SF_DIR, "embeddings")
+    clone = emb.filter(F.col("vec_id") == 0).withColumn("vec_id", F.lit(9999).cast("long"))
+    corpus = emb.unionByName(clone)
+    queries = emb.filter(F.col("vec_id") == 0)
+    hits = lsh_bucketed_knn(corpus, queries, dim=64, k=5, n_planes=8).collect()
+    assert hits, "identical vector must share every LSH bucket"
+    top = max(hits, key=lambda r: r["cosine"])
+    assert top["vec_id"] == 9999 and abs(top["cosine"] - 1.0) < 1e-9
+
+
+def test_media_metadata_and_frames(spark):
+    df = spark.createDataFrame(
+        [(1, bytearray(b"0123456789abcdef"))], "id long, payload binary"
+    )
+    meta = with_media_metadata(df, "payload").select("meta.*").first()
+    assert meta["byte_len"] == 16
+    frames = sample_frames(df, "payload", frame_size=4, every_n=2).collect()
+    assert [bytes(r["frame_bytes"]) for r in frames] == [b"0123", b"89ab"]
+    assert [r["frame_idx"] for r in frames] == [0, 1]
+
+
+def test_extract_features_deterministic(spark):
+    df = spark.createDataFrame([(7, bytearray(b"abc"))], "id long, payload binary")
+    feats = extract_features(df).first()
+    assert feats["features"] == [3.0, 97.0, 99.0, float((97 + 98 + 99) % 256)]
+
+
+def test_decode_image_is_stubbed():
+    import pandas as pd
+
+    with pytest.raises(NotImplementedError):
+        decode_image_batch(pd.Series([b"not an image"]))

@@ -1,0 +1,183 @@
+"""Golden-output unit tests in the reference's own style (SURVEY.md §5):
+small fixed frames, deterministic seeds, exact expected values — covering
+operator behaviors the registry queries don't (container fills, weighted
+sampling clamps, ingestion hooks, alignment checks, papply wrappers)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from epic_pandas_spark.keyed import alignable, is_key_unique, with_row_key, zip_with_index
+from epic_pandas_spark.operators import (
+    fillna,
+    sample_at_most,
+    sample_with_distribution,
+    upsert,
+)
+from epic_pandas_spark.operators.sampling import allocate_counts
+from epic_pandas_spark.operators.sparse import stack, coo_is_square, coo_transpose, coo_todense
+from epic_pandas_spark.parallel import papply, grouped_papply
+from epic_pandas_spark.sources.ingest import df_from_iterable, series_from_iterable
+
+
+# --- fillna (reference tests/test_utils.py:23-56) --------------------------
+
+def test_fillna_scalar_and_mapping(spark):
+    df = spark.createDataFrame(
+        [(0, 1.0, "x"), (1, None, None), (2, 5.0, "z")], "k long, a double, s string"
+    )
+    filled = fillna(df, {"a": 0.0, "s": "missing"}).orderBy("k").collect()
+    assert [r["a"] for r in filled] == [1.0, 0.0, 5.0]
+    assert [r["s"] for r in filled] == ["x", "missing", "z"]
+
+
+def test_fillna_empty_containers(spark):
+    df = spark.createDataFrame(
+        [(0, [1, 2], {"a": 1}), (1, None, None)],
+        "k long, arr array<int>, m map<string,int>",
+    )
+    filled = fillna(df, {"arr": list, "m": dict}).orderBy("k").collect()
+    assert filled[1]["arr"] == []
+    assert filled[1]["m"] == {}
+
+
+def test_fillna_container_type_mismatch_raises(spark):
+    df = spark.createDataFrame([(0, 1.0)], "k long, a double")
+    with pytest.raises(TypeError):
+        fillna(df, {"a": list})
+
+
+# --- sampling (reference tests/test_utils.py:9-21) -------------------------
+
+def test_allocate_counts_largest_remainder():
+    assert allocate_counts({0: 4, 1: 2}, 6) == {0: 4, 1: 2}
+    assert allocate_counts({"a": 1, "b": 1, "c": 1}, 10) == {"a": 3, "b": 4, "c": 3}
+
+
+def test_stratified_infeasible_raises(spark):
+    df = spark.createDataFrame([(i, i % 2) for i in range(10)], "k long, pop int")
+    df = df.withColumn("pop", F.col("pop").cast("string"))
+    with pytest.raises(ValueError, match="stratum"):
+        sample_with_distribution(df, "pop", 12, {"0": 4, "1": 2}, seed=42)
+
+
+def test_stratified_exact_counts(spark):
+    df = spark.createDataFrame([(i, str(i % 2)) for i in range(10)], "k long, pop string")
+    out = sample_with_distribution(df, "pop", 6, {"0": 4, "1": 2}, seed=42)
+    counts = {r["pop"]: r["n"] for r in out.groupBy("pop").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"0": 4, "1": 2}
+
+
+def test_sample_at_most_clamps(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    assert sample_at_most(df, n=50, seed=1).count() == 10
+    assert sample_at_most(df, n=3, seed=1).count() == 3
+    assert sample_at_most(df, frac=2.0, seed=1).count() == 10
+
+
+def test_sample_at_most_weighted_prefers_heavy(spark):
+    rows = [(i, 1000.0 if i < 3 else 0.001) for i in range(100)]
+    df = spark.createDataFrame(rows, "k long, w double")
+    picked = {r["k"] for r in sample_at_most(df, n=3, weights="w", seed=7).collect()}
+    assert picked == {0, 1, 2}
+
+
+def test_sample_deterministic_across_runs(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    a = sorted(r["k"] for r in sample_at_most(df, n=10, seed=5).collect())
+    b = sorted(r["k"] for r in sample_at_most(df.repartition(7), n=10, seed=5).collect())
+    assert a == b  # hash-derived randomness is partitioning-invariant
+
+
+# --- upsert / keyed-frame --------------------------------------------------
+
+def test_upsert_insert_and_update(spark):
+    orig = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    new = spark.createDataFrame([(2, "B"), (3, "C")], "k long, v string")
+    out = {r["k"]: r["v"] for r in upsert(orig, new, key="k").collect()}
+    assert out == {1: "a", 2: "B", 3: "C"}
+
+
+def test_alignable_and_uniqueness(spark):
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(2,), (1,)], "k long")
+    c = spark.createDataFrame([(1,), (1,)], "k long")
+    d = spark.createDataFrame([(1,), (3,)], "k long")
+    assert alignable(a, b, key="k")
+    assert not alignable(a, c, key="k")  # duplicate keys
+    assert not alignable(a, d, key="k")  # different key sets
+    assert is_key_unique(a, "k") and not is_key_unique(c, "k")
+
+
+def test_row_keys(spark):
+    df = spark.createDataFrame([("x",), ("y",), ("z",)], "v string").repartition(3)
+    ids = [r["__key"] for r in with_row_key(df).collect()]
+    assert len(set(ids)) == 3
+    zipped = sorted(r["__key"] for r in zip_with_index(df).collect())
+    assert zipped == [0, 1, 2]
+
+
+# --- ingestion (reference create.py semantics) -----------------------------
+
+def test_df_from_iterable_schema_union_and_collapse(spark):
+    records = [
+        ("k1", {"a": 1.0, "sub": {"x": 2.0, "y": 3.0}}),
+        ("k2", {"a": 4.0, "b": 5.0, "dropme": None}),
+    ]
+    df = df_from_iterable(spark, records, key_col="key")
+    rows = {r["key"]: r.asDict() for r in df.collect()}
+    assert rows["k1"]["sub_x"] == 2.0 and rows["k1"]["sub_y"] == 3.0
+    assert rows["k1"]["b"] is None  # null backfill for missing field
+    assert rows["k2"]["b"] == 5.0
+    assert "dropme" not in df.columns  # None fields dropped
+
+
+def test_df_from_iterable_transform_skips(spark):
+    records = [("a", {"v": 1}), ("b", {"v": 2}), ("c", {"v": 3})]
+    df = df_from_iterable(
+        spark, records, transform=lambda r: None if r["v"] == 2 else r
+    )
+    assert sorted(r["__key"] for r in df.collect()) == ["a", "c"]
+
+
+def test_series_from_iterable(spark):
+    df = series_from_iterable(spark, [("a", 1), ("b", 2)])
+    assert set(df.columns) == {"__key", "value"}
+    assert df.count() == 2
+
+
+# --- papply wrappers (reference parallel.py) -------------------------------
+
+def test_papply_batch_apply(spark):
+    df = spark.createDataFrame([(i, float(i)) for i in range(10)], "k long, v double")
+    out = papply(df, lambda pdf: pdf.assign(v2=pdf.v * 2), "k long, v double, v2 double")
+    assert {r["k"]: r["v2"] for r in out.collect()} == {i: 2.0 * i for i in range(10)}
+
+
+def test_grouped_papply(spark):
+    df = spark.createDataFrame([(i % 3, float(i)) for i in range(9)], "g int, v double")
+
+    def demean(pdf):
+        pdf["v"] = pdf["v"] - pdf["v"].mean()
+        return pdf
+
+    out = grouped_papply(df, ["g"], demean, "g int, v double")
+    sums = out.groupBy("g").agg(F.round(F.sum("v"), 9).alias("s")).collect()
+    assert all(r["s"] == 0.0 for r in sums)
+
+
+# --- COO sparse ------------------------------------------------------------
+
+def test_stack_and_coo_roundtrip(spark):
+    df = spark.createDataFrame(
+        [("r1", 1.0, None), ("r2", None, 2.0)], "k string, c1 double, c2 double"
+    )
+    coo = stack(df, "k", ["c1", "c2"])
+    assert {(r["row_key"], r["col_key"], r["value"]) for r in coo.collect()} == {
+        ("r1", "c1", 1.0),
+        ("r2", "c2", 2.0),
+    }
+    assert coo_is_square(coo).first()["is_square"] is False
+    t = coo_transpose(coo)
+    assert {r["row_key"] for r in t.collect()} == {"c1", "c2"}
+    dense = coo_todense(coo).orderBy("row_key").collect()
+    assert dense[0]["c1"] == 1.0 and dense[0]["c2"] == 0.0
