@@ -1035,3 +1035,71 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("features")[2].alias("f_last"),
         F.col("features")[3].alias("f_sum"),
     )
+
+
+# ---------------------------------------------------------------------------
+# streaming twins, batch-checked (streaming/windows.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "sessionize",
+    """
+    WITH flagged AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sessions AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM flagged
+    )
+    SELECT user_id, MIN(ts) AS session_start, COUNT(*) AS n_events
+    FROM sessions GROUP BY user_id, session_id
+    """,
+)
+def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (30-min gap) via the lag/cumsum plan — one
+    shuffle on user_id, two windows over it. The streaming twin
+    (streaming.windows.sessionize) uses native session_window state and is
+    equivalence-tested in tests/test_streaming.py."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    gap_us = 30 * 60 * 1_000_000
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w)) > gap_us)
+            | F.lag("ts").over(w).isNull(),
+            1,
+        ).otherwise(0),
+    )
+    sessions = flagged.withColumn("session_id", F.sum("new_session").over(run))
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"), F.count(F.lit(1)).alias("n_events")
+    ).drop("session_id")
+
+
+@register(
+    "sliding_window",
+    """
+    WITH s AS (
+      SELECT event_type, time_bucket(INTERVAL '30 minutes', ts) AS w FROM events
+      UNION ALL
+      SELECT event_type, time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes' FROM events
+    )
+    SELECT w AS window_start, event_type, COUNT(*) AS n_events
+    FROM s GROUP BY 1, 2
+    """,
+)
+def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1h/30min event-time window counts — the batch twin of
+    streaming.windows.sliding_agg (each event lands in exactly 2 windows;
+    the oracle materializes both grid-aligned starts)."""
+    from epic_pandas_spark.streaming.windows import sliding_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    return sliding_agg(ev)

@@ -71,5 +71,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
 
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        df = df.withColumn("ts", F.timestamp_micros(F.floor(F.col("ts") / 1000).cast("long")))
+        # integer div: ns values (~1.7e18) exceed double precision, so a
+        # float division here would corrupt the microsecond digit
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     return df

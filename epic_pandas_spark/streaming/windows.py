@@ -1,0 +1,99 @@
+"""Structured Streaming operators (SURVEY.md §2.10: absent from the
+reference — this is the extension layer's stream story, built entirely on
+Spark's native streaming state).
+
+Each operator here is the streaming twin of a batch registry query, built
+so the SAME transformation function applies to a batch DataFrame or a
+readStream DataFrame (Structured Streaming's core design). Tests drive
+them with a file source and a memory sink, `processAllAvailable()` making
+the run synchronous.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def tumbling_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Tumbling event-time aggregation with late-data watermark: counts and
+    value sums per (window, keys). On a stream, state per open window is
+    dropped once the watermark passes — bounded memory at any scale."""
+    keys = by or ["event_type"]
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window_size).alias("win"), *keys)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("sum_value"),
+        )
+        .select(F.col("win.start").alias("window_start"), *keys, "n_events", "sum_value")
+    )
+
+
+def sliding_agg(
+    events: DataFrame,
+    ts_col: str = "ts",
+    window_size: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Sliding event-time window — each event lands in size/slide windows."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window_size, slide).alias("win"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    id_cols: list[str],
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exactly-once-per-id stream: dropDuplicates keyed on id_cols with a
+    watermark bounding the dedup state — the streaming analog of
+    drop_duplicates_by_key(keep='any')."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return src.dropDuplicates(id_cols + [ts_col]) if events.isStreaming else src.dropDuplicates(id_cols)
+
+
+def sessionize(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    gap: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Session windows: activity periods per user closed by a `gap` of
+    silence. Streaming uses the native session_window state; the batch
+    twin (plans/registry.q_sessionize) is the classic lag/cumsum plan and
+    is oracle-checked — both produce (user, session_start, n_events)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window(ts_col, gap).alias("win"), user_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("win.start").alias("session_start"), user_col, "n_events")
+    )
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming query synchronously into an in-memory table (the
+    test/demo sink). Returns the query handle after all available input is
+    processed; caller reads `spark.sql(f"SELECT * FROM {name}")`."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    return q

@@ -1,0 +1,79 @@
+"""Streaming operators driven end-to-end: parquet file source → streaming
+transform → memory sink, compared against the batch twin on the same data
+(the Structured Streaming unification property)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from epic_pandas_spark.session import load_table
+from epic_pandas_spark.streaming.windows import (
+    tumbling_agg,
+    sessionize,
+    streaming_dedup,
+    run_stream_to_memory,
+)
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def event_stream(spark):
+    batch = load_table(spark, SF_DIR, "events")
+    raw_schema = spark.read.parquet(f"{SF_DIR}/events.parquet").schema  # ts as long nanos
+    # the file stream source needs a directory; glob-filter to the one table
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(SF_DIR)
+    )
+    return stream, batch
+
+
+def _normalize_events(df):
+    # events.ts arrives as long nanos under nanosAsLong; convert like load_table
+    from pyspark.sql import types as T
+
+    if isinstance(df.schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def test_tumbling_agg_stream_matches_batch(spark, event_stream):
+    stream, batch = event_stream
+    out = tumbling_agg(_normalize_events(stream), watermark="10 hours")
+    q = run_stream_to_memory(out, "tumbling_out", output_mode="complete")
+    try:
+        got = {
+            (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+            for r in spark.sql("SELECT * FROM tumbling_out").collect()
+        }
+        want = {
+            (r["window_start"], r["event_type"]): (r["n_events"], round(r["sum_value"], 6))
+            for r in tumbling_agg(batch).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
+
+
+def test_sessionize_stream_runs(spark, event_stream):
+    stream, batch = event_stream
+    out = sessionize(_normalize_events(stream))
+    q = run_stream_to_memory(out, "sessions_out", output_mode="complete")
+    try:
+        got = spark.sql("SELECT * FROM sessions_out").collect()
+        assert len(got) > 0
+        # one session per (user, start); event counts sum to the input size
+        assert sum(r["n_events"] for r in got) == batch.count()
+    finally:
+        q.stop()
+
+
+def test_streaming_dedup(spark, event_stream):
+    stream, batch = event_stream
+    out = streaming_dedup(_normalize_events(stream), ["event_id"])
+    q = run_stream_to_memory(out, "dedup_out")
+    try:
+        n = spark.sql("SELECT COUNT(DISTINCT event_id) AS n FROM dedup_out").first()["n"]
+        assert n == batch.select("event_id").distinct().count()
+    finally:
+        q.stop()
