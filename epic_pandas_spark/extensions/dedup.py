@@ -24,11 +24,14 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
-from epic_pandas_spark.functions.text import fingerprint_expr
+from epic_pandas_spark.functions.text import fingerprint_expr, word_ngrams_expr
 
 
 def word_set_expr(text: Column) -> Column:
-    """Distinct-word array of the normalized text (unigram shingles)."""
+    """Distinct-word array of the normalized text (unigram shingles).
+    NOTE: only discriminative on large vocabularies; near-dup operators
+    default to word 3-gram shingles (word_ngrams_expr), which stay
+    selective even on small-vocabulary corpora."""
     return F.array_distinct(
         F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
     )
@@ -52,6 +55,7 @@ def jaccard_pairs(
     text_col: str,
     id_col: str,
     threshold: float,
+    shingle_words: int = 3,
     max_doc_freq: int | None = None,
 ) -> DataFrame:
     """All (id_a < id_b) pairs with word-set Jaccard ≥ threshold, via the
@@ -63,7 +67,10 @@ def jaccard_pairs(
     ubiquitous shingles changes scores slightly; leave None for exact
     semantics on modest data.
     """
-    words = df.select(F.col(id_col).alias("id"), word_set_expr(F.col(text_col)).alias("ws"))
+    words = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams_expr(F.col(text_col), n=shingle_words).alias("ws"),
+    ).filter(F.size("ws") > 0)
     sizes = words.select("id", "ws", F.size("ws").alias("n"))
     inv = sizes.select("id", "n", F.explode("ws").alias("w"))
     if max_doc_freq is not None:
@@ -86,16 +93,22 @@ def jaccard_pairs(
 
 
 def minhash_signatures(words: DataFrame, n_hashes: int = 32, seed: int = 7) -> DataFrame:
-    """Append ``sig`` — array of n_hashes min-hash values over the ``ws``
-    shingle array. Each hash_i = min over shingles of xxhash64(shingle, i):
-    a pure projection, no shuffle, no UDF."""
-    def min_hash(i: int):
-        # closure factory, not a default arg: a 2-arg lambda would make
-        # F.transform pass the element index as the second parameter
-        return F.array_min(F.transform(F.col("ws"), lambda s: F.xxhash64(s, F.lit(seed + i))))
+    """Compute per-id min-hash signature columns s0..s{n-1} over the ``ws``
+    shingle array via explode -> one hash-aggregate of n_hashes MINs.
 
-    sigs = F.array(*[min_hash(i) for i in range(n_hashes)])
-    return words.withColumn("sig", sigs)
+    Why not array expressions per row: Catalyst's projection collapse
+    inlines a 32x transform+array_min expression tree into every downstream
+    reference (16 band hashes -> hundreds of copies) and whole-stage
+    codegen then compiles for minutes. The explode/agg plan keeps every
+    expression tiny, costs one shuffle on the id, and map-side partial
+    aggregation makes the shuffle payload |ids| x n_hashes longs regardless
+    of document size."""
+    exploded = words.select("id", F.explode("ws").alias("w"))
+    aggs = [
+        F.min(F.xxhash64(F.col("w"), F.lit(seed + i))).alias(f"s{i}")
+        for i in range(n_hashes)
+    ]
+    return exploded.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_pairs(
@@ -103,6 +116,7 @@ def minhash_lsh_pairs(
     text_col: str,
     id_col: str,
     threshold: float,
+    shingle_words: int = 3,
     n_hashes: int = 32,
     bands: int = 16,
     seed: int = 7,
@@ -119,28 +133,35 @@ def minhash_lsh_pairs(
     if n_hashes % bands != 0:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
-    words = df.select(F.col(id_col).alias("id"), word_set_expr(F.col(text_col)).alias("ws"))
+    words = df.select(
+        F.col(id_col).alias("id"),
+        word_ngrams_expr(F.col(text_col), n=shingle_words).alias("ws"),
+    ).filter(F.size("ws") > 0)
     signed = minhash_signatures(words, n_hashes=n_hashes, seed=seed)
     banded = signed.select(
         "id",
-        "ws",
         F.posexplode(
-            F.array(*[F.xxhash64(*[F.col("sig")[b * r + j] for j in range(r)]) for b in range(bands)])
+            F.array(*[F.xxhash64(*[F.col(f"s{b * r + j}") for j in range(r)]) for b in range(bands)])
         ).alias("band", "bucket"),
     )
-    lhs = banded.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a"), "band", "bucket")
-    rhs = banded.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b"), "band", "bucket")
+    # candidates shuffle only (band, bucket, id) triples — never the shingles
+    lhs = banded.select(F.col("id").alias("id_a"), "band", "bucket")
+    rhs = banded.select(F.col("id").alias("id_b"), "band", "bucket")
     candidates = (
         lhs.join(rhs, on=["band", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "ws_a", "ws_b")
+        .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
+    # verification joins the shingle arrays back onto the candidate pairs
+    wa = words.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a"))
+    wb = words.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b"))
+    verified = candidates.join(wa, "id_a").join(wb, "id_b")
     inter = F.size(F.array_intersect("ws_a", "ws_b"))
     union = F.size(F.array_union("ws_a", "ws_b"))
     jac = inter.cast("double") / union
     return (
-        candidates.withColumn("jaccard", jac)
+        verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
@@ -171,13 +192,41 @@ def simhash_expr(text: Column, n_bits: int = 64) -> Column:
     return out
 
 
+def simhash_table(df: DataFrame, text_col: str, id_col: str, n_bits: int = 64) -> DataFrame:
+    """(id, sh) simhash table via the distributed plan: explode tokens ->
+    per-token hash -> ONE hash-aggregate of 64 bit-vote sums -> assemble
+    the fingerprint from the aggregated votes. Same numbers as
+    `simhash_expr`, but each codegen expression stays small and the
+    shuffle payload is 64 ints per id (partial aggregation)."""
+    tokens = df.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("t"),
+    ).withColumn("h", F.xxhash64("t"))
+    one = F.lit(1).cast("long")
+    votes = tokens.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").bitwiseAND(F.shiftleft(one, b)) != 0, 1).otherwise(-1)
+            ).alias(f"v{b}")
+            for b in range(n_bits)
+        ]
+    )
+    sh = F.lit(0).cast("long")
+    for b in range(n_bits):
+        sh = sh + F.when(F.col(f"v{b}") > 0, F.shiftleft(one, b)).otherwise(F.lit(0).cast("long"))
+    return votes.select("id", sh.alias("sh"))
+
+
 def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
     """Near-dup pairs by simhash hamming distance. Pair generation blocks
-    on the top-16-bit prefix (docs differing in ≤3 bits of 64 usually share
-    a 16-bit band — 4-band blocking would be exact; prefix blocking keeps
-    the demo simple) then filters by bit_count(xor)."""
-    sh = df.select(F.col(id_col).alias("id"), simhash_expr(F.col(text_col)).alias("sh"))
-    sh = sh.withColumn("block", F.shiftrightunsigned("sh", 48))
+    on the top-16-bit prefix (docs differing in <=3 of 64 bits usually
+    share the prefix; 4-band blocking would make it exact) then filters by
+    bit_count(xor). Only (id, block, sh) triples shuffle."""
+    sh = simhash_table(df, text_col, id_col).withColumn(
+        "block", F.shiftrightunsigned("sh", 48)
+    )
     a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "block")
     b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "block")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))

@@ -89,3 +89,37 @@ def reindex(
     null-filled, rows absent from the target drop (utils.py:245,435,806)."""
     keys = as_keys(key)
     return target_keys.select(*keys).join(df, on=keys, how="left")
+
+
+def lookup(
+    df: DataFrame,
+    items: DataFrame,
+    key: str | Sequence[str] | None = None,
+    check_missing: bool = True,
+) -> DataFrame:
+    """Label lookup with existence check — the reference's
+    `index.get_indexer(items)` + KeyError-on-miss (utils.py:694-703,
+    sparse.py:77-92): inner join against the requested key set; if
+    ``check_missing``, raise KeyError when any requested key is absent
+    (one anti-join count, no data movement beyond keys)."""
+    keys = as_keys(key)
+    wanted = items.select(*keys)
+    if check_missing:
+        n_missing = wanted.join(df.select(*keys), on=keys, how="left_anti").limit(1).count()
+        if n_missing:
+            raise KeyError(f"lookup keys missing from frame (checked {keys})")
+    return df.join(wanted, on=keys, how="left_semi")
+
+
+def order_by_key_list(df: DataFrame, ordered_keys: list, key: str | Sequence[str] | None = None) -> DataFrame:
+    """User-supplied explicit row order (`counts.loc[sort]`,
+    plot.py:486-487): broadcast-join an (key, ord) list and sort by ord.
+    Keys absent from the list drop, matching .loc selection."""
+    keys = as_keys(key)
+    if len(keys) != 1:
+        raise ValueError("order_by_key_list supports a single key column")
+    spark = df.sparkSession
+    order_df = spark.createDataFrame(
+        [(k, i) for i, k in enumerate(ordered_keys)], f"{keys[0]} string, __ord long"
+    ).withColumn(keys[0], F.col(keys[0]).cast(dict(df.dtypes)[keys[0]]))
+    return df.join(F.broadcast(order_df), on=keys, how="inner").orderBy("__ord").drop("__ord")

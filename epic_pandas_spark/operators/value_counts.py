@@ -91,3 +91,31 @@ def value_counts_binned(
     )
     out = _with_fraction(counts).select("bin", "bin_lo", "bin_hi", "count", "fraction")
     return out.orderBy("bin") if sort else out
+
+
+def grouped_histogram(
+    df: DataFrame,
+    value_col: str,
+    by: str,
+    lo: float,
+    hi: float,
+    n_bins: int,
+) -> DataFrame:
+    """Per-group histogram over GLOBAL shared bin edges — the
+    group_bar_hist pipeline (/root/reference/epic/pandas/matplotlib/
+    plot.py:410-418: one np.histogram_bin_edges for all groups, then
+    per-group counts). Callers derive lo/hi from a min/max aggregate or
+    approxQuantile when not known a priori; binning + the (group, bin)
+    hash-agg is then a single pass."""
+    width = (hi - lo) / n_bins
+    bucket = F.least(
+        F.lit(n_bins),
+        F.greatest(F.lit(1), F.width_bucket(F.col(value_col), F.lit(lo), F.lit(hi), F.lit(n_bins))),
+    )
+    return (
+        df.filter(F.col(value_col).isNotNull())
+        .groupBy(F.col(by), bucket.alias("bin"))
+        .agg(F.count(F.lit(1)).alias("count"))
+        .withColumn("bin_lo", F.lit(lo) + (F.col("bin") - 1) * F.lit(width))
+        .withColumn("bin_hi", F.lit(lo) + F.col("bin") * F.lit(width))
+    )

@@ -772,37 +772,47 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _JACCARD_PAIRS_SQL = """
     WITH ws AS (
-      SELECT doc_id, list_distinct(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS w
-      FROM documents
+      SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents)
+    ), inv AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM ws WHERE len(sh) > 0
     )
-    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-           ROUND(len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)), 6) AS jaccard
-    FROM ws a JOIN ws b ON a.doc_id < b.doc_id
-    WHERE len(list_intersect(a.w, b.w))::DOUBLE / len(list_distinct(a.w || b.w)) >= 0.99
+    SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*)::DOUBLE / (a.n + b.n - COUNT(*)) AS jaccard
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n, b.n
+    ) WHERE jaccard >= 0.8
 """
 
 @register("dedup_jaccard", _JACCARD_PAIRS_SQL)
 def q_dedup_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-set Jaccard near-dup pairs (τ=0.99 ⇒ effectively equal word
-    sets) via the inverted-index self-join."""
+    """Word-3-gram-shingle Jaccard near-dup pairs (τ=0.8) via the
+    inverted-index self-join. Trigram shingles stay discriminative on this
+    corpus's small vocabulary (unigram word sets collide: 35k degenerate
+    pairs at sf0.1)."""
     from epic_pandas_spark.extensions.dedup import jaccard_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    out = jaccard_pairs(docs, "text", "doc_id", threshold=0.99)
+    out = jaccard_pairs(docs, "text", "doc_id", threshold=0.8)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
 @register("dedup_minhash_lsh", _JACCARD_PAIRS_SQL)
 def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash+LSH candidates verified by exact Jaccard — at τ=0.99 the
-    surviving pairs have (near-)identical shingle sets, which collide in
-    every LSH band, so recall is exactly 1 and the result must equal the
-    exact-join oracle (same SQL as dedup_jaccard, different physical plan:
-    banded bucket join instead of inverted-index join)."""
+    """MinHash+LSH candidates verified by exact Jaccard (same oracle as
+    dedup_jaccard, different physical plan: banded bucket join instead of
+    the inverted-index join). 16 bands × r=2 gives miss probability
+    (1-j²)^16 ≤ 1.4e-7 at j=0.8 — recall is 1 up to that epsilon, and the
+    exact-jaccard verification removes all false positives."""
     from epic_pandas_spark.extensions.dedup import minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    out = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.99, n_hashes=32, bands=16)
+    out = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8, n_hashes=32, bands=16)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
@@ -1103,3 +1113,26 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return sliding_agg(ev)
+
+
+@register(
+    "grouped_histogram",
+    """
+    WITH b AS (
+      SELECT o_orderstatus,
+             LEAST(20, GREATEST(1, CAST(FLOOR(o_totalprice / 30000.0) AS INT) + 1)) AS bin
+      FROM orders WHERE o_totalprice IS NOT NULL
+    )
+    SELECT o_orderstatus, bin, COUNT(*) AS count,
+           (bin-1)*30000.0 AS bin_lo, bin*30000.0 AS bin_hi
+    FROM b GROUP BY o_orderstatus, bin
+    """,
+)
+def q_grouped_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group histogram over global shared bin edges (the
+    group_bar_hist pipeline, plot.py:410-418): one (group, bucket)
+    hash-agg pass."""
+    from epic_pandas_spark.operators.value_counts import grouped_histogram
+
+    ords = load_table(spark, sf_dir, "orders")
+    return grouped_histogram(ords, "o_totalprice", by="o_orderstatus", lo=0.0, hi=600000.0, n_bins=20)

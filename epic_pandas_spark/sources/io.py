@@ -89,6 +89,8 @@ def dump(df: DataFrame, path: str, fmt: str | None = None, mode: str = "overwrit
         raise ValueError(f"no handler for extension {ext!r}")
     if ext == "tsv":
         options.setdefault("sep", "\t")
+    if spark_fmt == "csv":
+        options.setdefault("header", True)  # symmetric with load's default
     df.write.format(spark_fmt).mode(mode).options(**{k: str(v) for k, v in options.items()}).save(path)
 
 

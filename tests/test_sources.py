@@ -1,0 +1,70 @@
+"""I/O dispatch, autoload, and keyed helpers (lookup / explicit order)."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from epic_pandas_spark.keyed import lookup, order_by_key_list
+from epic_pandas_spark.sources.io import load, dump, autoload, _extension
+
+
+def test_extension_parsing():
+    assert _extension("/a/b/data.parquet") == "parquet"
+    assert _extension("s3://bucket/x.CSV") == "csv"
+
+
+def test_parquet_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a"), (2, "b")], "k long, v string")
+    path = str(tmp_path / "t.parquet")
+    dump(df, path)
+    back = load(spark, path, expect_columns=["k", "v"])
+    assert {(r["k"], r["v"]) for r in back.collect()} == {(1, "a"), (2, "b")}
+
+
+def test_csv_roundtrip_and_options(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a")], "k long, v string")
+    path = str(tmp_path / "t.csv")
+    dump(df, path)
+    back = load(spark, path, schema="k long, v string")
+    assert back.first()["v"] == "a"
+
+
+def test_load_rejects_pickle(spark):
+    with pytest.raises(ValueError, match="no distributed analog"):
+        load(spark, "/tmp/x.pkl")
+
+
+def test_expect_columns_raises(spark, tmp_path):
+    df = spark.createDataFrame([(1,)], "k long")
+    path = str(tmp_path / "e.parquet")
+    dump(df, path)
+    with pytest.raises(TypeError, match="missing expected columns"):
+        load(spark, path, expect_columns=["nope"])
+
+
+def test_autoload_decorator(spark, tmp_path):
+    df = spark.createDataFrame([(1,), (2,)], "k long")
+    path = str(tmp_path / "a.parquet")
+    dump(df, path)
+
+    @autoload("data")
+    def count_rows(spark, data):
+        return data.count()
+
+    assert count_rows(spark, data=path) == 2
+    assert count_rows(spark, data=df) == 2  # non-string passes through
+
+
+def test_lookup_semantics(spark):
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    items = spark.createDataFrame([(1,), (3,)], "k long")
+    got = {r["k"] for r in lookup(df, items, key="k").collect()}
+    assert got == {1, 3}
+    missing = spark.createDataFrame([(9,)], "k long")
+    with pytest.raises(KeyError):
+        lookup(df, missing, key="k")
+
+
+def test_order_by_key_list(spark):
+    df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v int")
+    out = [r["k"] for r in order_by_key_list(df, ["c", "a"], key="k").collect()]
+    assert out == ["c", "a"]
