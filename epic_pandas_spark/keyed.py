@@ -123,3 +123,13 @@ def order_by_key_list(df: DataFrame, ordered_keys: list, key: str | Sequence[str
         [(k, i) for i, k in enumerate(ordered_keys)], f"{keys[0]} string, __ord long"
     ).withColumn(keys[0], F.col(keys[0]).cast(dict(df.dtypes)[keys[0]]))
     return df.join(F.broadcast(order_df), on=keys, how="inner").orderBy("__ord").drop("__ord")
+
+
+def identity_series(df: DataFrame, key: str | Sequence[str] | None = None, value_name: str = "value") -> DataFrame:
+    """IdentitySeries (utils.py:630-723): a virtual series whose value IS
+    the key. The reference needs a whole class to avoid materializing it;
+    in a lazy engine it is literally one aliased column reference."""
+    keys = as_keys(key)
+    if len(keys) != 1:
+        raise ValueError("identity_series is single-key")
+    return df.select(F.col(keys[0]), F.col(keys[0]).alias(value_name))

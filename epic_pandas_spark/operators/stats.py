@@ -81,3 +81,13 @@ def column_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFra
     return uniq_nulls.join(tops, on="column", how="left").select(
         "column", "dtype", "n_unique", "n_null", "top_value", "top_count", "second_value"
     )
+
+
+def estimate_size_bytes(df: DataFrame) -> int:
+    """Deep-size estimate of a frame — the `sizeof` analog
+    (/root/reference/epic/pandas/utils.py:451-466). Uses Catalyst's
+    optimized-plan statistics (parquet footer sizes × selectivity
+    heuristics), so it costs no job at all; exact bytes are unknowable
+    without materializing, which the reference's recursive
+    sys.getsizeof walk also only approximates."""
+    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())

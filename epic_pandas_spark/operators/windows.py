@@ -125,3 +125,14 @@ def split_with_overlap(
     return df.select(
         *df.columns, F.posexplode(segments).alias("seg_idx", "segment")
     )
+
+
+def even_slices(df: DataFrame, n_slices: int, order_by: Sequence[str], out_col: str = "slice_id") -> DataFrame:
+    """`gen_slices` (numpy.py:244-294): partition [0,n) rows into
+    n_slices contiguous, remainder-balanced batches. In Spark, physical
+    batching IS partitioning (`repartition`), so this exists only for when
+    explicit batch ids are semantically required — F.ntile replicates the
+    even-with-remainder-spread split exactly, at the cost of a global
+    sort (use sparingly; cite: ntile over an ordered window)."""
+    w = Window.orderBy(*[F.col(c) for c in order_by])
+    return df.withColumn(out_col, F.ntile(n_slices).over(w) - 1)

@@ -1136,3 +1136,77 @@ def q_grouped_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ords = load_table(spark, sf_dir, "orders")
     return grouped_histogram(ords, "o_totalprice", by="o_orderstatus", lo=0.0, hi=600000.0, n_bins=20)
+
+
+@register(
+    "byte_histogram",
+    """
+    WITH chars AS (SELECT unnest(string_split(text, '')) AS c FROM documents)
+    SELECT ascii(c) AS byte, COUNT(*) AS count
+    FROM chars GROUP BY 1
+    """,
+)
+def q_byte_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global byte histogram over the corpus — `byte_histogram`
+    (algorithm.py:13-27) at column scale: explode to one row per char,
+    single hash-agg (ASCII corpus ⇒ char == byte)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(F.split("text", "")).alias("c"))
+        .filter(F.col("c") != "")
+        .groupBy(F.ascii("c").alias("byte"))
+        .agg(F.count(F.lit(1)).alias("count"))
+    )
+
+
+@register(
+    "ingest_from_iterable",
+    """
+    SELECT * FROM (VALUES
+      ('k1', 1.0, NULL, 2.0, 3.0),
+      ('k2', 4.0, 5.0, NULL, NULL)
+    ) AS t(__key, a, b, sub_x, sub_y)
+    """,
+)
+def q_ingest_from_iterable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """df_from_iterable parity (create.py:48-172): heterogeneous records
+    with sub-dict collapse, None-field dropping, and null backfill — the
+    oracle is the literal expected table."""
+    from epic_pandas_spark.sources.ingest import df_from_iterable
+
+    records = [
+        ("k1", {"a": 1.0, "sub": {"x": 2.0, "y": 3.0}}),
+        ("k2", {"a": 4.0, "b": 5.0, "dropme": None}),
+    ]
+    return df_from_iterable(
+        spark, records, schema="__key string, a double, b double, sub_x double, sub_y double"
+    )
+
+
+@register(
+    "coo_stack_roundtrip",
+    """
+    WITH wide AS (
+      SELECT o_orderstatus,
+             CAST(COUNT(*) FILTER (o_orderpriority = '1-URGENT') AS DOUBLE) AS urgent,
+             CAST(COUNT(*) FILTER (o_orderpriority = '5-LOW') AS DOUBLE) AS low
+      FROM orders GROUP BY o_orderstatus
+    )
+    SELECT o_orderstatus AS row_key, col_key, value FROM (
+      SELECT o_orderstatus, 'urgent' AS col_key, urgent AS value FROM wide
+      UNION ALL
+      SELECT o_orderstatus, 'low', low FROM wide
+    ) WHERE value IS NOT NULL
+    """,
+)
+def q_coo_stack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide → COO long (`stack`, sparse.py:153-167) on a pivoted counts
+    table — unpivot via the stack() SQL generator."""
+    from epic_pandas_spark.operators.sparse import stack
+
+    ords = load_table(spark, sf_dir, "orders")
+    wide = ords.groupBy("o_orderstatus").agg(
+        F.count(F.when(F.col("o_orderpriority") == "1-URGENT", 1)).cast("double").alias("urgent"),
+        F.count(F.when(F.col("o_orderpriority") == "5-LOW", 1)).cast("double").alias("low"),
+    )
+    return stack(wide, "o_orderstatus", ["urgent", "low"])

@@ -77,3 +77,44 @@ def test_streaming_dedup(spark, event_stream):
         assert n == batch.select("event_id").distinct().count()
     finally:
         q.stop()
+
+
+def test_stateful_running_totals_across_batches(spark, tmp_path):
+    """State must persist across micro-batches: feed the events table as 3
+    files with maxFilesPerTrigger=1 and check the final per-user totals
+    equal the batch aggregate."""
+    from epic_pandas_spark.streaming.stateful import running_totals, batch_running_totals
+
+    batch = load_table(spark, SF_DIR, "events").select("user_id", "value")
+    src_dir = str(tmp_path / "ev")
+    batch.repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    out = running_totals(stream)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("state_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    try:
+        # "update" emits one row per key per batch; the LAST emission per
+        # key is the cumulative total
+        rows = spark.sql(
+            """SELECT user_id, n_events, sum_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM state_out) WHERE rn = 1"""
+        ).collect()
+        got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in rows}
+        want = {
+            r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+            for r in batch_running_totals(batch).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
