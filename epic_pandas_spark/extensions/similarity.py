@@ -41,12 +41,18 @@ def knn_bruteforce(
     Output: (query_id, vec_id, cosine) — k rows per query, ties broken by
     ascending corpus id for determinism.
     """
+    from epic_pandas_spark.functions.vectors import dot_expr, norm_expr
+
+    # norms are hoisted to per-row projections: computing them inside the
+    # pair expression would redo |queries| norm folds per corpus row
     q = queries.select(
         F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+    ).withColumn("__qn", norm_expr(F.col("__qv")))
+    c = corpus.select(F.col(id_col).alias(id_col), _as_double(vec_col).alias("__cv")).withColumn(
+        "__cn", norm_expr(F.col("__cv"))
     )
-    c = corpus.select(F.col(id_col).alias(id_col), _as_double(vec_col).alias("__cv"))
     scored = c.crossJoin(F.broadcast(q)).withColumn(
-        "cosine", cosine_similarity_expr(F.col("__qv"), F.col("__cv"))
+        "cosine", dot_expr(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn"))
     )
     if not include_self:
         scored = scored.filter(F.col("query_id") != F.col(id_col))
@@ -169,18 +175,20 @@ def embedding_neardup_pairs(
     ``block_col`` restricts comparison to equal-block pairs (label, LSH
     bucket, shard...) — mandatory at scale; the all-pairs cross join is
     quadratic."""
+    from epic_pandas_spark.functions.vectors import dot_expr, norm_expr
+
     a = df.select(
         F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"),
         *([F.col(block_col)] if block_col else []),
-    )
+    ).withColumn("na", norm_expr(F.col("va")))
     b = df.select(
         F.col(id_col).alias("id_b"), _as_double(vec_col).alias("vb"),
         *([F.col(block_col)] if block_col else []),
-    )
+    ).withColumn("nb", norm_expr(F.col("vb")))
     joined = a.join(b, on=block_col) if block_col else a.crossJoin(b)
     return (
         joined.filter(F.col("id_a") < F.col("id_b"))
-        .withColumn("cosine", cosine_similarity_expr(F.col("va"), F.col("vb")))
+        .withColumn("cosine", dot_expr(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )

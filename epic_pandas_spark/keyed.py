@@ -133,3 +133,33 @@ def identity_series(df: DataFrame, key: str | Sequence[str] | None = None, value
     if len(keys) != 1:
         raise ValueError("identity_series is single-key")
     return df.select(F.col(keys[0]), F.col(keys[0]).alias(value_name))
+
+
+def alignable_frame(df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | None = None) -> DataFrame:
+    """Lazy single-plan `alignable`: a 1-row DataFrame with the boolean,
+    composed from three aggregates cross-joined (each 1 row) — one Spark
+    action for the whole check instead of the eager variant's three
+    driver round-trips. Use this inside larger plans; `alignable()`
+    remains the eager convenience."""
+    keys = as_keys(key)
+
+    def uniq(df):
+        return df.agg(
+            (
+                (F.count(F.lit(1)) == F.count_distinct(*[F.col(k) for k in keys]))
+                & (sum((F.sum(F.col(k).isNull().cast("long")) for k in keys), F.lit(0)) == 0)
+            ).alias("u")
+        )
+
+    k1 = df1.select(*keys).distinct().withColumn("__l", F.lit(1))
+    k2 = df2.select(*keys).distinct().withColumn("__r", F.lit(1))
+    mism = (
+        k1.join(k2, on=keys, how="full_outer")
+        .agg((F.sum((F.col("__l").isNull() | F.col("__r").isNull()).cast("long")) == 0).alias("m"))
+    )
+    return (
+        uniq(df1).withColumnRenamed("u", "u1")
+        .crossJoin(uniq(df2).withColumnRenamed("u", "u2"))
+        .crossJoin(mism)
+        .select((F.col("u1") & F.col("u2") & F.col("m")).alias("alignable"))
+    )

@@ -730,13 +730,13 @@ def q_coo_density(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_alignable(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`alignable` (utils.py:492-513) as a data-driven predicate: customer
     is 1:1-joinable with itself but not with the orders key set."""
-    from epic_pandas_spark.keyed import alignable
+    from epic_pandas_spark.keyed import alignable_frame
 
     cust = load_table(spark, sf_dir, "customer").select(F.col("c_custkey"))
     ords = load_table(spark, sf_dir, "orders").select(F.col("o_orderkey").alias("c_custkey"))
-    a = alignable(cust, ords, key="c_custkey")
-    b = alignable(cust, cust, key="c_custkey")
-    return spark.createDataFrame([(a, b)], "cust_vs_orders boolean, cust_vs_self boolean")
+    a = alignable_frame(cust, ords, key="c_custkey").withColumnRenamed("alignable", "cust_vs_orders")
+    b = alignable_frame(cust, cust, key="c_custkey").withColumnRenamed("alignable", "cust_vs_self")
+    return a.crossJoin(b)
 
 
 # ---------------------------------------------------------------------------
@@ -1210,3 +1210,26 @@ def q_coo_stack_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("o_orderpriority") == "5-LOW", 1)).cast("double").alias("low"),
     )
     return stack(wide, "o_orderstatus", ["urgent", "low"])
+
+
+@register(
+    "json_flatten",
+    r"""
+    SELECT event_type,
+           CAST(SUM(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k,
+           CAST(MAX(CAST(regexp_extract(props, '"k":\s*(\d+)', 1) AS BIGINT)) AS BIGINT) AS max_k,
+           COUNT(*) AS n
+    FROM events GROUP BY event_type
+    """,
+)
+def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON props → typed columns via from_json (§2.8 map
+    handling): schema-on-read parse, then plain aggregation. The oracle
+    extracts the same field with regexp (DuckDB-portable)."""
+    ev = load_table(spark, sf_dir, "events")
+    parsed = ev.withColumn("p", F.from_json("props", "k BIGINT"))
+    return parsed.groupBy("event_type").agg(
+        F.sum(F.col("p.k")).alias("sum_k"),
+        F.max(F.col("p.k")).alias("max_k"),
+        F.count(F.lit(1)).alias("n"),
+    )
