@@ -69,6 +69,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
+    if name == "events":
+        # set at runtime too: the caller may hand us a session built
+        # without the factory (e.g. the driver's own harness session),
+        # and the ns-timestamp parquet is unreadable without it
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
         # integer div: ns values (~1.7e18) exceed double precision, so a
