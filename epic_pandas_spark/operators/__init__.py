@@ -6,13 +6,29 @@ physical execution; nothing here materializes data on the driver beyond
 tiny aggregates (stratum counts, bin edges).
 """
 
-from epic_pandas_spark.operators.value_counts import value_counts, value_counts_binned
+from epic_pandas_spark.operators.value_counts import (
+    value_counts,
+    value_counts_binned,
+    grouped_histogram,
+)
 from epic_pandas_spark.operators.upsert import upsert
 from epic_pandas_spark.operators.dedup import drop_duplicates_by_key, unique_row_ids
-from epic_pandas_spark.operators.stats import column_stats, weighted_average
+from epic_pandas_spark.operators.stats import column_stats, weighted_average, estimate_size_bytes
 from epic_pandas_spark.operators.sampling import sample_at_most, sample_with_distribution
 from epic_pandas_spark.operators.nulls import fillna, dropna
-from epic_pandas_spark.operators.windows import cumsum, diff, smooth_with_gaussian, split_with_overlap
+from epic_pandas_spark.operators.windows import (
+    cumsum,
+    diff,
+    smooth_with_gaussian,
+    split_with_overlap,
+    even_slices,
+    gaussian_kernel,
+)
+from epic_pandas_spark.operators.pivots import (
+    grouped_value_counts_pivot,
+    collapse_small_categories,
+    topk,
+)
 from epic_pandas_spark.operators.setops import union_all, intersect_keys, symmetric_difference
 from epic_pandas_spark.operators.sparse import dfdiag, coo_density, coo_is_square, coo_transpose
 
@@ -25,4 +41,7 @@ __all__ = [
     "cumsum", "diff", "smooth_with_gaussian", "split_with_overlap",
     "union_all", "intersect_keys", "symmetric_difference",
     "dfdiag", "coo_density", "coo_is_square", "coo_transpose",
+    "grouped_histogram", "even_slices", "gaussian_kernel",
+    "grouped_value_counts_pivot", "collapse_small_categories", "topk",
+    "estimate_size_bytes",
 ]

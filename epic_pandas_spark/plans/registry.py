@@ -1233,3 +1233,64 @@ def q_json_flatten(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.col("p.k")).alias("max_k"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "dedup_clusters",
+    """
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    ), grouped AS (
+      SELECT doc_id, MIN(doc_id) OVER (
+        PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+      ) AS cluster, COUNT(*) OVER (
+        PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+      ) AS sz
+      FROM unioned
+    )
+    SELECT CAST(doc_id AS BIGINT) AS id, CAST(cluster AS BIGINT) AS cluster
+    FROM grouped WHERE sz > 1
+    """,
+)
+def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the exact-duplicate pair graph of the
+    injected-duplicates corpus. The oracle derives the same clusters
+    directly (min id per identical normalized text) — components of a
+    same-text graph are exactly the text groups, which validates the
+    generic iterative CC against a closed form."""
+    from epic_pandas_spark.extensions.dedup import connected_components
+    from epic_pandas_spark.functions.text import fingerprint_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    unioned = docs.unionByName(dups).withColumn("fp", fingerprint_expr(F.col("text")))
+    lhs = unioned.select(F.col("fp"), F.col("doc_id").alias("id_a"))
+    rhs = unioned.select(F.col("fp"), F.col("doc_id").alias("id_b"))
+    pairs = lhs.join(rhs, "fp").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    return connected_components(pairs).select(F.col("id"), F.col("cluster"))
+
+
+@register(
+    "token_count_bpe",
+    """
+    SELECT doc_id,
+           len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]', 0)) AS n_bpe_tokens
+    FROM documents
+    """,
+)
+def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish pre-tokenization count: letter runs / digit runs / single
+    punctuation (the GPT-2-style split, simplified to a portable regex) —
+    one regexp_extract_all expression, identical RE semantics both
+    engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n]"), 0)).alias(
+            "n_bpe_tokens"
+        ),
+    )

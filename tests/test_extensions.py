@@ -73,3 +73,31 @@ def test_decode_image_is_stubbed():
 
     with pytest.raises(NotImplementedError):
         decode_image_batch(pd.Series([b"not an image"]))
+
+
+def test_entropy_udf_matches_expression_pipeline(spark):
+    """The vectorized numpy fast path must agree with the oracle-checked
+    explode/groupBy expression pipeline (ASCII corpus: char == byte)."""
+    from epic_pandas_spark.functions.entropy import shannon_entropy, entropy_udf
+
+    docs = load_table(spark, SF_DIR, "documents").limit(50)
+    expr = {
+        r["doc_id"]: round(r["entropy"], 9)
+        for r in shannon_entropy(docs, "text", by=["doc_id"]).collect()
+    }
+    udf = {
+        r["doc_id"]: round(r["e"], 9)
+        for r in docs.select("doc_id", entropy_udf(F.col("text")).alias("e")).collect()
+    }
+    assert expr == udf
+
+
+def test_connected_components_chain(spark):
+    """A 5-node chain must collapse to one component labeled by its min."""
+    from epic_pandas_spark.extensions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (4, 5), (10, 11)], "id_a long, id_b long"
+    )
+    got = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}

@@ -68,3 +68,14 @@ def test_order_by_key_list(spark):
     df = spark.createDataFrame([("a", 1), ("b", 2), ("c", 3)], "k string, v int")
     out = [r["k"] for r in order_by_key_list(df, ["c", "a"], key="k").collect()]
     assert out == ["c", "a"]
+
+
+def test_binary_file_source(spark, tmp_path):
+    """asnpbytearray analog (numpy.py:75-124): opaque file bytes arrive as
+    a BinaryType content column via the binaryFile source."""
+    raw = tmp_path / "blob.bin"
+    raw.write_bytes(b"\x00\x01\x02payload")
+    df = load(spark, str(raw))
+    row = df.select("content", "length").first()
+    assert bytes(row["content"]) == b"\x00\x01\x02payload"
+    assert row["length"] == 10
