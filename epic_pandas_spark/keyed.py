@@ -163,3 +163,26 @@ def alignable_frame(df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | N
         .crossJoin(mism)
         .select((F.col("u1") & F.col("u2") & F.col("m")).alias("alignable"))
     )
+
+
+def assemble_frame(
+    series: dict[str, DataFrame],
+    key: str | Sequence[str] | None = None,
+    how: str = "outer",
+) -> DataFrame:
+    """Build one frame from multiple keyed (key, value) series by index
+    alignment — `canonize_df_and_cols` (utils.py:726-757). Each input is a
+    2-column frame (key, value); values land under their dict name. The
+    alignment is a chain of equi-joins on the key (outer by default, like
+    pd.concat(axis=1))."""
+    keys = as_keys(key)
+    out = None
+    for name, df in series.items():
+        value_col = [c for c in df.columns if c not in keys]
+        if len(value_col) != 1:
+            raise ValueError(f"series {name!r} must have exactly one value column")
+        renamed = df.select(*keys, F.col(value_col[0]).alias(name))
+        out = renamed if out is None else out.join(renamed, on=keys, how=how)
+    if out is None:
+        raise ValueError("no series given")
+    return out

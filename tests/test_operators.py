@@ -181,3 +181,56 @@ def test_stack_and_coo_roundtrip(spark):
     assert {r["row_key"] for r in t.collect()} == {"c1", "c2"}
     dense = coo_todense(coo).orderBy("row_key").collect()
     assert dense[0]["c1"] == 1.0 and dense[0]["c2"] == 0.0
+
+
+def test_drop_duplicates_keep_last(spark):
+    from epic_pandas_spark.operators import drop_duplicates_by_key
+
+    df = spark.createDataFrame(
+        [(1, 1, "a"), (1, 2, "b"), (2, 1, "c")], "k long, seq long, v string"
+    )
+    out = {r["k"]: r["v"] for r in
+           drop_duplicates_by_key(df, key="k", keep="last", order_by=["seq"]).collect()}
+    assert out == {1: "b", 2: "c"}
+
+
+def test_papply_series_udf(spark):
+    from epic_pandas_spark.parallel import papply_series
+
+    double_it = papply_series(lambda s: s * 2.0, "double")
+    df = spark.createDataFrame([(1.0,), (2.5,)], "v double")
+    assert sorted(r["o"] for r in df.select(double_it("v").alias("o")).collect()) == [2.0, 5.0]
+
+
+def test_assemble_frame_alignment(spark):
+    from epic_pandas_spark.keyed import assemble_frame
+
+    s1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "__key long, value double")
+    s2 = spark.createDataFrame([(2, "x"), (3, "y")], "__key long, value string")
+    out = {r["__key"]: (r["a"], r["b"]) for r in assemble_frame({"a": s1, "b": s2}).collect()}
+    assert out == {1: (10.0, None), 2: (20.0, "x"), 3: (None, "y")}
+
+
+def test_identity_series(spark):
+    from epic_pandas_spark.keyed import identity_series
+
+    df = spark.createDataFrame([(5,), (7,)], "k long")
+    rows = {(r["k"], r["value"]) for r in identity_series(df, key="k").collect()}
+    assert rows == {(5, 5), (7, 7)}
+
+
+def test_even_slices_balanced(spark):
+    from epic_pandas_spark.operators import even_slices
+
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    out = even_slices(df, 3, order_by=["k"]).groupBy("slice_id").count().collect()
+    sizes = sorted(r["count"] for r in out)
+    assert sizes == [3, 3, 4]
+
+
+def test_estimate_size_bytes_positive(spark):
+    from epic_pandas_spark.operators import estimate_size_bytes
+    from epic_pandas_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    assert estimate_size_bytes(load_table(spark, SF_DIR, "lineitem")) > 0
