@@ -1268,9 +1268,14 @@ def q_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.col("doc_id") + F.lit(1000000)
     )
     unioned = docs.unionByName(dups).withColumn("fp", fingerprint_expr(F.col("text")))
-    lhs = unioned.select(F.col("fp"), F.col("doc_id").alias("id_a"))
-    rhs = unioned.select(F.col("fp"), F.col("doc_id").alias("id_b"))
-    pairs = lhs.join(rhs, "fp").filter(F.col("id_a") < F.col("id_b")).select("id_a", "id_b")
+    # star edges (group-min ↔ member), not all-pairs: same components,
+    # linear edge count even for huge duplicate groups
+    mins = unioned.groupBy("fp").agg(F.min("doc_id").alias("id_a"))
+    pairs = (
+        unioned.join(mins, "fp")
+        .filter(F.col("doc_id") != F.col("id_a"))
+        .select("id_a", F.col("doc_id").alias("id_b"))
+    )
     return connected_components(pairs).select(F.col("id"), F.col("cluster"))
 
 

@@ -71,7 +71,8 @@ def df_from_iterable(
     records = list(iterable)  # driver-side by contract; see module docstring
     if not records:
         return spark.createDataFrame([], schema=schema or f"{key_col} string")
-    rdd = spark.sparkContext.parallelize(records, n_partitions or spark.sparkContext.defaultParallelism)
+    n_parts = n_partitions or max(1, min(len(records) // 64, spark.sparkContext.defaultParallelism))
+    rdd = spark.sparkContext.parallelize(records, n_parts)
 
     def process(item):
         if keyfunc is not None:
