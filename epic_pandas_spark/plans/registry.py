@@ -1299,3 +1299,52 @@ def q_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_bpe_tokens"
         ),
     )
+
+
+@register(
+    "corpus_curation",
+    """
+    WITH scored AS (
+      SELECT doc_id, text, lang,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / GREATEST(length(text), 1) AS alpha_ratio,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ), filtered AS (
+      SELECT * FROM scored WHERE n_tokens >= 20 AND alpha_ratio >= 0.7
+    ), deduped AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (
+          PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+          ORDER BY doc_id) AS rn
+        FROM filtered
+      ) WHERE rn = 1
+    )
+    SELECT lang, COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM deduped GROUP BY lang
+    """,
+)
+def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end curation pipeline — the composability showcase: quality
+    filter → exact dedup → per-language token accounting, one lazy plan
+    (filters push into the scan, dedup shuffles on the fingerprint, final
+    agg is map-side partial). This is the shape of a real pretraining-data
+    job at 100 TB."""
+    from epic_pandas_spark.extensions.dedup import exact_dedup
+    from epic_pandas_spark.functions.text import quality_score_exprs
+
+    docs = load_table(spark, sf_dir, "documents")
+    ex = quality_score_exprs(F.col("text"))
+    scored = docs.select(
+        "doc_id", "text", "lang",
+        ex["alpha_ratio"].alias("alpha_ratio"),
+        ex["n_tokens"].alias("n_tokens"),
+    )
+    filtered = scored.filter((F.col("n_tokens") >= 20) & (F.col("alpha_ratio") >= 0.7))
+    deduped = exact_dedup(filtered, "text", "doc_id")
+    return deduped.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+    )

@@ -234,3 +234,52 @@ def test_estimate_size_bytes_positive(spark):
     from tests.conftest import SF_DIR
 
     assert estimate_size_bytes(load_table(spark, SF_DIR, "lineitem")) > 0
+
+
+def test_value_counts_keeps_nulls_when_asked(spark):
+    from epic_pandas_spark.operators import value_counts
+
+    df = spark.createDataFrame([("a",), ("a",), (None,)], "v string")
+    with_nulls = value_counts(df, "v", dropna=False).collect()
+    assert {r["value"]: r["count"] for r in with_nulls} == {"a": 2, None: 1}
+    without = value_counts(df, "v", dropna=True).collect()
+    assert {r["value"]: r["count"] for r in without} == {"a": 2}
+
+
+def test_drop_null_array_elements(spark):
+    from epic_pandas_spark.operators.nulls import drop_null_array_elements
+
+    df = spark.createDataFrame([([1.0, None, float("nan"), 2.0],)], "arr array<double>")
+    out = drop_null_array_elements(df, "arr").first()["arr"]
+    assert out == [1.0, 2.0]
+
+
+def test_upsert_without_broadcast_hint(spark):
+    orig = spark.createDataFrame([(1, "a")], "k long, v string")
+    new = spark.createDataFrame([(1, "A"), (2, "B")], "k long, v string")
+    out = {r["k"]: r["v"] for r in upsert(orig, new, key="k", broadcast_new=False).collect()}
+    assert out == {1: "A", 2: "B"}
+
+
+def test_coo_is_square_true_case(spark):
+    df = spark.createDataFrame(
+        [("a", "b", 1.0), ("b", "a", 2.0)], "row_key string, col_key string, value double"
+    )
+    assert coo_is_square(df).first()["is_square"] is True
+
+
+def test_char_ngrams_expr(spark):
+    from epic_pandas_spark.functions.text import ngrams_expr
+
+    df = spark.createDataFrame([("abcd",)], "t string")
+    grams = df.select(ngrams_expr(F.col("t"), 3).alias("g")).first()["g"]
+    assert grams == ["abc", "bcd"]
+
+
+def test_word_ngrams_short_doc_empty(spark):
+    from epic_pandas_spark.functions.text import word_ngrams_expr
+
+    df = spark.createDataFrame([("one two",), ("a b c d",)], "t string")
+    rows = [r["g"] for r in df.select(word_ngrams_expr(F.col("t"), 3).alias("g")).collect()]
+    assert rows[0] == []
+    assert rows[1] == ["a b c", "b c d"]
