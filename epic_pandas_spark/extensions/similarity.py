@@ -192,3 +192,64 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+) -> DataFrame:
+    """IVF-style approximate top-k: a deterministic centroid codebook
+    (hash-sampled corpus vectors) partitions the corpus into inverted
+    lists by nearest centroid; each query searches only its ``n_probe``
+    nearest lists. Scanned fraction ≈ n_probe/n_centroids — the coarse
+    quantization scale path, trading recall for a bounded scan.
+
+    All stages are DataFrame ops: the codebook is broadcast, list
+    assignment is an argmax window over corpus×centroid scores, probing is
+    an equi-join on the list id.
+    """
+    from epic_pandas_spark.functions.vectors import dot_expr, norm_expr
+
+    # deterministic codebook: the n_centroids corpus vectors with the
+    # smallest xxhash64(id) — stable, seedless, no kmeans iterations
+    cents = (
+        corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+        .orderBy(F.xxhash64(F.col("cid")).asc())
+        .limit(n_centroids)
+    )
+
+    def assign(df, ident, vec, n_lists):
+        scored = df.crossJoin(F.broadcast(cents)).withColumn(
+            "__sim", dot_expr(F.col(vec), F.col("cv")) / (norm_expr(F.col(vec)) * norm_expr(F.col("cv")))
+        )
+        w = Window.partitionBy(ident).orderBy(F.col("__sim").desc(), F.col("cid").asc())
+        return (
+            scored.withColumn("__rk", F.row_number().over(w))
+            .filter(F.col("__rk") <= n_lists)
+            .select(ident, vec, F.col("cid").alias("list_id"))
+        )
+
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv"))
+    corpus_lists = assign(c, id_col, "__cv", 1)
+    query_probes = assign(q, "query_id", "__qv", n_probe)
+
+    paired = corpus_lists.join(query_probes, on="list_id").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+    scored = paired.withColumn(
+        "cosine",
+        dot_expr(F.col("__qv"), F.col("__cv"))
+        / (norm_expr(F.col("__qv")) * norm_expr(F.col("__cv"))),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", id_col, "cosine")
+    )

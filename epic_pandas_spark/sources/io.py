@@ -114,3 +114,22 @@ def autoload(*arg_names: str):
         return wrapper
 
     return deco
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table: later
+    equi-joins / aggregations on ``bucket_cols`` between tables bucketed
+    the same way run WITHOUT a shuffle — the co-located join strategy for
+    repeatedly-joined 100 TB fact tables. (Bucketing requires the table
+    catalog, hence saveAsTable, not path writes.)"""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -101,3 +101,25 @@ def test_connected_components_chain(spark):
     )
     got = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_ivf_knn_recall_vs_bruteforce(spark):
+    from epic_pandas_spark.extensions.similarity import ivf_knn
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    # probing all lists == exhaustive search == exact recall
+    full = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_knn(emb, queries, n_centroids=8, n_probe=8, k=5).collect()
+    }
+    assert full == exact
+    # probing 4 of 8 lists: bounded scan, partial but substantial recall
+    part = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_knn(emb, queries, n_centroids=8, n_probe=4, k=5).collect()
+    }
+    assert len(part & exact) / len(exact) >= 0.5

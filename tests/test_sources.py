@@ -79,3 +79,44 @@ def test_binary_file_source(spark, tmp_path):
     row = df.select("content", "length").first()
     assert bytes(row["content"]) == b"\x00\x01\x02payload"
     assert row["length"] == 10
+
+
+def test_bucketed_join_has_no_shuffle(spark, tmp_path):
+    """Both sides bucketed on the join key -> the physical plan contains
+    no Exchange: the co-located join contract at scale."""
+    import io, contextlib
+
+    from epic_pandas_spark.sources.io import write_bucketed
+
+    import shutil
+
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    warehouse = spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+    for t in ("b_orders", "b_lineitem"):
+        shutil.rmtree(f"{warehouse}/{t}", ignore_errors=True)
+    from epic_pandas_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders").select("o_orderkey", "o_totalprice")
+    li = load_table(spark, SF_DIR, "lineitem").select("l_orderkey", "l_quantity")
+    write_bucketed(orders, "b_orders", ["o_orderkey"], n_buckets=4)
+    write_bucketed(li, "b_lineitem", ["l_orderkey"], n_buckets=4)
+    # disable broadcast so the planner must choose between shuffle and
+    # bucket-co-located SMJ — the scale scenario (neither side broadcastable)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_lineitem").join(
+            spark.table("b_orders"),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            joined.explain("formatted")
+        plan = buf.getvalue()
+        assert "Exchange" not in plan, plan
+        assert "Bucketed: true" in plan, plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
