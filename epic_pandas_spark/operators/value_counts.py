@@ -16,12 +16,17 @@ from pyspark.sql import DataFrame, functions as F
 
 
 def _with_fraction(counts: DataFrame, count_col: str = "count") -> DataFrame:
-    total = counts.agg(F.sum(count_col).alias("__total"))
-    return (
-        counts.crossJoin(F.broadcast(total))
-        .withColumn("fraction", F.col(count_col) / F.col("__total"))
-        .drop("__total")
-    )
+    """fraction = count / Σcount via a single-partition window over the
+    ALREADY-AGGREGATED histogram. A broadcast-total cross join would
+    duplicate the aggregation branch (two scans of the base table at
+    100 TB); this shape scans once and the single-partition exchange moves
+    only |distinct values| rows — small by the nature of value_counts.
+    (An empty-partition window over raw data would be wrong; over the
+    aggregate it is the cheap option.)"""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy()
+    return counts.withColumn("fraction", F.col(count_col) / F.sum(count_col).over(w))
 
 
 def value_counts(
@@ -43,6 +48,10 @@ def value_counts(
     if dropna:
         src = src.filter(F.col("value").isNotNull())
     counts = src.groupBy("value").agg(F.count(F.lit(1)).alias("count"))
+    if total:
+        # the TOTAL branch references counts twice; a lazy local checkpoint
+        # materializes the (tiny) histogram once instead of re-scanning
+        counts = counts.localCheckpoint(eager=False)
     out = _with_fraction(counts)
     if total:
         grand = out.agg(

@@ -1348,3 +1348,33 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
     )
+
+
+@register("ivf_knn", None)  # approximate by design → rows-only check
+def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF coarse-quantization ANN (extensions.similarity.ivf_knn):
+    recall-vs-bruteforce properties are unit-tested; full-probe equals
+    exact search."""
+    from epic_pandas_spark.extensions.similarity import ivf_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_knn(emb, emb.filter(F.col("vec_id") < 5), n_centroids=8, n_probe=4, k=5)
+
+
+@register(
+    "value_counts_total",
+    """
+    WITH vc AS (
+      SELECT c_mktsegment AS value, COUNT(*) AS count FROM customer
+      WHERE c_mktsegment IS NOT NULL GROUP BY c_mktsegment
+    ), tot AS (SELECT CAST(SUM(count) AS BIGINT) AS t FROM vc)
+    SELECT value, count, ROUND(count / (SELECT t FROM tot), 6) AS fraction FROM vc
+    UNION ALL
+    SELECT 'TOTAL', (SELECT t FROM tot), 1.0
+    """,
+)
+def q_value_counts_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """value_counts with the TOTAL row (utils.py:316-318)."""
+    cust = load_table(spark, sf_dir, "customer")
+    out = value_counts(cust, "c_mktsegment", total=True)
+    return out.select("value", "count", F.round("fraction", 6).alias("fraction"))
