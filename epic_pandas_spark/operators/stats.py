@@ -28,26 +28,68 @@ def weighted_average(df: DataFrame, data_col: str, weight_col: str, out_col: str
     )
 
 
-def column_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFrame:
+def column_stats(df: DataFrame, columns: Sequence[str] | None = None, strategy: str = "melt") -> DataFrame:
     """Profile each column: (column, dtype, n_unique, n_null, top_value,
     top_count, second_value). Output is |columns| rows.
 
-    One full-table pass computes n_unique/n_null for ALL columns fused;
-    top-2 per column needs per-column value counts — each is its own
-    hash-agg over the scan, but results are tiny and the scans share the
-    cached input when the caller persists. All values stringified so the
-    profile has one schema regardless of column types (the reference keeps
-    python objects; utils.py:794-801).
+    strategy='melt' (default, the wide-table scale path): ONE scan —
+    unpivot to (column, value) rows, one (column, value) hash-agg, then
+    every statistic (n_unique, n_null, top-2) derives from that tiny
+    aggregated table via windows. Scan count is independent of |columns|.
+
+    strategy='per-column': one fused pass for n_unique/n_null plus one
+    column-pruned top-2 agg per column — |columns|+1 scans, but no
+    row×column explosion; better when rows are huge and columns few.
+
+    Values are stringified so the profile has one schema regardless of
+    column types (the reference keeps python objects; utils.py:794-801).
     """
     cols = list(columns) if columns is not None else list(df.columns)
     dtypes = dict(df.dtypes)
+    if strategy == "melt":
+        return _column_stats_melt(df, cols, dtypes)
+    if strategy == "per-column":
+        return _column_stats_per_column(df, cols, dtypes)
+    raise ValueError(f"unknown strategy {strategy!r}")
 
+
+def _column_stats_melt(df: DataFrame, cols, dtypes) -> DataFrame:
+    n = len(cols)
+    args = ", ".join(f"'{c}', CAST(`{c}` AS STRING)" for c in cols)
+    melted = df.selectExpr(f"stack({n}, {args}) as (column, v)")
+    counts = melted.groupBy("column", "v").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = counts.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("column").orderBy(
+                F.col("v").isNull().cast("int").asc(),  # nulls rank last
+                F.col("cnt").desc(),
+                F.col("v").asc(),
+            )
+        ),
+    )
+    per_col = ranked.groupBy("column").agg(
+        F.sum(F.when(F.col("v").isNotNull(), 1).otherwise(0)).alias("n_unique"),
+        F.coalesce(F.sum(F.when(F.col("v").isNull(), F.col("cnt"))), F.lit(0)).alias("n_null"),
+        F.max(F.when((F.col("rn") == 1) & F.col("v").isNotNull(), F.col("v"))).alias("top_value"),
+        F.max(F.when((F.col("rn") == 1) & F.col("v").isNotNull(), F.col("cnt"))).alias("top_count"),
+        F.max(F.when((F.col("rn") == 2) & F.col("v").isNotNull(), F.col("v"))).alias("second_value"),
+    )
+    spark = df.sparkSession
+    dtype_df = F.broadcast(
+        spark.createDataFrame([(c, dtypes[c]) for c in cols], "column string, dtype string")
+    )
+    return per_col.join(dtype_df, "column").select(
+        "column", "dtype", "n_unique", "n_null", "top_value", "top_count", "second_value"
+    )
+
+
+def _column_stats_per_column(df: DataFrame, cols, dtypes) -> DataFrame:
     base = df.agg(
         *[F.count_distinct(F.col(c)).alias(f"u_{c}") for c in cols],
         *[F.sum(F.col(c).isNull().cast("long")).alias(f"n_{c}") for c in cols],
     )
 
-    spark = df.sparkSession
     profiles = []
     for c in cols:
         top2 = (
@@ -69,8 +111,8 @@ def column_stats(df: DataFrame, columns: Sequence[str] | None = None) -> DataFra
         )
         profiles.append(prof)
     tops = profiles[0]
-    for p in profiles[1:]:
-        tops = tops.unionByName(p)
+    for p_ in profiles[1:]:
+        tops = tops.unionByName(p_)
 
     uniq_nulls = base.selectExpr(
         "stack({n}, {args}) as (column, n_unique, n_null)".format(

@@ -283,3 +283,24 @@ def test_word_ngrams_short_doc_empty(spark):
     rows = [r["g"] for r in df.select(word_ngrams_expr(F.col("t"), 3).alias("g")).collect()]
     assert rows[0] == []
     assert rows[1] == ["a b c", "b c d"]
+
+
+def test_column_stats_strategies_agree(spark):
+    from epic_pandas_spark.operators import column_stats
+    from epic_pandas_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    cust = load_table(spark, SF_DIR, "customer")
+    cols = ["c_mktsegment", "c_nationkey"]
+    a = {r["column"]: tuple(r) for r in column_stats(cust, cols, strategy="melt").collect()}
+    b = {r["column"]: tuple(r) for r in column_stats(cust, cols, strategy="per-column").collect()}
+    assert a == b
+
+
+def test_column_stats_counts_nulls(spark):
+    from epic_pandas_spark.operators import column_stats
+
+    df = spark.createDataFrame([("a",), ("a",), (None,), ("b",)], "v string")
+    row = column_stats(df, ["v"]).first()
+    assert row["n_unique"] == 2 and row["n_null"] == 1
+    assert row["top_value"] == "a" and row["top_count"] == 2 and row["second_value"] == "b"
