@@ -33,7 +33,7 @@ from epic_pandas_spark.operators import (
     smooth_with_gaussian,
     split_with_overlap,
 )
-from epic_pandas_spark.operators.dedup import n_distinct_rows
+from epic_pandas_spark.operators.dedup import n_distinct_rows  # noqa: F401 (public registry surface)
 from epic_pandas_spark.session import load_table
 
 # name -> (spark_fn(spark, sf_dir) -> DataFrame, oracle_sql | None)

@@ -97,3 +97,26 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "ap
     )
     q.processAllAvailable()
     return q
+
+
+def stream_to_parquet_exactly_once(
+    stream_df: DataFrame,
+    out_dir: str,
+    checkpoint_dir: str,
+    transform=None,
+):
+    """foreachBatch sink: per-epoch idempotent parquet writes (partitioned
+    by epoch id) + the streaming checkpoint give end-to-end exactly-once
+    for replayable sources — the production sink pattern when the target
+    lacks native transactional streaming support."""
+
+    def write_epoch(batch_df: DataFrame, epoch_id: int) -> None:
+        out = transform(batch_df) if transform is not None else batch_df
+        out.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(write_epoch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -304,3 +304,24 @@ def test_column_stats_counts_nulls(spark):
     row = column_stats(df, ["v"]).first()
     assert row["n_unique"] == 2 and row["n_null"] == 1
     assert row["top_value"] == "a" and row["top_count"] == 2 and row["second_value"] == "b"
+
+
+def test_salted_agg_matches_plain_groupby(spark):
+    from epic_pandas_spark.operators.skew import salted_agg
+    from epic_pandas_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    salted = {
+        r["l_returnflag"]: (r["n"], round(r["qty"], 6))
+        for r in salted_agg(
+            li, ["l_returnflag"], {"n": ("*", "count"), "qty": ("l_quantity", "sum")}
+        ).collect()
+    }
+    plain = {
+        r["l_returnflag"]: (r["n"], round(r["qty"], 6))
+        for r in li.groupBy("l_returnflag")
+        .agg(F.count("*").alias("n"), F.sum("l_quantity").alias("qty"))
+        .collect()
+    }
+    assert salted == plain

@@ -118,3 +118,19 @@ def test_stateful_running_totals_across_batches(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_foreach_batch_parquet_sink(spark, tmp_path):
+    from epic_pandas_spark.streaming.windows import stream_to_parquet_exactly_once
+
+    batch = load_table(spark, SF_DIR, "events").select("event_id", "value")
+    src = str(tmp_path / "src")
+    batch.repartition(2).write.parquet(src)
+    stream = spark.readStream.schema(batch.schema).parquet(src)
+    q = stream_to_parquet_exactly_once(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.processAllAvailable()
+    q.stop()
+    written = spark.read.parquet(str(tmp_path / "out"))
+    assert written.select("event_id").distinct().count() == batch.count()
