@@ -344,7 +344,9 @@ def q_topk_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
-    return column_stats(cust, ["c_mktsegment"]).drop("dtype")
+    # single-column profile: the per-column strategy avoids melt's
+    # row-explosion (melt wins only on wide tables)
+    return column_stats(cust, ["c_mktsegment"], strategy="per-column").drop("dtype")
 
 
 # ---------------------------------------------------------------------------
@@ -1378,3 +1380,35 @@ def q_value_counts_total(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     out = value_counts(cust, "c_mktsegment", total=True)
     return out.select("value", "count", F.round("fraction", 6).alias("fraction"))
+
+
+@register(
+    "tpch_q6",
+    """
+    SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * CAST(l_discount AS DECIMAL(30,4))) AS DOUBLE), 6) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01'
+      AND l_shipdate < TIMESTAMP '1995-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+    """,
+)
+def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 shape: every predicate pushes to the parquet scan, then a
+    single global aggregate — the pure scan-efficiency benchmark."""
+    li = load_table(spark, sf_dir, "lineitem")
+    filtered = li.filter(
+        (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05)
+        & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24)
+    )
+    return filtered.agg(
+        F.round(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,4)") * F.col("l_discount").cast("decimal(30,4)")).cast("double"),
+            6,
+        ).alias("revenue"),
+        F.count(F.lit(1)).alias("n"),
+    )

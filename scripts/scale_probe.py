@@ -1,0 +1,81 @@
+"""Scale-up probe: replicate the sf0.1 fact tables N× (key-shifted) into a
+scratch dir and time the headline queries at 1× and N×, printing a JSON
+scaling report. This is the evidence loop behind the "would this survive
+100×?" design notes in README.md.
+
+Usage: python scripts/scale_probe.py [factor] [scratch_dir]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from pyspark.sql import functions as F
+
+from epic_pandas_spark.session import get_spark, load_table
+
+PROBE_QUERIES = [
+    "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
+    "value_counts", "topk_customers", "cumsum_diff",
+    "drop_duplicates_keep_first", "sessionize",
+]
+
+
+def build(spark, src: str, dst: str, factor: int) -> None:
+    shifted = {
+        "lineitem": ["l_orderkey"],
+        "orders": ["o_orderkey", "o_custkey"],
+        "events": ["event_id", "user_id"],
+    }
+    for t, key_cols in shifted.items():
+        df = load_table(spark, src, t)
+        parts = []
+        for i in range(factor):
+            d = df
+            for k in key_cols:
+                d = d.withColumn(k, F.col(k) + F.lit(i * 10_000_000))
+            parts.append(d)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+    for t in ["customer", "supplier", "part", "nation", "region", "documents", "embeddings"]:
+        load_table(spark, src, t).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
+
+
+def time_queries(spark, sf_dir: str) -> dict[str, float]:
+    from epic_pandas_spark.plans.registry import REGISTRY
+
+    out = {}
+    for name in PROBE_QUERIES:
+        fn, _ = REGISTRY[name]
+        t0 = time.perf_counter()
+        fn(spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    return out
+
+
+def main() -> None:
+    factor = int(sys.argv[1]) if len(sys.argv) > 1 else 10
+    scratch = sys.argv[2] if len(sys.argv) > 2 else "/tmp/scale_probe"
+    src = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark(app_name="scale_probe")
+    build(spark, src, scratch, factor)
+    base = time_queries(spark, src)
+    big = time_queries(spark, scratch)
+    report = {
+        "factor": factor,
+        "base_sec": base,
+        "scaled_sec": big,
+        "ratio": {k: round(big[k] / base[k], 2) if base[k] else None for k in base},
+    }
+    print(json.dumps(report))
+
+
+if __name__ == "__main__":
+    main()

@@ -43,3 +43,39 @@ def test_gaussian_kernel_normalized_symmetric(sigma, truncate):
         assert abs(a - b) < 1e-12
     mid = len(k) // 2
     assert k[mid] == max(k)
+
+
+def test_word_ngrams_match_python_reference(spark):
+    """Spark shingle expression vs a trivially-correct Python reference,
+    over a grid of generated word sequences (one Spark job for all)."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from epic_pandas_spark.functions.text import word_ngrams_expr
+
+    rng = random.Random(42)
+    vocab = ["aa", "b", "ccc", "dd", "e"]
+    cases = ["", "one", "x y", "  padded   spaces  "] + [
+        " ".join(rng.choices(vocab, k=rng.randint(1, 12))) for _ in range(30)
+    ]
+
+    def py_ngrams(text, n=3):
+        words = " ".join(text.lower().split()).split(" ") if text.strip() else [""]
+        if text.strip() == "":
+            words = [""]
+        grams = [" ".join(words[i : i + n]) for i in range(len(words) - n + 1)]
+        seen, out = set(), []
+        for g in grams:
+            if g not in seen:
+                seen.add(g)
+                out.append(g)
+        return out
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i long, t string")
+    got = {
+        r["i"]: r["g"]
+        for r in df.select("i", word_ngrams_expr(F.col("t"), 3).alias("g")).collect()
+    }
+    for i, t in enumerate(cases):
+        assert got[i] == py_ngrams(t), (t, got[i], py_ngrams(t))
