@@ -1,0 +1,117 @@
+"""Temporal joins Spark has no native operator for — as-of join and
+range (interval) join — built as compositions of union/window and
+bucketized equi-joins (the preference order of SURVEY.md §4.3: composition
+first, never a driver-side loop).
+
+Scale shapes:
+- as-of: ONE shuffle on the key; the merge is a per-key ordered window
+  (last-non-null carry-forward), which streams — no per-group pandas, no
+  nested loop. This is the classic distributed merge_asof.
+- range join: the right side's intervals explode to one row per covered
+  time bucket, then an equi-join on the bucket prunes the cross product to
+  O(|pairs actually close|); a final exact predicate filters bucket
+  false-positives. Bucket width trades replication (long intervals) vs
+  join selectivity — set it near the median interval length.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    ts_col: str = "ts",
+    right_ts_col: str | None = None,
+    value_cols: list[str] | None = None,
+    tolerance_seconds: float | None = None,
+) -> DataFrame:
+    """For each left row, attach the most recent right row (per key) with
+    right.ts <= left.ts — pandas `merge_asof` semantics (backward,
+    allow_exact_matches). Unmatched left rows keep nulls; ``tolerance``
+    nulls out matches older than the given window.
+
+    Plan: tag and union both sides, sort within each key partition by
+    (ts, side) with right rows first on ties, then carry the last non-null
+    right payload forward with an ignorenulls last() window.
+    """
+    rts = right_ts_col or ts_col
+    vals = value_cols if value_cols is not None else [c for c in right.columns if c not in (key, rts)]
+
+    lhs = left.withColumn("__side", F.lit(1))
+    for c in vals:
+        if c in left.columns:
+            raise ValueError(f"value column {c!r} collides with a left column")
+        lhs = lhs.withColumn(f"__r_{c}", F.lit(None).cast(dict(right.dtypes)[c]))
+    lhs = lhs.withColumn("__rts", F.lit(None).cast("timestamp"))
+
+    rhs = right.select(
+        F.col(key),
+        F.col(rts).alias(ts_col),
+        F.lit(0).alias("__side"),
+        *[F.col(c).alias(f"__r_{c}") for c in vals],
+        F.col(rts).alias("__rts"),
+    )
+    for c in left.columns:
+        if c not in (key, ts_col):
+            rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
+    unioned = lhs.unionByName(rhs.select(*lhs.columns))
+
+    # right rows sort BEFORE left rows at the same ts => exact matches allowed
+    w = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    carried = unioned.select(
+        *unioned.columns,
+        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in vals],
+        F.last("__rts", ignorenulls=True).over(w).alias("__mts"),
+    )
+    out = carried.filter(F.col("__side") == 1)
+    within: Column = F.lit(True)
+    if tolerance_seconds is not None:
+        within = (
+            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__mts"))
+        ) <= int(tolerance_seconds * 1_000_000)
+    keep_left = [c for c in left.columns]
+    return out.select(
+        *keep_left,
+        *[F.when(within, F.col(f"__m_{c}")).alias(c) for c in vals],
+        F.when(within, F.col("__mts")).alias("matched_ts"),
+    )
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int = 86400,
+    how: str = "inner",
+) -> DataFrame:
+    """Join left rows to right intervals containing them
+    (start <= left_ts <= end) via time-bucket pruning: intervals explode
+    to their covered buckets, the fact side computes one bucket, and the
+    equi-join on the bucket replaces the quadratic theta-join; the exact
+    containment filter runs on the pruned pairs only."""
+    b = F.lit(bucket_seconds * 1_000_000)
+
+    def us(col: str):
+        # interval arithmetic yields TIMESTAMP_NTZ, which unix_micros
+        # rejects; normalize (session TZ is pinned UTC so this is lossless)
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    lb = (us(left_ts) / b).cast("long").alias("__bucket")
+    rb_start = (us(start_col) / b).cast("long")
+    rb_end = (us(end_col) / b).cast("long")
+    exploded = right.select(
+        *right.columns, F.explode(F.sequence(rb_start, rb_end)).alias("__bucket")
+    )
+    joined = left.withColumn("__bucket", lb).join(exploded, on="__bucket", how=how)
+    return joined.filter(
+        (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) <= F.col(end_col))
+    ).drop("__bucket")

@@ -1412,3 +1412,85 @@ def q_tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("revenue"),
         F.count(F.lit(1)).alias("n"),
     )
+
+
+@register(
+    "asof_join",
+    """
+    WITH marks AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    )
+    SELECT e.event_id, e.user_id, e.ts, m.purchase_value, m.ts AS matched_ts
+    FROM events e ASOF LEFT JOIN marks m
+      ON e.user_id = m.user_id AND e.ts >= m.ts
+    """,
+)
+def q_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join (pandas merge_asof semantics): every event picks up the
+    user's most recent purchase value. Spark lacks the operator; this is
+    the union+carry-forward-window composition (operators.temporal) —
+    one shuffle on the key. The oracle is DuckDB's native ASOF JOIN."""
+    from epic_pandas_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    marks = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(left, marks, key="user_id", ts_col="ts", value_cols=["purchase_value"])
+
+
+@register(
+    "range_join",
+    """
+    WITH iv AS (
+      SELECT o_orderkey, o_orderdate AS start_ts,
+             o_orderdate + INTERVAL 3 DAY AS end_ts
+      FROM orders WHERE o_orderkey % 97 = 0
+    )
+    SELECT o_orderkey, COUNT(*) AS n
+    FROM iv JOIN lineitem ON l_shipdate BETWEEN start_ts AND end_ts
+    GROUP BY o_orderkey
+    """,
+)
+def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval containment join via time-bucket pruning
+    (operators.temporal.range_join): lineitem shipments falling inside
+    3-day windows around sampled order dates. The oracle runs the plain
+    theta-join; the Spark plan is the bucketized equi-join."""
+    from epic_pandas_spark.operators.temporal import range_join
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem").select("l_shipdate")
+    iv = orders.filter(F.col("o_orderkey") % 97 == 0).select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("start_ts"),
+        F.expr("o_orderdate + INTERVAL 3 DAY").alias("end_ts"),
+    )
+    joined = range_join(li, iv, left_ts="l_shipdate", start_col="start_ts", end_col="end_ts")
+    return joined.groupBy("o_orderkey").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "quantiles",
+    """
+    SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS q50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS q75
+    FROM lineitem
+    """,
+)
+def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact linear-interpolated quantiles (F.percentile == DuckDB
+    quantile_cont). `percentile_approx` is the constant-memory variant at
+    scale; the exact form is oracle-comparable."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
+    return li.agg(
+        F.round(p[0], 6).alias("q25"),
+        F.round(p[1], 6).alias("q50"),
+        F.round(p[2], 6).alias("q75"),
+    )

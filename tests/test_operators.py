@@ -325,3 +325,42 @@ def test_salted_agg_matches_plain_groupby(spark):
         .collect()
     }
     assert salted == plain
+
+
+def test_asof_join_tolerance_and_unmatched(spark):
+    from epic_pandas_spark.operators.temporal import asof_join
+
+    left = spark.createDataFrame(
+        [(1, "2024-01-01 10:00:00"), (1, "2024-01-01 12:00:00"), (2, "2024-01-01 10:00:00")],
+        "k long, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    right = spark.createDataFrame(
+        [(1, "2024-01-01 09:30:00", 5.0)], "k long, ts string, px double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    out = {
+        (r["k"], str(r["ts"])): r["px"]
+        for r in asof_join(left, right, key="k", value_cols=["px"]).collect()
+    }
+    assert out[(1, "2024-01-01 10:00:00")] == 5.0
+    assert out[(1, "2024-01-01 12:00:00")] == 5.0  # carried forward
+    assert out[(2, "2024-01-01 10:00:00")] is None  # no right rows for key 2
+
+    tight = {
+        (r["k"], str(r["ts"])): r["px"]
+        for r in asof_join(left, right, key="k", value_cols=["px"], tolerance_seconds=3600).collect()
+    }
+    assert tight[(1, "2024-01-01 10:00:00")] == 5.0
+    assert tight[(1, "2024-01-01 12:00:00")] is None  # older than tolerance
+
+
+def test_range_join_bucket_pruning_correct(spark):
+    from epic_pandas_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(i, f"2024-01-0{d} 12:00:00") for i, d in enumerate([1, 2, 5])], "i long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [(100, "2024-01-01 00:00:00", "2024-01-03 00:00:00")], "iv long, s string, e string"
+    ).select("iv", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
+    out = {r["i"] for r in range_join(left, iv, "ts", "s", "e").collect()}
+    assert out == {0, 1}
