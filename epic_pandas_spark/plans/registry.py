@@ -1494,3 +1494,34 @@ def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p[1], 6).alias("q50"),
         F.round(p[2], 6).alias("q75"),
     )
+
+
+@register(
+    "rollup_revenue",
+    """
+    SELECT COALESCE(l_returnflag, '__ALL__') AS l_returnflag,
+           COALESCE(l_linestatus, '__ALL__') AS l_linestatus,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS revenue,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical totals via ROLLUP — grouping-sets machinery the
+    reference can't express (single-node pandas has no grouping sets;
+    SURVEY.md §2.4 'not present'); Catalyst expands it into one pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(F.col("l_extendedprice").cast("decimal(30,4)")).cast("double").alias("revenue"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .select(
+            F.coalesce("l_returnflag", F.lit("__ALL__")).alias("l_returnflag"),
+            F.coalesce("l_linestatus", F.lit("__ALL__")).alias("l_linestatus"),
+            "revenue",
+            "n",
+        )
+    )
