@@ -51,8 +51,13 @@ def sample_at_most(
         raise ValueError("exactly one of n / frac")
     u = _rand_col(df, seed)
     if frac is not None:
+        # pandas frac-sampling returns EXACTLY round(frac*len) rows
+        # (utils.py:557-608 delegates to DataFrame.sample) — so resolve to
+        # the exact-n path; the count is one aggregate job
+        if weights is not None:
+            raise ValueError("weights require n=, matching the exact-n path")
         frac = min(frac, 1.0)
-        return df.filter(u < F.lit(frac))
+        n = int(round(frac * df.count()))
     if weights is None:
         key = u
     else:

@@ -364,3 +364,11 @@ def test_range_join_bucket_pruning_correct(spark):
     ).select("iv", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
     out = {r["i"] for r in range_join(left, iv, "ts", "s", "e").collect()}
     assert out == {0, 1}
+
+
+def test_sample_frac_exact_count(spark):
+    df = spark.createDataFrame([(i,) for i in range(10)], "k long")
+    assert sample_at_most(df, frac=0.33, seed=3).count() == 3  # round(3.3)
+    assert sample_at_most(df, frac=0.5, seed=3).count() == 5
+    with pytest.raises(ValueError, match="weights"):
+        sample_at_most(df.withColumn("w", F.lit(1.0)), frac=0.5, weights="w")
