@@ -1525,3 +1525,78 @@ def q_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n",
         )
     )
+
+
+@register(
+    "doc_chunking",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ), starts AS (
+      SELECT doc_id, len(w) AS n, unnest(generate_series(1, len(w), 40)) AS s FROM toks
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_chunks
+    FROM starts WHERE s + 49 <= n OR s = 1
+    GROUP BY doc_id
+    """,
+)
+def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking for training data: split each doc's token
+    sequence into 50-token windows with 10-token overlap (stride 40),
+    keeping partial windows only when they are the document's only chunk.
+    Reuses split_with_overlap on the token array — chunking IS the
+    strided-segmentation operator at token granularity."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.split(F.regexp_replace(F.lower(F.trim("text")), r"\s+", " "), " ").alias("tokens"),
+    )
+    chunks = split_with_overlap(toks, "tokens", length=50, overlap=10, partials=False)
+    full = chunks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_chunks"))
+    # docs shorter than one window contribute their single partial chunk
+    singles = (
+        toks.filter(F.size("tokens") < 50)
+        .select("doc_id", F.lit(1).cast("long").alias("n_chunks"))
+    )
+    return full.unionByName(singles)
+
+
+@register(
+    "sequence_packing",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             CASE WHEN length(trim(text)) = 0 THEN 0
+                  ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS bin_id
+      FROM toks
+    )
+    SELECT bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY bin_id
+    """,
+)
+def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy contiguous sequence packing: documents (in stable doc_id
+    order) are packed into 512-token training bins via a running token
+    total — bin id = floor(preceding-total / budget). One window pass; the
+    streaming-friendly packing used for pretraining batch assembly.
+    NOTE: the global ordered window is the semantic spec; at 100 TB the
+    same math runs per shard (partitionBy(shard)) since packing is only
+    required within a shard."""
+    from epic_pandas_spark.functions.text import token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", token_count_expr(F.col("text")).cast("long").alias("n_tokens"))
+    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
+    packed = toks.withColumn(
+        "bin_id",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)).cast("long"),
+    )
+    return packed.groupBy("bin_id").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("bin_tokens"),
+    )
