@@ -1,0 +1,89 @@
+"""Distributed k-means (Lloyd's) over embedding columns — centroid
+training for IVF codebooks and corpus clustering.
+
+Scale shape per iteration: centroids (k×dim doubles) broadcast to
+executors; assignment is a per-row argmin over the broadcast codebook
+(pure expressions); the centroid update is ONE hash-aggregate of per-
+dimension sums via posexplode — shuffle payload k×dim partials per task,
+independent of corpus size. Centroids sync through the driver (k×dim
+values), exactly like MLlib's implementation."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _sq_dist_expr(vec, centroid: list[float]):
+    c = F.array(*[F.lit(float(x)) for x in centroid])
+    return F.aggregate(
+        F.zip_with(vec, c, lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def assign_clusters(df: DataFrame, centroids: list[list[float]], vec_col: str = "embedding") -> DataFrame:
+    """Append (cluster, sq_dist) = nearest centroid by squared euclidean.
+    Expression-only argmin over the broadcast codebook."""
+    vec = F.col(vec_col).cast("array<double>")
+    dists = [_sq_dist_expr(vec, c) for c in centroids]
+    best_d = F.least(*dists) if len(dists) > 1 else dists[0]
+    cluster = F.lit(0)
+    for i in range(len(dists) - 1, -1, -1):
+        cluster = F.when(dists[i] == best_d, F.lit(i)).otherwise(cluster)
+    return df.withColumn("cluster", cluster).withColumn("sq_dist", best_d)
+
+
+def kmeans_fit(
+    df: DataFrame,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    max_iterations: int = 10,
+    tol: float = 1e-6,
+) -> tuple[list[list[float]], float]:
+    """Lloyd's algorithm; returns (centroids, inertia).
+
+    Init: the k corpus vectors with smallest xxhash64(id) — deterministic,
+    seedless. Each iteration = one assignment pass + one posexplode
+    aggregate for the new means + a k×dim driver collect."""
+    init_rows = (
+        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+        .orderBy(F.xxhash64(F.col(id_col)).asc())
+        .limit(k)
+        .collect()
+    )
+    centroids = [list(r["v"]) for r in init_rows]
+    prev_inertia = math.inf
+    inertia = math.inf
+    for _ in range(max_iterations):
+        assigned = assign_clusters(df, centroids, vec_col)
+        sums = (
+            assigned.select(
+                "cluster",
+                "sq_dist",
+                F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
+            )
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        )
+        stats = (
+            sums.groupBy("cluster")
+            .agg(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("pos"), (F.col("s") / F.col("n")).alias("m")))
+                ).alias("dims"),
+            )
+            .collect()
+        )
+        inertia = assigned.agg(F.sum("sq_dist")).first()[0]
+        new_centroids = list(centroids)
+        for r in stats:
+            new_centroids[r["cluster"]] = [d["m"] for d in r["dims"]]
+        centroids = new_centroids
+        if prev_inertia - inertia < tol * max(abs(prev_inertia), 1.0):
+            break
+        prev_inertia = inertia
+    return centroids, float(inertia)

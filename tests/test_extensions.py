@@ -123,3 +123,29 @@ def test_ivf_knn_recall_vs_bruteforce(spark):
         for r in ivf_knn(emb, queries, n_centroids=8, n_probe=4, k=5).collect()
     }
     assert len(part & exact) / len(exact) >= 0.5
+
+
+def test_kmeans_separates_obvious_clusters(spark):
+    from epic_pandas_spark.extensions.clustering import kmeans_fit, assign_clusters
+
+    rows = [(i, [10.0 + (i % 3) * 0.1, 10.0]) for i in range(20)] + [
+        (100 + i, [-10.0, -10.0 - (i % 3) * 0.1]) for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    centroids, inertia = kmeans_fit(df, k=2, max_iterations=5)
+    assigned = assign_clusters(df, centroids)
+    groups = {
+        r["cluster"]: r["n"]
+        for r in assigned.groupBy("cluster").agg(F.count("*").alias("n")).collect()
+    }
+    assert sorted(groups.values()) == [20, 20]
+    assert inertia < 1.0  # tight clusters -> tiny within-cluster variance
+
+
+def test_kmeans_inertia_decreases(spark):
+    from epic_pandas_spark.extensions.clustering import kmeans_fit
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(200)
+    _, i1 = kmeans_fit(emb, k=4, max_iterations=1)
+    _, i5 = kmeans_fit(emb, k=4, max_iterations=5)
+    assert i5 <= i1 + 1e-9
