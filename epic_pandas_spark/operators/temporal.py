@@ -112,6 +112,9 @@ def range_join(
         *right.columns, F.explode(F.sequence(rb_start, rb_end)).alias("__bucket")
     )
     joined = left.withColumn("__bucket", lb).join(exploded, on="__bucket", how=how)
-    return joined.filter(
-        (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) <= F.col(end_col))
-    ).drop("__bucket")
+    contained = (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) <= F.col(end_col))
+    if how == "left":
+        # preserve unmatched left rows: a bare containment filter would
+        # evaluate to null on them and drop them
+        return joined.filter(F.col(start_col).isNull() | contained).drop("__bucket")
+    return joined.filter(contained).drop("__bucket")

@@ -58,11 +58,14 @@ def streaming_dedup(
     ts_col: str = "ts",
     watermark: str = "1 hour",
 ) -> DataFrame:
-    """Exactly-once-per-id stream: dropDuplicates keyed on id_cols with a
-    watermark bounding the dedup state — the streaming analog of
-    drop_duplicates_by_key(keep='any')."""
-    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
-    return src.dropDuplicates(id_cols + [ts_col]) if events.isStreaming else src.dropDuplicates(id_cols)
+    """Exactly-once-per-id stream: duplicates of the same id arriving
+    within the watermark window are dropped and state is evicted once the
+    watermark passes — `dropDuplicatesWithinWatermark` gives both the
+    right semantics (dedup on id alone, not (id, ts)) and bounded state.
+    Batch frames fall back to a plain dropDuplicates."""
+    if not events.isStreaming:
+        return events.dropDuplicates(id_cols)
+    return events.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(id_cols)
 
 
 def sessionize(

@@ -372,3 +372,31 @@ def test_sample_frac_exact_count(spark):
     assert sample_at_most(df, frac=0.5, seed=3).count() == 5
     with pytest.raises(ValueError, match="weights"):
         sample_at_most(df.withColumn("w", F.lit(1.0)), frac=0.5, weights="w")
+
+
+def test_range_join_left_keeps_unmatched(spark):
+    from epic_pandas_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame(
+        [(0, "2024-01-02 12:00:00"), (1, "2024-02-01 12:00:00")], "i long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    iv = spark.createDataFrame(
+        [(7, "2024-01-01 00:00:00", "2024-01-03 00:00:00")], "iv long, s string, e string"
+    ).select("iv", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
+    out = {r["i"]: r["iv"] for r in range_join(left, iv, "ts", "s", "e", how="left").collect()}
+    assert out == {0: 7, 1: None}
+
+
+def test_approx_aggregates_within_tolerance(spark):
+    from epic_pandas_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    row = li.agg(
+        F.count_distinct("l_partkey").alias("exact"),
+        F.approx_count_distinct("l_partkey", rsd=0.02).alias("approx"),
+        F.expr("percentile(l_extendedprice, 0.5)").alias("p50"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias("p50a"),
+    ).first()
+    assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
+    assert abs(row["p50a"] - row["p50"]) / row["p50"] < 0.01

@@ -68,13 +68,19 @@ def test_sessionize_stream_runs(spark, event_stream):
         q.stop()
 
 
-def test_streaming_dedup(spark, event_stream):
-    stream, batch = event_stream
+def test_streaming_dedup(spark, event_stream, tmp_path):
+    # feed the events TWICE (two files) so there are real duplicates to drop
+    _, batch = event_stream
+    src = str(tmp_path / "dup_src")
+    batch.write.parquet(src)
+    batch.write.mode("append").parquet(src)
+    stream = spark.readStream.schema(spark.read.parquet(src).schema).parquet(src)
     out = streaming_dedup(_normalize_events(stream), ["event_id"])
     q = run_stream_to_memory(out, "dedup_out")
     try:
-        n = spark.sql("SELECT COUNT(DISTINCT event_id) AS n FROM dedup_out").first()["n"]
-        assert n == batch.select("event_id").distinct().count()
+        total = spark.sql("SELECT COUNT(*) AS n FROM dedup_out").first()["n"]
+        distinct = spark.sql("SELECT COUNT(DISTINCT event_id) AS n FROM dedup_out").first()["n"]
+        assert total == distinct == batch.count()
     finally:
         q.stop()
 
