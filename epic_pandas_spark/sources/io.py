@@ -79,8 +79,18 @@ def load(
     return df
 
 
-def dump(df: DataFrame, path: str, fmt: str | None = None, mode: str = "overwrite", **options) -> None:
-    """Write ``df``, format from extension (pddump, utils.py:108-150)."""
+def dump(
+    df: DataFrame,
+    path: str,
+    fmt: str | None = None,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    **options,
+) -> None:
+    """Write ``df``, format from extension (pddump, utils.py:108-150).
+    ``partition_by`` hive-partitions the output so later reads with
+    predicates on those columns prune whole directories (PartitionFilters
+    in the scan) — the storage-layout half of pushdown."""
     ext = fmt or _extension(path)
     if ext in _UNSUPPORTED:
         raise ValueError(f"'{ext}' has no distributed analog; use parquet/orc/csv/json")
@@ -91,7 +101,10 @@ def dump(df: DataFrame, path: str, fmt: str | None = None, mode: str = "overwrit
         options.setdefault("sep", "\t")
     if spark_fmt == "csv":
         options.setdefault("header", True)  # symmetric with load's default
-    df.write.format(spark_fmt).mode(mode).options(**{k: str(v) for k, v in options.items()}).save(path)
+    writer = df.write.format(spark_fmt).mode(mode).options(**{k: str(v) for k, v in options.items()})
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.save(path)
 
 
 def autoload(*arg_names: str):

@@ -120,3 +120,19 @@ def test_bucketed_join_has_no_shuffle(spark, tmp_path):
         assert joined.count() > 0
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_partitioned_write_prunes(spark, tmp_path):
+    """Hive-partitioned dump + a predicate on the partition column must
+    prune directories (PartitionFilters), not just row-filter."""
+    from epic_pandas_spark.plans.inspect import physical_plan
+    from epic_pandas_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    orders = load_table(spark, SF_DIR, "orders")
+    out = str(tmp_path / "orders_part.parquet")
+    dump(orders, out, partition_by=["o_orderstatus"])
+    back = load(spark, out).filter(F.col("o_orderstatus") == "F")
+    plan = physical_plan(back)
+    assert "PartitionFilters" in plan and "o_orderstatus" in plan.split("PartitionFilters", 1)[1][:200]
+    assert back.count() > 0
