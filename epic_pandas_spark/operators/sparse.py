@@ -68,3 +68,23 @@ def stack(df: DataFrame, key_col: str, value_cols: list[str], dropna: bool = Tru
         key_col, ROW
     )
     return out.filter(F.col(VAL).isNotNull()) if dropna else out
+
+
+def coo_to_ml_vectors(coo: DataFrame, size: int, row: str = ROW, col_idx: str = COL, val: str = VAL) -> DataFrame:
+    """COO long format → one `pyspark.ml.linalg.SparseVector` per row key
+    (the ML-interop path of SURVEY.md §1.1: SparseDataFrame ⇄ Spark ML).
+    ``col_idx`` must already be an integer dimension index; `size` is the
+    vector dimensionality. Collect per row happens via sorted struct
+    aggregation — one shuffle on the row key."""
+    from pyspark.ml.linalg import SparseVector, VectorUDT
+
+    assembled = (
+        coo.groupBy(row)
+        .agg(F.array_sort(F.collect_list(F.struct(F.col(col_idx).cast("int").alias("i"), F.col(val).cast("double").alias("v")))).alias("ents"))
+    )
+
+    @F.udf(VectorUDT())
+    def to_vec(ents):
+        return SparseVector(size, [e["i"] for e in ents], [e["v"] for e in ents])
+
+    return assembled.select(F.col(row), to_vec("ents").alias("features"))

@@ -1600,3 +1600,18 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )
+
+
+@register("kmeans_clusters", None)  # iterative + fp-boundary sensitivity → rows-only
+def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means over the embeddings (extensions.
+    clustering): cluster sizes for k=8 after 3 iterations. Iterative and
+    assignment-boundary fp-sensitive, hence rows-only; convergence and
+    separation properties are unit-tested."""
+    from epic_pandas_spark.extensions.clustering import kmeans_fit, assign_clusters
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    centroids, _ = kmeans_fit(emb, k=8, max_iterations=3)
+    return assign_clusters(emb, centroids).groupBy("cluster").agg(
+        F.count(F.lit(1)).alias("n")
+    )

@@ -149,3 +149,39 @@ def test_kmeans_inertia_decreases(spark):
     _, i1 = kmeans_fit(emb, k=4, max_iterations=1)
     _, i5 = kmeans_fit(emb, k=4, max_iterations=5)
     assert i5 <= i1 + 1e-9
+
+
+def test_coo_to_ml_vectors(spark):
+    from epic_pandas_spark.operators.sparse import coo_to_ml_vectors
+
+    coo = spark.createDataFrame(
+        [("a", 0, 1.5), ("a", 3, 2.5), ("b", 1, 9.0)],
+        "row_key string, col_key int, value double",
+    )
+    out = {r["row_key"]: r["features"] for r in coo_to_ml_vectors(coo, size=4).collect()}
+    assert out["a"].toArray().tolist() == [1.5, 0.0, 0.0, 2.5]
+    assert out["b"].toArray().tolist() == [0.0, 9.0, 0.0, 0.0]
+
+
+def test_sparkml_lsh_agrees_with_custom_neardup(spark):
+    """Spark ML's BucketedRandomProjectionLSH approxSimilarityJoin finds
+    (at least) the same close pairs as our expression-based near-dup on a
+    corpus with planted duplicates — the ML-interop sanity check."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.linalg import Vectors, VectorUDT
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(100)
+    to_vec = F.udf(lambda a: Vectors.dense([float(x) for x in a]), VectorUDT())
+    ml_df = emb.select(F.col("vec_id").alias("id"), to_vec("embedding").alias("features"))
+    clone = ml_df.filter(F.col("id") == 0).withColumn("id", F.lit(9999))
+    corpus = ml_df.unionByName(clone)
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="features", outputCol="hashes", bucketLength=2.0, numHashTables=3, seed=7
+    ).fit(corpus)
+    pairs = lsh.approxSimilarityJoin(corpus, corpus, threshold=0.01, distCol="d")
+    found = {
+        (r["datasetA"]["id"], r["datasetB"]["id"])
+        for r in pairs.collect()
+        if r["datasetA"]["id"] < r["datasetB"]["id"]
+    }
+    assert (0, 9999) in found  # the planted duplicate pair
