@@ -1605,13 +1605,13 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("kmeans_clusters", None)  # iterative + fp-boundary sensitivity → rows-only
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings (extensions.
-    clustering): cluster sizes for k=8 after 3 iterations. Iterative and
+    clustering): cluster sizes for k=4 after 2 iterations. Iterative and
     assignment-boundary fp-sensitive, hence rows-only; convergence and
     separation properties are unit-tested."""
     from epic_pandas_spark.extensions.clustering import kmeans_fit, assign_clusters
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids, _ = kmeans_fit(emb, k=8, max_iterations=3)
+    centroids, _ = kmeans_fit(emb, k=4, max_iterations=2)
     return assign_clusters(emb, centroids).groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n")
     )
