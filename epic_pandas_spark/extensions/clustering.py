@@ -57,7 +57,6 @@ def kmeans_fit(
     )
     centroids = [list(r["v"]) for r in init_rows]
     prev_inertia = math.inf
-    inertia = math.inf
     for _ in range(max_iterations):
         assigned = assign_clusters(df, centroids, vec_col)
         sums = (
@@ -86,4 +85,7 @@ def kmeans_fit(
         if prev_inertia - inertia < tol * max(abs(prev_inertia), 1.0):
             break
         prev_inertia = inertia
-    return centroids, float(inertia)
+    # report inertia of the FINAL centroids (the loop's measurement is one
+    # Lloyd step stale relative to the last update)
+    final_inertia = assign_clusters(df, centroids, vec_col).agg(F.sum("sq_dist")).first()[0]
+    return centroids, float(final_inertia)

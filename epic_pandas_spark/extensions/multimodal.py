@@ -99,7 +99,9 @@ def sample_frames(df: DataFrame, payload_col: str, frame_size: int, every_n: int
     distributed analog of strided frame decoding. Emits (frame_idx,
     frame_bytes) rows via posexplode."""
     n_frames = F.floor(F.length(F.col(payload_col)) / frame_size).cast("int")
-    idxs = F.sequence(F.lit(0), F.greatest(n_frames - 1, F.lit(0)), F.lit(every_n))
+    idxs = F.when(
+        n_frames > 0, F.sequence(F.lit(0), n_frames - 1, F.lit(every_n))
+    ).otherwise(F.array().cast("array<int>"))  # short payload => no full frame
     frames = F.transform(
         idxs, lambda i: F.substring(F.col(payload_col), i * frame_size + 1, frame_size)
     )

@@ -59,8 +59,26 @@ def _group_window(keys):
 
 @F.pandas_udf(T.DoubleType())
 def entropy_udf(texts: pd.Series) -> pd.Series:
-    """Vectorized per-document char entropy — the no-shuffle fast path.
-    One numpy bincount per doc inside an Arrow batch."""
+    """Vectorized per-document CHARACTER entropy — the no-shuffle fast
+    path, numerically identical to the shannon_entropy expression pipeline
+    (which counts characters, not UTF-8 bytes — they differ on non-ASCII
+    text; see byte_entropy_udf for the reference's byte semantics)."""
+    out = np.empty(len(texts), dtype=np.float64)
+    for i, t in enumerate(texts):
+        if t is None or len(t) == 0:
+            out[i] = 0.0
+            continue
+        _, counts = np.unique(np.array(list(t)), return_counts=True)
+        p = counts / counts.sum()
+        out[i] = float(-(p * np.log2(p)).sum())
+    return pd.Series(out)
+
+
+@F.pandas_udf(T.DoubleType())
+def byte_entropy_udf(texts: pd.Series) -> pd.Series:
+    """Per-document UTF-8 BYTE entropy (0..8) — the reference's exact
+    byte-buffer semantics (algorithm.py:30-44); equals entropy_udf on
+    ASCII text only."""
     out = np.empty(len(texts), dtype=np.float64)
     for i, t in enumerate(texts):
         if t is None or len(t) == 0:

@@ -119,9 +119,10 @@ def order_by_key_list(df: DataFrame, ordered_keys: list, key: str | Sequence[str
     if len(keys) != 1:
         raise ValueError("order_by_key_list supports a single key column")
     spark = df.sparkSession
+    key_type = dict(df.dtypes)[keys[0]]
     order_df = spark.createDataFrame(
-        [(k, i) for i, k in enumerate(ordered_keys)], f"{keys[0]} string, __ord long"
-    ).withColumn(keys[0], F.col(keys[0]).cast(dict(df.dtypes)[keys[0]]))
+        [(k, i) for i, k in enumerate(ordered_keys)], f"{keys[0]} {key_type}, __ord long"
+    )
     return df.join(F.broadcast(order_df), on=keys, how="inner").orderBy("__ord").drop("__ord")
 
 
@@ -144,10 +145,14 @@ def alignable_frame(df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | N
     keys = as_keys(key)
 
     def uniq(df):
+        null_counts = sum(
+            (F.coalesce(F.sum(F.col(k).isNull().cast("long")), F.lit(0)) for k in keys),
+            F.lit(0),
+        )
         return df.agg(
             (
                 (F.count(F.lit(1)) == F.count_distinct(*[F.col(k) for k in keys]))
-                & (sum((F.sum(F.col(k).isNull().cast("long")) for k in keys), F.lit(0)) == 0)
+                & (null_counts == 0)
             ).alias("u")
         )
 
@@ -155,7 +160,15 @@ def alignable_frame(df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | N
     k2 = df2.select(*keys).distinct().withColumn("__r", F.lit(1))
     mism = (
         k1.join(k2, on=keys, how="full_outer")
-        .agg((F.sum((F.col("__l").isNull() | F.col("__r").isNull()).cast("long")) == 0).alias("m"))
+        .agg(
+            (
+                F.coalesce(
+                    F.sum((F.col("__l").isNull() | F.col("__r").isNull()).cast("long")),
+                    F.lit(0),  # empty-vs-empty join => alignable, not NULL
+                )
+                == 0
+            ).alias("m")
+        )
     )
     return (
         uniq(df1).withColumnRenamed("u", "u1")

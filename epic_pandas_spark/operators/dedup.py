@@ -84,7 +84,17 @@ def unique_row_ids(
         distinct = df.select(*cols).distinct()
         w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in cols])
         ids = distinct.withColumn(out_col, F.dense_rank().over(w) - 1)
-        return df.join(F.broadcast(ids), on=cols, how="left")
+        # eqNullSafe join keys: a plain equi-join would never match combos
+        # containing nulls, leaving those rows with a null id
+        renamed = ids.select(
+            *[F.col(c).alias(f"__i_{c}") for c in cols], F.col(out_col)
+        )
+        cond = None
+        for c in cols:
+            term = F.col(c).eqNullSafe(F.col(f"__i_{c}"))
+            cond = term if cond is None else (cond & term)
+        joined = df.join(F.broadcast(renamed), on=cond, how="left")
+        return joined.drop(*[f"__i_{c}" for c in cols])
     raise ValueError(f"unknown strategy {strategy!r}")
 
 

@@ -73,7 +73,12 @@ def drop_null_array_elements(df: DataFrame, array_col: str) -> DataFrame:
     function, executes inside codegen."""
     return df.withColumn(
         array_col,
-        F.filter(F.col(array_col), lambda x: x.isNotNull() & ~F.isnan(x.cast("double"))),
+        # non-numeric elements cast to null, making isnan null — coalesce
+        # keeps them (only genuine NaN/null elements drop)
+        F.filter(
+            F.col(array_col),
+            lambda x: x.isNotNull() & F.coalesce(~F.isnan(x.cast("double")), F.lit(True)),
+        ),
     )
 
 

@@ -119,10 +119,14 @@ def sample_with_distribution(
                 f"(max feasible total: see reference utils.py:257-264)"
             )
     spark = df.sparkSession
+    # build the per-stratum quota table with the population column's NATIVE
+    # type (a hardcoded string schema would break int/float strata both at
+    # createDataFrame time and in the feasibility lookup above)
+    pop_type = dict(df.dtypes)[population_col]
     counts_df = F.broadcast(
         spark.createDataFrame(
-            [(k, v) for k, v in counts.items()], f"{population_col} string, __need long"
-        ).withColumn(population_col, F.col(population_col).cast(dict(df.dtypes)[population_col]))
+            [(k, v) for k, v in counts.items()], f"{population_col} {pop_type}, __need long"
+        )
     )
     u = _rand_col(df, seed)
     w = Window.partitionBy(population_col).orderBy(F.col("__u").asc())

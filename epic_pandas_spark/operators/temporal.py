@@ -111,10 +111,19 @@ def range_join(
     exploded = right.select(
         *right.columns, F.explode(F.sequence(rb_start, rb_end)).alias("__bucket")
     )
-    joined = left.withColumn("__bucket", lb).join(exploded, on="__bucket", how=how)
     contained = (F.col(left_ts) >= F.col(start_col)) & (F.col(left_ts) <= F.col(end_col))
-    if how == "left":
-        # preserve unmatched left rows: a bare containment filter would
-        # evaluate to null on them and drop them
-        return joined.filter(F.col(start_col).isNull() | contained).drop("__bucket")
-    return joined.filter(contained).drop("__bucket")
+    if how == "inner":
+        joined = left.withColumn("__bucket", lb).join(exploded, on="__bucket", how="inner")
+        return joined.filter(contained).drop("__bucket")
+    if how != "left":
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    # left: keep every left row exactly once when it matches no interval.
+    # A bucket can match while containment fails, so unmatched rows are
+    # found by anti-joining on a synthetic row id, not by null-checking.
+    tagged = left.withColumn("__rid", F.monotonically_increasing_id()).withColumn("__bucket", lb)
+    matches = tagged.join(exploded, on="__bucket", how="inner").filter(contained)
+    unmatched = tagged.join(matches.select("__rid"), on="__rid", how="left_anti")
+    for c in exploded.columns:
+        if c != "__bucket":
+            unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(exploded.dtypes)[c]))
+    return matches.unionByName(unmatched.select(*matches.columns)).drop("__bucket", "__rid")

@@ -1057,14 +1057,14 @@ def q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sessionize",
     """
     WITH flagged AS (
-      SELECT user_id, ts,
+      SELECT user_id, ts, event_id,
              CASE WHEN epoch_us(ts) - epoch_us(LAG(ts) OVER w) > 1800000000
                   OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sessions AS (
       SELECT user_id, ts,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
                                     ROWS UNBOUNDED PRECEDING) AS session_id
       FROM flagged
     )
@@ -1079,7 +1079,7 @@ def q_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     equivalence-tested in tests/test_streaming.py."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    run = Window.partitionBy("user_id").orderBy("ts").rowsBetween(Window.unboundedPreceding, 0)
+    run = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(Window.unboundedPreceding, 0)
     gap_us = 30 * 60 * 1_000_000
     flagged = ev.withColumn(
         "new_session",
