@@ -73,11 +73,12 @@ def drop_null_array_elements(df: DataFrame, array_col: str) -> DataFrame:
     function, executes inside codegen."""
     return df.withColumn(
         array_col,
-        # non-numeric elements cast to null, making isnan null — coalesce
-        # keeps them (only genuine NaN/null elements drop)
+        # try_cast (not cast): ANSI mode throws on non-numeric strings;
+        # non-castable elements yield null -> isnan null -> coalesce keeps
+        # them, so only genuine NaN/null elements drop
         F.filter(
             F.col(array_col),
-            lambda x: x.isNotNull() & F.coalesce(~F.isnan(x.cast("double")), F.lit(True)),
+            lambda x: x.isNotNull() & F.coalesce(~F.isnan(x.try_cast("double")), F.lit(True)),
         ),
     )
 

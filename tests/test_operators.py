@@ -400,3 +400,79 @@ def test_approx_aggregates_within_tolerance(spark):
     ).first()
     assert abs(row["approx"] - row["exact"]) / row["exact"] < 0.05
     assert abs(row["p50a"] - row["p50"]) / row["p50"] < 0.01
+
+
+# --- regression tests for code-review fixes --------------------------------
+
+def test_range_join_left_bucket_match_but_no_containment(spark):
+    # same daily bucket, interval does NOT contain the row: left row must
+    # still appear once, null-filled
+    from epic_pandas_spark.operators.temporal import range_join
+
+    left = spark.createDataFrame([(0, "2024-01-01 10:00:00")], "i long, ts string").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    iv = spark.createDataFrame(
+        [(7, "2024-01-01 11:00:00", "2024-01-01 12:00:00")], "iv long, s string, e string"
+    ).select("iv", F.col("s").cast("timestamp").alias("s"), F.col("e").cast("timestamp").alias("e"))
+    rows = range_join(left, iv, "ts", "s", "e", how="left").collect()
+    assert len(rows) == 1 and rows[0]["iv"] is None
+
+
+def test_dense_row_ids_with_nulls(spark):
+    from epic_pandas_spark.operators import unique_row_ids
+
+    df = spark.createDataFrame([(1.0,), (None,), (1.0,)], "v double")
+    ids = [r["row_id"] for r in unique_row_ids(df, ["v"], strategy="dense").collect()]
+    assert None not in ids
+    assert len(set(ids)) == 2
+
+
+def test_stratified_sampling_int_strata(spark):
+    df = spark.createDataFrame([(i, i % 2) for i in range(20)], "k long, pop int")
+    out = sample_with_distribution(df, "pop", 10, {0: 0.5, 1: 0.5}, seed=1)
+    counts = {r["pop"]: r["n"] for r in out.groupBy("pop").agg(F.count("*").alias("n")).collect()}
+    assert counts == {0: 5, 1: 5}
+
+
+def test_order_by_key_list_int_keys(spark):
+    from epic_pandas_spark.keyed import order_by_key_list
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    out = [r["v"] for r in order_by_key_list(df, [3, 1], key="k").collect()]
+    assert out == ["c", "a"]
+
+
+def test_sample_frames_short_payload_empty(spark):
+    from epic_pandas_spark.extensions.multimodal import sample_frames
+
+    df = spark.createDataFrame([(1, bytearray(b"abc"))], "id long, payload binary")
+    assert sample_frames(df, "payload", frame_size=100, every_n=1).count() == 0
+
+
+def test_dropna_array_keeps_strings(spark):
+    from epic_pandas_spark.operators.nulls import drop_null_array_elements
+
+    df = spark.createDataFrame([(["a", None, "b"],)], "arr array<string>")
+    assert drop_null_array_elements(df, "arr").first()["arr"] == ["a", "b"]
+
+
+def test_alignable_frame_empty_inputs_true(spark):
+    from epic_pandas_spark.keyed import alignable_frame
+
+    empty = spark.createDataFrame([], "k long")
+    assert alignable_frame(empty, empty, key="k").first()["alignable"] is True
+
+
+def test_entropy_char_vs_byte_on_non_ascii(spark):
+    from epic_pandas_spark.functions.entropy import entropy_udf, byte_entropy_udf
+    import math
+
+    df = spark.createDataFrame([("héllo",)], "t string")
+    row = df.select(
+        entropy_udf(F.col("t")).alias("chars"), byte_entropy_udf(F.col("t")).alias("bytes")
+    ).first()
+    # chars h,é,l,l,o -> distribution [2,1,1,1]/5
+    expected = 0.4 * math.log2(5 / 2) + 0.6 * math.log2(5)
+    assert abs(row["chars"] - expected) < 1e-9
+    assert row["bytes"] != row["chars"]  # 'é' is 2 UTF-8 bytes
