@@ -136,3 +136,29 @@ def even_slices(df: DataFrame, n_slices: int, order_by: Sequence[str], out_col: 
     sort (use sparingly; cite: ntile over an ordered window)."""
     w = Window.orderBy(*[F.col(c) for c in order_by])
     return df.withColumn(out_col, F.ntile(n_slices).over(w) - 1)
+
+
+def rolling_agg(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str],
+    window: int,
+    partition_by: Sequence[str] | None = None,
+    agg: str = "avg",
+    out_col: str | None = None,
+    min_periods: int = 1,
+) -> DataFrame:
+    """pandas-style trailing rolling aggregate over the previous ``window``
+    rows (inclusive): rolling(window).mean()/sum()/min()/max() — absent
+    from the reference itself but part of the pandas surface its users
+    live on. rowsBetween(-(window-1), 0) keeps it a streaming window:
+    one shuffle on the partition key, no buffering beyond the frame."""
+    fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
+    if agg not in fns:
+        raise ValueError(f"agg must be one of {sorted(fns)}")
+    w = _window(partition_by, order_by).rowsBetween(-(window - 1), 0)
+    value = fns[agg](F.col(col)).over(w)
+    if min_periods > 1:
+        n = F.count(F.col(col)).over(w)
+        value = F.when(n >= min_periods, value)
+    return df.withColumn(out_col or f"{col}_rolling_{agg}", value)

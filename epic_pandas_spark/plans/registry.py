@@ -1615,3 +1615,25 @@ def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return assign_clusters(emb, centroids).groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n")
     )
+
+
+@register(
+    "rolling_mean",
+    """
+    SELECT event_id,
+           ROUND(AVG(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 6) AS value_rolling_avg
+    FROM events
+    """,
+)
+def q_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 4-row rolling mean of each user's event values
+    (operators.windows.rolling_agg) — the pandas rolling surface."""
+    from epic_pandas_spark.operators.windows import rolling_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = rolling_agg(
+        ev, "value", order_by=["ts", "event_id"], window=4,
+        partition_by=["user_id"], agg="avg", out_col="value_rolling_avg",
+    )
+    return out.select("event_id", F.round("value_rolling_avg", 6).alias("value_rolling_avg"))

@@ -476,3 +476,13 @@ def test_entropy_char_vs_byte_on_non_ascii(spark):
     expected = 0.4 * math.log2(5 / 2) + 0.6 * math.log2(5)
     assert abs(row["chars"] - expected) < 1e-9
     assert row["bytes"] != row["chars"]  # 'é' is 2 UTF-8 bytes
+
+
+def test_rolling_agg_min_periods(spark):
+    from epic_pandas_spark.operators.windows import rolling_agg
+
+    df = spark.createDataFrame([(i, float(i)) for i in range(5)], "t long, v double")
+    out = rolling_agg(df, "v", ["t"], window=3, agg="sum", min_periods=3, out_col="s")
+    rows = {r["t"]: r["s"] for r in out.collect()}
+    assert rows[0] is None and rows[1] is None  # fewer than min_periods
+    assert rows[2] == 3.0 and rows[4] == 9.0
