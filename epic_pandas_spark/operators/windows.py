@@ -162,3 +162,62 @@ def rolling_agg(
         n = F.count(F.col(col)).over(w)
         value = F.when(n >= min_periods, value)
     return df.withColumn(out_col or f"{col}_rolling_{agg}", value)
+
+
+def ffill(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Forward-fill nulls with the last observed value (pandas
+    fillna(method='ffill')): ignorenulls last() over an unbounded-preceding
+    frame — streams within each key partition."""
+    w = _window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    return df.withColumn(out_col or col, F.last(F.col(col), ignorenulls=True).over(w))
+
+
+def bfill(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Backward-fill: first observed value ahead (fillna(method='bfill'))."""
+    w = _window(partition_by, order_by).rowsBetween(0, Window.unboundedFollowing)
+    return df.withColumn(out_col or col, F.first(F.col(col), ignorenulls=True).over(w))
+
+
+def interpolate_linear(
+    df: DataFrame,
+    col: str,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Linear interpolation of interior nulls by row position (pandas
+    interpolate(method='linear')): for each null run, blend the previous
+    and next observed values by fractional distance. Built from four
+    windows (prev/next value + row-number bookkeeping) — no UDF, one
+    shuffle on the partition key. Leading nulls stay null; trailing nulls
+    carry the last value forward (pandas limit_direction='forward'
+    default)."""
+    w_all = _window(partition_by, order_by)
+    w_back = w_all.rowsBetween(Window.unboundedPreceding, 0)
+    w_fwd = w_all.rowsBetween(0, Window.unboundedFollowing)
+    rn = F.row_number().over(w_all)
+    prev_v = F.last(F.col(col), ignorenulls=True).over(w_back)
+    next_v = F.first(F.col(col), ignorenulls=True).over(w_fwd)
+    rn_of_obs = F.when(F.col(col).isNotNull(), rn)
+    prev_rn = F.last(rn_of_obs, ignorenulls=True).over(w_back)
+    next_rn = F.first(rn_of_obs, ignorenulls=True).over(w_fwd)
+    frac = (rn - prev_rn).cast("double") / (next_rn - prev_rn).cast("double")
+    filled = (
+        F.when(F.col(col).isNotNull(), F.col(col))
+        .when(prev_v.isNull(), F.lit(None))  # leading nulls
+        .when(next_v.isNull(), prev_v)  # trailing nulls carry forward
+        .otherwise(prev_v + (next_v - prev_v) * frac)
+    )
+    return df.withColumn(out_col or col, filled)

@@ -1637,3 +1637,27 @@ def q_rolling_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
         partition_by=["user_id"], agg="avg", out_col="value_rolling_avg",
     )
     return out.select("event_id", F.round("value_rolling_avg", 6).alias("value_rolling_avg"))
+
+
+@register(
+    "ffill_values",
+    """
+    SELECT event_id,
+           ROUND(LAST_VALUE(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS v_filled
+    FROM (SELECT event_id, user_id, ts,
+                 CASE WHEN event_id % 3 = 0 THEN NULL ELSE value END AS v
+          FROM events)
+    """,
+)
+def q_ffill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-fill over deterministically-injected nulls (every 3rd
+    event) — operators.windows.ffill."""
+    from epic_pandas_spark.operators.windows import ffill
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "ts",
+        F.when(F.col("event_id") % 3 == 0, None).otherwise(F.col("value")).alias("v"),
+    )
+    out = ffill(ev, "v", order_by=["ts", "event_id"], partition_by=["user_id"], out_col="v_filled")
+    return out.select("event_id", F.round("v_filled", 6).alias("v_filled"))

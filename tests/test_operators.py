@@ -486,3 +486,20 @@ def test_rolling_agg_min_periods(spark):
     rows = {r["t"]: r["s"] for r in out.collect()}
     assert rows[0] is None and rows[1] is None  # fewer than min_periods
     assert rows[2] == 3.0 and rows[4] == 9.0
+
+
+def test_ffill_bfill_interpolate(spark):
+    from epic_pandas_spark.operators.windows import ffill, bfill, interpolate_linear
+
+    df = spark.createDataFrame(
+        [(0, None), (1, 10.0), (2, None), (3, None), (4, 40.0), (5, None)],
+        "t long, v double",
+    )
+    f = {r["t"]: r["v"] for r in ffill(df, "v", ["t"]).collect()}
+    assert f == {0: None, 1: 10.0, 2: 10.0, 3: 10.0, 4: 40.0, 5: 40.0}
+    b = {r["t"]: r["v"] for r in bfill(df, "v", ["t"]).collect()}
+    assert b == {0: 10.0, 1: 10.0, 2: 40.0, 3: 40.0, 4: 40.0, 5: None}
+    i = {r["t"]: r["v"] for r in interpolate_linear(df, "v", ["t"]).collect()}
+    assert i[0] is None and i[1] == 10.0
+    assert i[2] == 20.0 and i[3] == 30.0  # linear between 10 and 40
+    assert i[4] == 40.0 and i[5] == 40.0  # trailing carries forward
