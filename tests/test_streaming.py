@@ -140,3 +140,32 @@ def test_foreach_batch_parquet_sink(spark, tmp_path):
     q.stop()
     written = spark.read.parquet(str(tmp_path / "out"))
     assert written.select("event_id").distinct().count() == batch.count()
+
+
+def test_stream_static_enrichment_join(spark, event_stream):
+    """Stream-static join: enrich the event stream with a static dimension
+    (user tier derived from user_id) — Spark broadcasts the static side
+    per micro-batch; totals must match the batch twin."""
+    stream, batch = event_stream
+    tiers = spark.createDataFrame(
+        [(i, "gold" if i % 2 == 0 else "basic") for i in range(50)], "user_id long, tier string"
+    )
+    enriched = (
+        _normalize_events(stream)
+        .join(tiers, on="user_id", how="left")
+        .groupBy("tier")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = run_stream_to_memory(enriched, "tier_out", output_mode="complete")
+    try:
+        got = {r["tier"]: r["n"] for r in spark.sql("SELECT * FROM tier_out").collect()}
+        want = {
+            r["tier"]: r["n"]
+            for r in batch.join(tiers, on="user_id", how="left")
+            .groupBy("tier")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
