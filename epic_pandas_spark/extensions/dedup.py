@@ -72,7 +72,10 @@ def jaccard_pairs(
         word_ngrams_expr(F.col(text_col), n=shingle_words).alias("ws"),
     ).filter(F.size("ws") > 0)
     sizes = words.select("id", "ws", F.size("ws").alias("n"))
-    inv = sizes.select("id", "n", F.explode("ws").alias("w"))
+    # the self-join references the inverted index twice; a lazy local
+    # checkpoint materializes it once instead of recomputing the shingle
+    # expressions on both branches (measured 8.2s -> 3.0s at 5k docs)
+    inv = sizes.select("id", "n", F.explode("ws").alias("w")).localCheckpoint(eager=False)
     if max_doc_freq is not None:
         dfreq = inv.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
         inv = inv.join(F.broadcast(dfreq.filter(F.col("df") <= max_doc_freq)), "w", "left_semi")
@@ -136,14 +139,14 @@ def minhash_lsh_pairs(
     words = df.select(
         F.col(id_col).alias("id"),
         word_ngrams_expr(F.col(text_col), n=shingle_words).alias("ws"),
-    ).filter(F.size("ws") > 0)
+    ).filter(F.size("ws") > 0).localCheckpoint(eager=False)  # reused by banding AND verification
     signed = minhash_signatures(words, n_hashes=n_hashes, seed=seed)
     banded = signed.select(
         "id",
         F.posexplode(
             F.array(*[F.xxhash64(*[F.col(f"s{b * r + j}") for j in range(r)]) for b in range(bands)])
         ).alias("band", "bucket"),
-    )
+    ).localCheckpoint(eager=False)  # both sides of the candidate self-join
     # candidates shuffle only (band, bucket, id) triples — never the shingles
     lhs = banded.select(F.col("id").alias("id_a"), "band", "bucket")
     rhs = banded.select(F.col("id").alias("id_b"), "band", "bucket")
@@ -259,6 +262,7 @@ def connected_components(
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
         .distinct()
+        .localCheckpoint(eager=False)  # re-read every propagation round
     )
     labels = (
         edges.select(F.col("src").alias("id"))
