@@ -29,3 +29,23 @@ def test_transform_escape_hatch(spark):
     df = spark.createDataFrame([(i % 2, float(i)) for i in range(10)], "g int, v double")
     out = EpicFrame(df).transform(salted_agg, ["g"], {"n": ("*", "count")})
     assert {r["g"]: r["n"] for r in out.df.collect()} == {0: 5, 1: 5}
+
+
+def test_sql_api_parity(spark):
+    """The engine is declarative end-to-end: the same logical plan is
+    reachable through raw spark.sql over registered views (Catalyst
+    produces identical results either way)."""
+    from epic_pandas_spark.session import load_table
+    from epic_pandas_spark.operators import value_counts
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    li.createOrReplaceTempView("li_view")
+    sql_out = {
+        (r["value"], r["count"])
+        for r in spark.sql(
+            "SELECT l_returnflag AS value, COUNT(*) AS count FROM li_view GROUP BY 1"
+        ).collect()
+    }
+    df_out = {(r["value"], r["count"]) for r in value_counts(li, "l_returnflag").select("value", "count").collect()}
+    assert sql_out == df_out
