@@ -1661,3 +1661,51 @@ def q_ffill_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ffill(ev, "v", order_by=["ts", "event_id"], partition_by=["user_id"], out_col="v_filled")
     return out.select("event_id", F.round("v_filled", 6).alias("v_filled"))
+
+
+@register(
+    "intersect_keys",
+    """
+    SELECT c_nationkey AS nationkey FROM customer
+    INTERSECT
+    SELECT s_nationkey FROM supplier
+    """,
+)
+def q_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INTERSECT on key sets (§2.7, index.intersection at utils.py:338):
+    nations having both customers and suppliers."""
+    from epic_pandas_spark.operators import intersect_keys
+
+    cust = load_table(spark, sf_dir, "customer").select(F.col("c_nationkey").alias("nationkey"))
+    supp = load_table(spark, sf_dir, "supplier").select(F.col("s_nationkey").alias("nationkey"))
+    return intersect_keys(cust, supp, key="nationkey")
+
+
+@register(
+    "grouped_demean",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(l_quantity - AVG(l_quantity) OVER (PARTITION BY l_orderkey), 6) AS qty_demeaned
+    FROM lineitem
+    """,
+)
+def q_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """groupby().apply(fn) through the applyInPandas escape hatch
+    (parallel.grouped_papply), oracle-checked: per-order demeaning done by
+    a pandas function per group must equal the SQL window formulation —
+    proving the Python-UDF path is value-faithful, not just runnable."""
+    import pandas as pd
+
+    from epic_pandas_spark.parallel import grouped_papply
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf["qty_demeaned"] = pdf["l_quantity"] - pdf["l_quantity"].mean()
+        return pdf.drop(columns=["l_quantity"])
+
+    out = grouped_papply(
+        li, ["l_orderkey"], demean,
+        "l_orderkey long, l_linenumber int, qty_demeaned double",
+    )
+    return out.select("l_orderkey", "l_linenumber", F.round("qty_demeaned", 6).alias("qty_demeaned"))
