@@ -27,6 +27,7 @@ def main() -> None:
     spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
 
     timings: dict[str, float] = {}
+    failed: list[str] = []
     for name, (fn, _sql) in sorted(REGISTRY.items()):
         t0 = time.perf_counter()
         try:
@@ -34,6 +35,7 @@ def main() -> None:
             n = df.count()
         except Exception as e:  # keep the bench line parseable even on a failure
             print(f"bench: query {name} failed: {e}", file=sys.stderr)
+            failed.append(name)
             continue
         timings[name] = round(time.perf_counter() - t0, 4)
 
@@ -43,6 +45,7 @@ def main() -> None:
         "value": round(sum(timings.values()), 4),
         "unit": "sec",
         "queries": timings,
+        "failed": failed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     print(json.dumps(out))

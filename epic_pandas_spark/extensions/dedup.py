@@ -22,6 +22,8 @@ word splitting — no Python in the hot path anywhere.
 
 from __future__ import annotations
 
+import warnings
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from epic_pandas_spark.functions.text import fingerprint_expr, word_ngrams_expr
@@ -247,17 +249,27 @@ def connected_components(
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
+    on_nonconverged: str = "raise",
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (id, cluster)
     with cluster = min id reachable. The dedup endgame: keep one doc per
     component.
 
-    Iterative min-label propagation: each round joins current labels
-    across edges and keeps the per-node min; converges in O(log diameter)
-    rounds (near-dup clusters are small, so 2-3 rounds in practice).
-    Each round is one shuffle on the node id; `localCheckpoint` truncates
-    the lineage so the plan doesn't grow exponentially across rounds —
-    the standard Spark iterative-algorithm pattern."""
+    Iterative min-label propagation with pointer doubling: each round
+    (1) takes the min label across edges and (2) replaces each node's
+    label with its label's label — the shortcut step that makes
+    convergence O(log diameter) rather than O(diameter), so a 20-round
+    cap covers path graphs of ~2^20 nodes. Each round shuffles on the
+    node id; `localCheckpoint` truncates the lineage so the plan doesn't
+    grow exponentially across rounds — the standard Spark
+    iterative-algorithm pattern.
+
+    If the loop still exits via `max_iterations` with labels changing,
+    the result would be wrong (unfinished propagation), so it raises by
+    default; pass ``on_nonconverged="warn"`` to get the partial labels
+    with a RuntimeWarning instead."""
+    if on_nonconverged not in ("raise", "warn"):
+        raise ValueError("on_nonconverged must be 'raise' or 'warn'")
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -269,6 +281,7 @@ def connected_components(
         .distinct()
         .withColumn("cluster", F.col("id"))
     )
+    converged = False
     for _ in range(max_iterations):
         neighbor_min = (
             edges.join(labels, edges.dst == labels.id)
@@ -282,6 +295,19 @@ def connected_components(
                 F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))).alias("cluster"),
             )
         )
+        # pointer doubling: cluster <- label(cluster). Labels only ever
+        # decrease and every cluster value is itself a node id, so the
+        # left join always resolves; coalesce guards the degenerate case.
+        parent = new_labels.select(
+            F.col("id").alias("pid"), F.col("cluster").alias("pcluster")
+        )
+        new_labels = (
+            new_labels.join(parent, new_labels.cluster == parent.pid, "left")
+            .select(
+                "id",
+                F.coalesce(F.col("pcluster"), F.col("cluster")).alias("cluster"),
+            )
+        )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
@@ -292,5 +318,14 @@ def connected_components(
         )
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        msg = (
+            f"connected_components did not converge within {max_iterations} "
+            "iterations; labels are incomplete. Increase max_iterations."
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning)
     return labels

@@ -26,13 +26,20 @@ MEDIA_SCHEMA = (
 
 def with_media_metadata(df: DataFrame, payload_col: str, fmt_col=None) -> DataFrame:
     """Attach the typed metadata struct computed from the raw payload —
-    pure expressions (length/xxhash64), no decode needed."""
+    pure expressions (length/xxhash64), no decode needed. `fmt_col` takes
+    a column name (like `payload_col`) or a Column; None → "unknown"."""
+    if fmt_col is None:
+        fmt = F.lit("unknown")
+    elif isinstance(fmt_col, str):
+        fmt = F.col(fmt_col)
+    else:
+        fmt = fmt_col
     return df.withColumn(
         "meta",
         F.struct(
             F.length(F.col(payload_col)).cast("long").alias("byte_len"),
             F.xxhash64(F.col(payload_col)).alias("content_hash"),
-            (fmt_col if fmt_col is not None else F.lit("unknown")).alias("declared_format"),
+            fmt.alias("declared_format"),
         ),
     )
 

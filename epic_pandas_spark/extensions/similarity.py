@@ -82,6 +82,8 @@ def knn_bruteforce_pandas(
 
     def score(batches):
         for pdf in batches:
+            if len(pdf) == 0:  # Arrow can hand over empty batches
+                continue
             ids = pdf[id_col].to_numpy()
             mat = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
             mat = mat / np.linalg.norm(mat, axis=1, keepdims=True)
@@ -89,11 +91,13 @@ def knn_bruteforce_pandas(
             for j, qid in enumerate(qids):
                 col = sims[:, j].copy()
                 col[ids == qid] = -np.inf  # exclude self before local top-k
-                top = min(k, len(ids))
-                idx = np.argpartition(-col, top - 1)[:top]
-                idx = idx[np.isfinite(col[idx])]
+                # sort by (-cosine, id): batch-local pruning must use the
+                # SAME tie-break as the global window, or a tie at the k
+                # boundary could drop the smaller-id candidate here.
+                order = np.lexsort((ids, -col))
+                order = order[np.isfinite(col[order])][:k]
                 yield pd.DataFrame(
-                    {"query_id": qid, id_col: ids[idx], "cosine": col[idx]}
+                    {"query_id": qid, id_col: ids[order], "cosine": col[order]}
                 )
 
     candidates = corpus.select(id_col, vec_col).mapInPandas(

@@ -1685,27 +1685,36 @@ def q_intersect_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     "grouped_demean",
     """
     SELECT l_orderkey, l_linenumber,
-           ROUND(l_quantity - AVG(l_quantity) OVER (PARTITION BY l_orderkey), 6) AS qty_demeaned
+           ROUND(l_quantity - AVG(l_quantity) OVER (PARTITION BY l_returnflag, l_linestatus), 6)
+               AS qty_demeaned
     FROM lineitem
     """,
 )
 def q_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     """groupby().apply(fn) through the applyInPandas escape hatch
-    (parallel.grouped_papply), oracle-checked: per-order demeaning done by
-    a pandas function per group must equal the SQL window formulation —
-    proving the Python-UDF path is value-faithful, not just runnable."""
+    (parallel.grouped_papply), oracle-checked: per-(returnflag, linestatus)
+    demeaning done by a pandas function per group must equal the SQL window
+    formulation — proving the Python-UDF path is value-faithful, not just
+    runnable.
+
+    The grouping key is bounded-cardinality (6 flag/status combos) so the
+    bench measures Arrow batch transfer + pandas kernel cost, not the
+    per-tiny-group scheduling worst case (which is an anti-pattern: a window
+    computes the same answer ~300x faster — see `grouped_transform`)."""
     import pandas as pd
 
     from epic_pandas_spark.parallel import grouped_papply
 
-    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_linestatus", "l_orderkey", "l_linenumber", "l_quantity"
+    )
 
     def demean(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf["qty_demeaned"] = pdf["l_quantity"] - pdf["l_quantity"].mean()
-        return pdf.drop(columns=["l_quantity"])
+        return pdf.drop(columns=["l_returnflag", "l_linestatus", "l_quantity"])
 
     out = grouped_papply(
-        li, ["l_orderkey"], demean,
+        li, ["l_returnflag", "l_linestatus"], demean,
         "l_orderkey long, l_linenumber int, qty_demeaned double",
     )
     return out.select("l_orderkey", "l_linenumber", F.round("qty_demeaned", 6).alias("qty_demeaned"))

@@ -57,6 +57,10 @@ def test_media_metadata_and_frames(spark):
     )
     meta = with_media_metadata(df, "payload").select("meta.*").first()
     assert meta["byte_len"] == 16
+    # fmt_col accepts a column-name string, symmetric with payload_col
+    fmt_df = df.withColumn("fmt", F.lit("png"))
+    meta2 = with_media_metadata(fmt_df, "payload", fmt_col="fmt").select("meta.*").first()
+    assert meta2["declared_format"] == "png"
     frames = sample_frames(df, "payload", frame_size=4, every_n=2).collect()
     assert [bytes(r["frame_bytes"]) for r in frames] == [b"0123", b"89ab"]
     assert [r["frame_idx"] for r in frames] == [0, 1]
@@ -101,6 +105,36 @@ def test_connected_components_chain(spark):
     )
     got = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_long_path_pointer_doubling(spark):
+    """A 40-node path has diameter 39 — plain min-propagation needs ~39
+    rounds, so finishing inside max_iterations=8 proves the pointer-doubling
+    shortcut gives O(log diameter) convergence."""
+    from epic_pandas_spark.extensions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(40)], "id_a long, id_b long"
+    )
+    got = {
+        r["id"]: r["cluster"]
+        for r in connected_components(pairs, max_iterations=8).collect()
+    }
+    assert got == {i: 0 for i in range(41)}
+
+
+def test_connected_components_nonconverged_raises(spark):
+    """Exiting via max_iterations with labels still moving must not return
+    silently-wrong clusters (ADVICE r1): default raises, warn-mode warns."""
+    from epic_pandas_spark.extensions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)
+    with pytest.warns(RuntimeWarning, match="did not converge"):
+        connected_components(pairs, max_iterations=1, on_nonconverged="warn")
 
 
 def test_ivf_knn_recall_vs_bruteforce(spark):
