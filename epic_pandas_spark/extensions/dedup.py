@@ -224,20 +224,55 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str, n_bits: int = 64) -
     return votes.select("id", sh.alias("sh"))
 
 
-def simhash_pairs(df: DataFrame, text_col: str, id_col: str, max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance. Pair generation blocks
-    on the top-16-bit prefix (docs differing in <=3 of 64 bits usually
-    share the prefix; 4-band blocking would make it exact) then filters by
-    bit_count(xor). Only (id, block, sh) triples shuffle."""
-    sh = simhash_table(df, text_col, id_col).withColumn(
-        "block", F.shiftrightunsigned("sh", 48)
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance — EXACT, via band
+    blocking: the 64-bit fingerprint splits into `n_bands` equal bands and
+    candidates are pairs agreeing on at least one whole band. Pigeonhole:
+    two fingerprints with hamming <= max_hamming < n_bands must share a
+    band with zero differing bits, so every qualifying pair is a
+    candidate — no recall gap. Exactness is pytest-proven against a
+    brute-force hamming join.
+
+    Per band only (band_idx, band_value, id, sh) rows shuffle (one
+    posexplode, one equi-join on the band key); the hamming filter
+    `bit_count(xor)` runs on candidates only. Multi-band duplicates are
+    dropped with one distinct before the filter."""
+    if not (0 < n_bands <= 64 and 64 % n_bands == 0):
+        raise ValueError("n_bands must divide 64")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"band blocking is only exact for max_hamming < n_bands "
+            f"(got max_hamming={max_hamming}, n_bands={n_bands}); raise n_bands"
+        )
+    band_bits = 64 // n_bands
+    band_mask = F.lit((1 << band_bits) - 1) if band_bits < 64 else F.lit(-1)
+    sh = simhash_table(df, text_col, id_col).localCheckpoint(eager=False)
+    bands = sh.select(
+        "id",
+        "sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("sh", i * band_bits).bitwiseAND(band_mask)
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("band", "bval"),
     )
-    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "block")
-    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "block")
+    a = bands.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bval")
+    b = bands.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bval")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
     return (
-        a.join(b, on="block")
+        a.join(b, on=["band", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .distinct()
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")

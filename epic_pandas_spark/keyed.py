@@ -178,6 +178,80 @@ def alignable_frame(df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | N
     )
 
 
+class SizedRowIterator:
+    """Sized row iterator — `iterrows` (utils.py:845-877): iteration with a
+    ``len()`` so progress bars work. Rows stream to the driver one JVM
+    partition at a time via ``toLocalIterator`` — bounded driver memory,
+    never a full collect. Driver-side by definition: this is the explicit
+    escape hatch for small results, not a distributed path."""
+
+    def __init__(self, df: DataFrame, index_keys: list[str] | None = None):
+        self._df = df
+        self._index_keys = index_keys
+        self._count = df.count()
+
+    def __len__(self) -> int:
+        return self._count
+
+    def __iter__(self):
+        ks = self._index_keys
+        for row in self._df.toLocalIterator(prefetchPartitions=True):
+            if ks is None:
+                yield row
+            elif len(ks) == 1:
+                yield row[ks[0]], row
+            else:
+                yield tuple(row[k] for k in ks), row
+
+
+def iterrows(
+    df: DataFrame,
+    key: str | Sequence[str] | None = None,
+    index: bool = False,
+) -> SizedRowIterator:
+    """`iterrows` parity (utils.py:845-877): ``index=False`` (default)
+    yields plain Rows; ``index=True`` yields ``(key_value, Row)`` tuples
+    with the key taken from the given key column(s) — scalar for a single
+    key, tuple for a multi-key (MultiIndex analog)."""
+    return SizedRowIterator(df, as_keys(key) if index else None)
+
+
+def stack_indices(
+    frames: Sequence[tuple[DataFrame, str | Sequence[str]]],
+    position_col: str = "__pos",
+) -> DataFrame:
+    """`stack_indices` (utils.py:611-627): zip SAME-LENGTH key arrays
+    positionally into one multi-key frame — pd.MultiIndex.from_arrays,
+    with each input index contributing its levels in order and level
+    names preserved. Spark rows carry no implicit position, so each
+    frame gets an explicit contiguous id (`zip_with_index`) and the
+    frames equi-join on it; a length mismatch raises like the reference.
+    Duplicate level names get a pandas-style positional suffix."""
+    if not frames:
+        raise ValueError("no indices given")
+    out = None
+    seen: dict[str, int] = {}
+    n_expected = None
+    for df, key in frames:
+        keys = as_keys(key)
+        renamed = []
+        for k in keys:
+            n = seen.get(k, 0)
+            seen[k] = n + 1
+            renamed.append(F.col(k).alias(f"{k}_{n}" if n else k))
+        part = zip_with_index(df.select(*keys), name=position_col).select(
+            position_col, *renamed
+        )
+        if out is None:
+            out = part
+            n_expected = part.count()
+        else:
+            if part.count() != n_expected:
+                raise ValueError("all indices must have the same length")
+            out = out.join(part, on=position_col, how="inner")
+    return out.drop(position_col)
+
+
 def assemble_frame(
     series: dict[str, DataFrame],
     key: str | Sequence[str] | None = None,

@@ -14,7 +14,11 @@ from epic_pandas_spark.operators.value_counts import (
 from epic_pandas_spark.operators.upsert import upsert
 from epic_pandas_spark.operators.dedup import drop_duplicates_by_key, unique_row_ids
 from epic_pandas_spark.operators.stats import column_stats, weighted_average, estimate_size_bytes
-from epic_pandas_spark.operators.sampling import sample_at_most, sample_with_distribution
+from epic_pandas_spark.operators.sampling import (
+    sample_at_most,
+    sample_with_distribution,
+    sample_with_replacement,
+)
 from epic_pandas_spark.operators.nulls import fillna, dropna
 from epic_pandas_spark.operators.windows import (
     cumsum,
@@ -22,6 +26,7 @@ from epic_pandas_spark.operators.windows import (
     smooth_with_gaussian,
     split_with_overlap,
     even_slices,
+    pack_sequences,
     gaussian_kernel,
 )
 from epic_pandas_spark.operators.pivots import (
@@ -30,18 +35,27 @@ from epic_pandas_spark.operators.pivots import (
     topk,
 )
 from epic_pandas_spark.operators.setops import union_all, intersect_keys, symmetric_difference
-from epic_pandas_spark.operators.sparse import dfdiag, coo_density, coo_is_square, coo_transpose
+from epic_pandas_spark.operators.sparse import (
+    dfdiag,
+    coo_density,
+    coo_is_square,
+    coo_transpose,
+    coo_elementwise,
+    coo_scale,
+    spmm,
+)
 
 __all__ = [
     "value_counts", "value_counts_binned", "upsert",
     "drop_duplicates_by_key", "unique_row_ids",
     "column_stats", "weighted_average",
-    "sample_at_most", "sample_with_distribution",
+    "sample_at_most", "sample_with_distribution", "sample_with_replacement",
     "fillna", "dropna",
     "cumsum", "diff", "smooth_with_gaussian", "split_with_overlap",
     "union_all", "intersect_keys", "symmetric_difference",
     "dfdiag", "coo_density", "coo_is_square", "coo_transpose",
-    "grouped_histogram", "even_slices", "gaussian_kernel",
+    "coo_elementwise", "coo_scale", "spmm",
+    "grouped_histogram", "even_slices", "pack_sequences", "gaussian_kernel",
     "grouped_value_counts_pivot", "collapse_small_categories", "topk",
     "estimate_size_bytes",
 ]

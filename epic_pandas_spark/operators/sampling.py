@@ -36,34 +36,157 @@ def sample_at_most(
     n: int | None = None,
     frac: float | None = None,
     weights: str | None = None,
+    replace: bool = False,
     seed: int = 42,
 ) -> DataFrame:
     """Sample min(n, len) rows exactly (or min(frac,1.0) of rows), without
-    replacement; optional column-weighted sampling.
+    replacement; optional column-weighted sampling. ``replace=True`` draws
+    exactly n multinomial samples WITH replacement (n may exceed the row
+    count), reference parity with utils.py:557-608's ``replace`` branch.
 
-    Exact-n uses the A-ES reservoir ordering: key each row by
-    -log(u)/w (u uniform, w weight; w=1 unweighted reduces to a plain
-    random permutation) and take the global top-n. The top-n is a
+    Exact-n without replacement uses the A-ES reservoir ordering: key each
+    row by -log(u)/w (u uniform, w weight; w=1 unweighted reduces to a
+    plain random permutation) and take the global top-n. The top-n is a
     `orderBy().limit(n)` which Spark executes as per-partition partial
     top-n + a single merge of n·P candidates — no global sort of the data.
+
+    With replacement delegates to `sample_with_replacement` (draw-side
+    inverse-CDF; no global window, draws broadcast to the corpus scan).
     """
     if (n is None) == (frac is None):
         raise ValueError("exactly one of n / frac")
-    u = _rand_col(df, seed)
     if frac is not None:
         # pandas frac-sampling returns EXACTLY round(frac*len) rows
         # (utils.py:557-608 delegates to DataFrame.sample) — so resolve to
         # the exact-n path; the count is one aggregate job
         if weights is not None:
             raise ValueError("weights require n=, matching the exact-n path")
-        frac = min(frac, 1.0)
+        if not replace:
+            frac = min(frac, 1.0)
         n = int(round(frac * df.count()))
+    if replace:
+        return sample_with_replacement(df, n, weights=weights, seed=seed)
+    u = _rand_col(df, seed)
     if weights is None:
         key = u
     else:
         w = F.col(weights).cast("double")
         key = F.when(w > 0, -F.log(u) / w).otherwise(F.lit(float("inf")))
     return df.withColumn("__sk", key).orderBy(F.col("__sk").asc()).limit(n).drop("__sk")
+
+
+def _two_phase_positions(df: DataFrame, weights: str | None, seed: int, n_parts: int = 256):
+    """Per-row half-open position intervals [lo, hi) on the cumulative
+    weight line [0, W), without a global window: rows are hashed into
+    ``n_parts`` pseudo-partitions, the cumulative sum runs per partition
+    (parallel windows), and the |n_parts| partition offsets are collected
+    driver-side (tiny) and joined back via a broadcast. Unweighted rows
+    get unit width, so positions are the dense indexes 0..N-1.
+
+    Returns (frame with __lo/__hi, total weight W)."""
+    w = (
+        F.col(weights).cast("double")
+        if weights is not None
+        else F.lit(1.0)
+    )
+    h = F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    part = F.pmod(h, F.lit(n_parts))
+    base = df.withColumn("__w", w).filter(F.col("__w") > 0)
+    base = base.withColumn("__part", part).withColumn("__h", h)
+    base = base.localCheckpoint(eager=False)  # read once for offsets, once for join
+    offsets_rows = (
+        base.groupBy("__part").agg(F.sum("__w").alias("__pw")).collect()
+    )
+    part_w = {int(r["__part"]): float(r["__pw"]) for r in offsets_rows}
+    cum = 0.0
+    part_off = {}
+    for p in sorted(part_w):
+        part_off[p] = cum
+        cum += part_w[p]
+    total = cum
+    spark = df.sparkSession
+    off_df = F.broadcast(
+        spark.createDataFrame(
+            [(p, o) for p, o in part_off.items()], "__part long, __off double"
+        )
+    )
+    order = Window.partitionBy("__part").orderBy(F.col("__h").asc())
+    pw = order.rowsBetween(Window.unboundedPreceding, 0)
+    # __lo via lag(__hi) (not __hi - w): adjacent intervals share the exact
+    # fp boundary value, so a draw can never fall in an ulp gap/overlap.
+    # Unweighted (unit widths) this is exact integer arithmetic end-to-end.
+    positioned = (
+        base.join(off_df, on="__part", how="inner")
+        .withColumn("__hi", F.col("__off") + F.sum("__w").over(pw))
+        .withColumn("__lo", F.coalesce(F.lag("__hi").over(order), F.col("__off")))
+    )
+    return positioned, total
+
+
+def sample_with_replacement(
+    df: DataFrame,
+    n: int,
+    weights: str | None = None,
+    seed: int = 42,
+) -> DataFrame:
+    """Exactly ``n`` multinomial draws WITH replacement (optionally
+    weighted), deterministic under any partitioning.
+
+    Inverse-CDF on the draw side: each draw j gets a hash-derived uniform
+    target t_j in [0, W); the selected row is the one whose cumulative
+    weight interval [lo, hi) contains t_j. The interval table comes from
+    `_two_phase_positions` (no global window); the candidate join keys on
+    equal-width CDF buckets — each row spans ceil(w_i/bucket)+1 buckets
+    (≈1 for non-degenerate weights), each draw exactly one — and the
+    aggregated draw table (≤ n rows) is broadcast, so the corpus is
+    scanned once with a map-side join and never shuffled. Output rows
+    repeat per their draw multiplicity; a `__draw_id` column preserves
+    which draw produced each row."""
+    if n < 0:
+        raise ValueError("n must be >= 0")
+    spark = df.sparkSession
+    if n == 0:
+        return spark.createDataFrame(
+            [], df.schema
+        ).withColumn("__draw_id", F.lit(0).cast("long"))
+    positioned, total = _two_phase_positions(df, weights, seed)
+    if total <= 0:
+        raise ValueError("cannot sample with replacement from an empty frame")
+    n_buckets = max(1, min(1 << 16, n * 4))
+    bucket_w = total / n_buckets
+    draws = spark.range(n).select(
+        F.col("id").alias("__draw_id"),
+        F.least(
+            (
+                ((F.xxhash64("id", F.lit(seed + 1)).cast("double") / F.lit(float(2**64))) + F.lit(0.5))
+                * F.lit(total)
+            ),
+            # u < 1 guarantees t < W mathematically; the clamp guards the
+            # one-in-2^52 fp rounding of u*W up to exactly W
+            F.lit(total * (1.0 - 1e-15)),
+        ).alias("__t"),
+    )
+    draws = draws.withColumn(
+        "__bucket", F.least(F.floor(F.col("__t") / F.lit(bucket_w)), F.lit(n_buckets - 1)).cast("long")
+    )
+    rows_b = positioned.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("__lo") / F.lit(bucket_w)).cast("long"),
+                F.least(
+                    F.floor((F.col("__hi")) / F.lit(bucket_w)).cast("long"),
+                    F.lit(n_buckets - 1),
+                ),
+            )
+        ),
+    )
+    out_cols = [c for c in df.columns]
+    return (
+        rows_b.join(F.broadcast(draws), on="__bucket", how="inner")
+        .filter((F.col("__t") >= F.col("__lo")) & (F.col("__t") < F.col("__hi")))
+        .select(*out_cols, "__draw_id")
+    )
 
 
 def allocate_counts(distribution: dict, n_rows: int) -> dict:

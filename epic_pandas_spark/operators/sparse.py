@@ -70,6 +70,80 @@ def stack(df: DataFrame, key_col: str, value_cols: list[str], dropna: bool = Tru
     return out.filter(F.col(VAL).isNotNull()) if dropna else out
 
 
+def spmm(
+    a: DataFrame,
+    b: DataFrame,
+    row: str = ROW,
+    col: str = COL,
+    val: str = VAL,
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """Sparse matrix product C = A @ B over COO frames — the matmul the
+    reference's `SparseDataFrame` inherits from scipy's csr_matrix
+    (sparse.py:22-167). Classic distributed SpGEMM: equi-join A's column
+    key to B's row key, multiply, hash-aggregate per output cell
+    (partial map-side combine). Zero cells never materialize.
+
+    One shuffle on the inner key + one on the output cell; pass
+    ``broadcast_right=True`` when B is a small projection/embedding matrix
+    to skip the join shuffle entirely."""
+    lhs = a.select(
+        F.col(row).alias("__r"), F.col(col).alias("__k"), F.col(val).alias("__va")
+    )
+    rhs = b.select(
+        F.col(row).alias("__k"), F.col(col).alias("__c"), F.col(val).alias("__vb")
+    )
+    if broadcast_right:
+        rhs = F.broadcast(rhs)
+    return (
+        lhs.join(rhs, on="__k")
+        .groupBy("__r", "__c")
+        .agg(F.sum(F.col("__va") * F.col("__vb")).alias(val))
+        .select(F.col("__r").alias(row), F.col("__c").alias(col), F.col(val))
+    )
+
+
+def coo_elementwise(
+    a: DataFrame,
+    b: DataFrame,
+    op: str = "add",
+    row: str = ROW,
+    col: str = COL,
+    val: str = VAL,
+) -> DataFrame:
+    """Elementwise COO arithmetic (csr_matrix `+`/`-`/`.multiply` parity,
+    sparse.py:22). add/sub: full-outer join on the cell key with absent
+    cells as 0 — the result keeps the union of supports. multiply
+    (Hadamard): inner join — zero times anything is an elided zero, so the
+    support intersects and the join prunes instead of padding."""
+    lhs = a.select(row, col, F.col(val).alias("__va"))
+    rhs = b.select(row, col, F.col(val).alias("__vb"))
+    if op == "multiply":
+        out = lhs.join(rhs, on=[row, col]).select(
+            row, col, (F.col("__va") * F.col("__vb")).alias(val)
+        )
+        return out
+    if op not in ("add", "sub"):
+        raise ValueError("op must be add, sub or multiply")
+    sign = F.lit(1.0) if op == "add" else F.lit(-1.0)
+    return (
+        lhs.join(rhs, on=[row, col], how="full_outer")
+        .select(
+            row,
+            col,
+            (
+                F.coalesce(F.col("__va"), F.lit(0.0))
+                + sign * F.coalesce(F.col("__vb"), F.lit(0.0))
+            ).alias(val),
+        )
+    )
+
+
+def coo_scale(coo: DataFrame, alpha: float, val: str = VAL) -> DataFrame:
+    """Scalar multiply — a pure projection, no shuffle."""
+    return coo.withColumn(val, F.col(val) * F.lit(alpha))
+
+
 def coo_to_ml_vectors(coo: DataFrame, size: int, row: str = ROW, col_idx: str = COL, val: str = VAL) -> DataFrame:
     """COO long format → one `pyspark.ml.linalg.SparseVector` per row key
     (the ML-interop path of SURVEY.md §1.1: SparseDataFrame ⇄ Spark ML).

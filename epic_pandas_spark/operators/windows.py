@@ -127,15 +127,49 @@ def split_with_overlap(
     )
 
 
-def even_slices(df: DataFrame, n_slices: int, order_by: Sequence[str], out_col: str = "slice_id") -> DataFrame:
+def even_slices(
+    df: DataFrame,
+    n_slices: int,
+    order_by: Sequence[str],
+    out_col: str = "slice_id",
+    partition_by: Sequence[str] | None = None,
+) -> DataFrame:
     """`gen_slices` (numpy.py:244-294): partition [0,n) rows into
     n_slices contiguous, remainder-balanced batches. In Spark, physical
     batching IS partitioning (`repartition`), so this exists only for when
     explicit batch ids are semantically required — F.ntile replicates the
-    even-with-remainder-spread split exactly, at the cost of a global
-    sort (use sparingly; cite: ntile over an ordered window)."""
-    w = Window.orderBy(*[F.col(c) for c in order_by])
+    even-with-remainder-spread split exactly.
+
+    ``partition_by=None`` is the reference's single-sequence semantic and
+    funnels every row through one ordered window partition — fine at
+    driver-ish sizes, a scale-killer beyond that. At scale pass
+    ``partition_by`` (a shard column): each shard is sliced independently
+    with one shuffle on the shard key and no global sort."""
+    w = _window(partition_by, order_by)
     return df.withColumn(out_col, F.ntile(n_slices).over(w) - 1)
+
+
+def pack_sequences(
+    df: DataFrame,
+    token_col: str,
+    budget: int,
+    order_by: Sequence[str],
+    partition_by: Sequence[str] | None = None,
+    out_col: str = "bin_id",
+) -> DataFrame:
+    """Greedy contiguous sequence packing for training-batch assembly:
+    rows (documents), taken in ``order_by`` order, are packed into bins of
+    ~``budget`` tokens via a running total — bin id = floor((preceding
+    running total - own tokens) / budget). One window pass, no Python.
+
+    ``partition_by=None`` packs the whole frame as one sequence (the
+    semantic spec; single ordered partition — small inputs only). At 100 TB
+    pass a shard column: packing is only ever required within a shard, and
+    the per-shard form shuffles once on the shard key, scales linearly,
+    and emits no single-partition window warnings."""
+    w = _window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
+    running = F.sum(token_col).over(w) - F.col(token_col)
+    return df.withColumn(out_col, F.floor(running / F.lit(float(budget))).cast("long"))
 
 
 def rolling_agg(

@@ -245,6 +245,30 @@ def q_n_distinct_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_ids.agg(F.count_distinct("row_id").alias("n_distinct"))
 
 
+@register("n_distinct_approx", None)  # HLL sketch value is engine-specific → rows-only
+def q_n_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`approx_count_distinct` (HyperLogLog++) twin of `n_distinct_hash` —
+    the 100 TB path: constant memory per partition, partial-merge
+    aggregation, no shuffle of distinct values. The query returns the
+    approx AND exact counts plus `within_bound` (observed relative error
+    vs 3× the requested 2% rsd), so every bench/correctness run witnesses
+    the error bound, not just the row count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    row = li.agg(
+        F.approx_count_distinct(
+            F.concat_ws("", "l_partkey", "l_suppkey"), 0.02
+        ).alias("n_approx"),
+        F.count_distinct("l_partkey", "l_suppkey").alias("n_exact"),
+    )
+    rel_err = F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact")
+    return row.select(
+        "n_approx",
+        "n_exact",
+        F.round(rel_err, 6).alias("rel_err"),
+        (rel_err <= F.lit(0.06)).alias("within_bound"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.5 windows
 # ---------------------------------------------------------------------------
@@ -360,6 +384,32 @@ def q_column_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_sample_at_most_n(spark: SparkSession, sf_dir: str) -> DataFrame:
     ords = load_table(spark, sf_dir, "orders")
     return sample_at_most(ords, n=500, seed=42).agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "sample_with_replacement_n",
+    """
+    SELECT CAST(2000 AS BIGINT) AS n_draws, CAST(0 AS BIGINT) AS n_invalid,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_population
+    """,
+)
+def q_sample_with_replacement_n(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bootstrap sampling (`sample_at_most(replace=True)`, reference
+    utils.py:558-608): 2000 multinomial draws from customer — MORE rows
+    than the sf0.001/0.01 population, which only replacement allows.
+    Oracle checks the count contract (exactly n draws, every draw a real
+    customer row, population untouched); the draw distribution itself is
+    hash-dependent and covered by expectation pytests."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    drawn = sample_at_most(cust, n=2000, replace=True, seed=42)
+    n_draws = drawn.agg(F.count(F.lit(1)).alias("n_draws"))
+    n_invalid = (
+        drawn.select("c_custkey", "c_nationkey")
+        .join(cust, on=["c_custkey", "c_nationkey"], how="left_anti")
+        .agg(F.count(F.lit(1)).alias("n_invalid"))
+    )
+    n_pop = cust.agg(F.count(F.lit(1)).alias("n_population"))
+    return n_draws.crossJoin(n_invalid).crossJoin(n_pop)
 
 
 @register(
@@ -710,6 +760,29 @@ def q_coo_density(spark: SparkSession, sf_dir: str) -> DataFrame:
     return coo_density(_coo(spark, sf_dir)).select(F.round("density", 6).alias("density"))
 
 
+@register(
+    "coo_matmul",
+    f"""
+    WITH coo AS ({_COO_SQL_BASE})
+    SELECT a.row_key AS row_key, b.col_key AS col_key,
+           CAST(SUM(a.value * b.value) AS BIGINT) AS value
+    FROM coo a
+    JOIN (SELECT col_key AS row_key, row_key AS col_key, value FROM coo) b
+      ON a.col_key = b.row_key
+    GROUP BY 1, 2
+    """,
+)
+def q_coo_matmul(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse Gram matrix A @ A^T on the COO tier (operators.sparse.spmm):
+    distributed SpGEMM as join-on-inner-key + per-cell sum — the matmul
+    the reference's SparseDataFrame inherits from csr_matrix
+    (sparse.py:22). Integer count values keep the oracle sum exact."""
+    from epic_pandas_spark.operators.sparse import spmm, coo_transpose
+
+    coo = _coo(spark, sf_dir).localCheckpoint(eager=False)  # A and A^T share one scan
+    return spmm(coo, coo_transpose(coo))
+
+
 # ---------------------------------------------------------------------------
 # alignment predicate (§2.3 alignable)
 # ---------------------------------------------------------------------------
@@ -821,9 +894,10 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("dedup_simhash", None)  # cross-engine-portable hash doesn't exist in SQL → rows-only
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 over 64-bit bag-of-words
-    fingerprints). No oracle: the fingerprint depends on xxhash64, which
-    DuckDB can't reproduce; properties are unit-tested instead
-    (tests/test_extensions.py)."""
+    fingerprints), EXACT via 4×16-bit band blocking (pigeonhole guarantees
+    every hamming≤3 pair shares a band). No oracle: the fingerprint depends
+    on xxhash64, which DuckDB can't reproduce; exactness is proven by a
+    brute-force-vs-banded pytest instead (tests/test_extensions.py)."""
     from epic_pandas_spark.extensions.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
@@ -1486,13 +1560,42 @@ def q_range_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact linear-interpolated quantiles (F.percentile == DuckDB
     quantile_cont). `percentile_approx` is the constant-memory variant at
-    scale; the exact form is oracle-comparable."""
+    scale (see `quantiles_approx`); the exact form is oracle-comparable."""
     li = load_table(spark, sf_dir, "lineitem")
     p = F.percentile("l_extendedprice", F.lit([0.25, 0.5, 0.75]))
     return li.agg(
         F.round(p[0], 6).alias("q25"),
         F.round(p[1], 6).alias("q50"),
         F.round(p[2], 6).alias("q75"),
+    )
+
+
+@register("quantiles_approx", None)  # sketch output is engine-specific → rows-only
+def q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`percentile_approx` (Greenwald-Khanna sketch, accuracy 10000) twin
+    of the exact `quantiles` — the 100 TB path: bounded memory, mergeable
+    partials, no global sort. Computes approx AND exact in one aggregate
+    pass and returns the observed max relative error plus `within_bound`
+    (1% tolerance, far looser than the ~1e-4 rank guarantee), so every
+    bench/correctness run witnesses the bound."""
+    li = load_table(spark, sf_dir, "lineitem")
+    probs = F.lit([0.25, 0.5, 0.75])
+    row = li.agg(
+        F.percentile_approx("l_extendedprice", probs, F.lit(10000)).alias("qa"),
+        F.percentile("l_extendedprice", probs).alias("qe"),
+    )
+    rel = F.zip_with(
+        F.col("qa").cast("array<double>"),
+        F.col("qe"),
+        lambda a, e: F.abs(a - e) / F.abs(e),
+    )
+    max_rel = F.array_max(rel)
+    return row.select(
+        F.round(F.col("qa")[0], 6).alias("q25_approx"),
+        F.round(F.col("qa")[1], 6).alias("q50_approx"),
+        F.round(F.col("qa")[2], 6).alias("q75_approx"),
+        F.round(max_rel, 6).alias("max_rel_err"),
+        (max_rel <= F.lit(0.01)).alias("within_bound"),
     )
 
 
@@ -1566,37 +1669,41 @@ def q_doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sequence_packing",
     """
     WITH toks AS (
-      SELECT doc_id,
+      SELECT doc_id, CAST(doc_id % 8 AS BIGINT) AS shard,
              CASE WHEN length(trim(text)) = 0 THEN 0
                   ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
       FROM documents
     ), packed AS (
-      SELECT doc_id, n_tokens,
-             CAST(FLOOR((SUM(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS bin_id
+      SELECT shard, doc_id, n_tokens,
+             CAST(FLOOR((SUM(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens) / 512.0) AS BIGINT) AS bin_id
       FROM toks
     )
-    SELECT bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
-    FROM packed GROUP BY bin_id
+    SELECT shard, bin_id, COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+    FROM packed GROUP BY shard, bin_id
     """,
 )
 def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy contiguous sequence packing: documents (in stable doc_id
-    order) are packed into 512-token training bins via a running token
-    total — bin id = floor(preceding-total / budget). One window pass; the
-    streaming-friendly packing used for pretraining batch assembly.
-    NOTE: the global ordered window is the semantic spec; at 100 TB the
-    same math runs per shard (partitionBy(shard)) since packing is only
-    required within a shard."""
+    """Shard-aware greedy sequence packing (operators.windows.
+    pack_sequences): within each of 8 shards, documents in stable doc_id
+    order are packed into 512-token training bins via a running token
+    total — bin id = floor(preceding-total / budget). Packing is only ever
+    required within a shard, so the window partitions on the shard key:
+    one shuffle, linear scale-out, no single-partition window. (The
+    global single-sequence form is `partition_by=None`, covered by a
+    shard-vs-global equivalence pytest.)"""
     from epic_pandas_spark.functions.text import token_count_expr
+    from epic_pandas_spark.operators.windows import pack_sequences
 
     docs = load_table(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", token_count_expr(F.col("text")).cast("long").alias("n_tokens"))
-    w = Window.orderBy("doc_id").rowsBetween(Window.unboundedPreceding, 0)
-    packed = toks.withColumn(
-        "bin_id",
-        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / F.lit(512.0)).cast("long"),
+    toks = docs.select(
+        "doc_id",
+        (F.col("doc_id") % 8).cast("long").alias("shard"),
+        token_count_expr(F.col("text")).cast("long").alias("n_tokens"),
     )
-    return packed.groupBy("bin_id").agg(
+    packed = pack_sequences(
+        toks, "n_tokens", 512, order_by=["doc_id"], partition_by=["shard"]
+    )
+    return packed.groupBy("shard", "bin_id").agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("bin_tokens"),
     )

@@ -39,6 +39,35 @@ def test_simhash_pairs_finds_permuted_docs(spark):
     assert [(r["id_a"], r["id_b"]) for r in pairs] == [(1, 2)]
 
 
+def test_simhash_banding_zero_misses_vs_bruteforce(spark):
+    """4-band blocking must be EXACT for hamming <= 3 (pigeonhole: one of
+    the 4 16-bit bands has zero differing bits). Compare against an
+    unblocked all-pairs hamming join on the full sf0.001 documents corpus:
+    identical pair sets, not just counts."""
+    from epic_pandas_spark.extensions.dedup import simhash_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    sh = simhash_table(docs, "text", "doc_id").localCheckpoint()
+    a = sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    brute = (
+        a.join(b, F.col("id_a") < F.col("id_b"))  # nested-loop: test-only oracle
+        .filter(F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))) <= 3)
+        .select("id_a", "id_b")
+    )
+    brute_pairs = {(r["id_a"], r["id_b"]) for r in brute.collect()}
+    banded = simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    banded_pairs = {(r["id_a"], r["id_b"]) for r in banded.collect()}
+    assert banded_pairs == brute_pairs
+    assert brute_pairs, "corpus should contain at least one near-dup pair"
+
+
+def test_simhash_banding_parameter_guard():
+    """max_hamming >= n_bands would silently lose recall — must refuse."""
+    with pytest.raises(ValueError, match="max_hamming < n_bands"):
+        simhash_pairs(None, "text", "id", max_hamming=4, n_bands=4)
+
+
 def test_lsh_finds_identical_vector(spark):
     # an exact duplicate always hashes to the same bucket -> guaranteed hit
     emb = load_table(spark, SF_DIR, "embeddings")

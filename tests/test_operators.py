@@ -88,6 +88,54 @@ def test_sample_deterministic_across_runs(spark):
     assert a == b  # hash-derived randomness is partitioning-invariant
 
 
+def test_sample_with_replacement_exact_n_and_valid_rows(spark):
+    df = spark.createDataFrame([(i, i * 10) for i in range(50)], "k long, v long")
+    out = sample_at_most(df, n=200, replace=True, seed=3).collect()
+    assert len(out) == 200  # n > population only works WITH replacement
+    assert {r["__draw_id"] for r in out} == set(range(200))  # every draw filled once
+    valid = {(i, i * 10) for i in range(50)}
+    assert {(r["k"], r["v"]) for r in out} <= valid  # draws are real rows
+    multiplicities = {}
+    for r in out:
+        multiplicities[r["k"]] = multiplicities.get(r["k"], 0) + 1
+    assert max(multiplicities.values()) > 1  # 200 draws from 50 rows must repeat
+
+
+def test_sample_with_replacement_deterministic_across_partitioning(spark):
+    df = spark.createDataFrame([(i,) for i in range(100)], "k long")
+    a = sorted(r["k"] for r in sample_at_most(df, n=40, replace=True, seed=5).collect())
+    b = sorted(
+        r["k"]
+        for r in sample_at_most(df.repartition(7), n=40, replace=True, seed=5).collect()
+    )
+    assert a == b
+
+
+def test_sample_with_replacement_weighted_expectation(spark):
+    """Weighted multinomial: a row holding 90% of the total weight should
+    receive ~90% of the draws (binomial sd for n=2000, p=0.9 is ~1.3%;
+    the 5% tolerance is ~7 sd — deterministic given the fixed seed)."""
+    df = spark.createDataFrame(
+        [(0, 9.0)] + [(i, 1.0 / 9) for i in range(1, 10)], "k long, w double"
+    )
+    out = sample_at_most(df, n=2000, weights="w", replace=True, seed=11).collect()
+    assert len(out) == 2000
+    heavy = sum(1 for r in out if r["k"] == 0)
+    assert abs(heavy / 2000 - 0.9) < 0.05
+
+
+def test_sample_with_replacement_rejects_empty_and_zero_weight(spark):
+    from epic_pandas_spark.operators.sampling import sample_with_replacement
+
+    empty = spark.createDataFrame([], "k long")
+    with pytest.raises(ValueError, match="empty"):
+        sample_with_replacement(empty, 5).count()
+    zeroed = spark.createDataFrame([(1, 0.0)], "k long, w double")
+    with pytest.raises(ValueError, match="empty"):
+        sample_with_replacement(zeroed, 5, weights="w").count()
+    assert sample_with_replacement(empty.unionByName(empty), 0, seed=1).count() == 0
+
+
 # --- upsert / keyed-frame --------------------------------------------------
 
 def test_upsert_insert_and_update(spark):
@@ -219,6 +267,39 @@ def test_identity_series(spark):
     assert rows == {(5, 5), (7, 7)}
 
 
+def test_iterrows_sized_and_indexed(spark):
+    from epic_pandas_spark.keyed import iterrows
+
+    df = spark.createDataFrame([(1, "a"), (2, "b"), (3, "c")], "k long, v string")
+    it = iterrows(df.repartition(2))
+    assert len(it) == 3  # Sized: progress-bar friendly like the reference
+    assert sorted(r["v"] for r in it) == ["a", "b", "c"]
+    indexed = iterrows(df, key="k", index=True)
+    assert sorted((i, r["v"]) for i, r in indexed) == [(1, "a"), (2, "b"), (3, "c")]
+    multi = iterrows(df, key=["k", "v"], index=True)
+    assert sorted(i for i, _ in multi) == [(1, "a"), (2, "b"), (3, "c")]
+
+
+def test_stack_indices_zips_levels(spark):
+    from epic_pandas_spark.keyed import stack_indices
+
+    a = spark.createDataFrame([(10,), (20,), (30,)], "k long")
+    b = spark.createDataFrame([("x", 1), ("y", 2), ("z", 3)], "name string, k long")
+    out = stack_indices([(a, "k"), (b, ["name", "k"])])
+    assert out.columns == ["k", "name", "k_1"]  # levels in order, dup renamed
+    rows = sorted((r["k"], r["name"], r["k_1"]) for r in out.collect())
+    assert rows == [(10, "x", 1), (20, "y", 2), (30, "z", 3)]
+
+
+def test_stack_indices_length_mismatch_raises(spark):
+    from epic_pandas_spark.keyed import stack_indices
+
+    a = spark.createDataFrame([(1,), (2,)], "k long")
+    b = spark.createDataFrame([(1,)], "j long")
+    with pytest.raises(ValueError, match="same length"):
+        stack_indices([(a, "k"), (b, "j")])
+
+
 def test_even_slices_balanced(spark):
     from epic_pandas_spark.operators import even_slices
 
@@ -226,6 +307,68 @@ def test_even_slices_balanced(spark):
     out = even_slices(df, 3, order_by=["k"]).groupBy("slice_id").count().collect()
     sizes = sorted(r["count"] for r in out)
     assert sizes == [3, 3, 4]
+
+
+def test_even_slices_sharded_matches_global_per_shard(spark):
+    """partition_by slices each shard independently, identically to
+    running the global form on that shard alone — the scale path must be
+    a pure re-partitioning of the semantic spec."""
+    from epic_pandas_spark.operators import even_slices
+
+    df = spark.createDataFrame(
+        [(i, i % 2) for i in range(11)], "k long, shard long"
+    )
+    sharded = {
+        (r["shard"], r["k"]): r["slice_id"]
+        for r in even_slices(df, 3, order_by=["k"], partition_by=["shard"]).collect()
+    }
+    for s in (0, 1):
+        solo = {
+            (s, r["k"]): r["slice_id"]
+            for r in even_slices(
+                df.filter(F.col("shard") == s), 3, order_by=["k"]
+            ).collect()
+        }
+        assert {k: v for k, v in sharded.items() if k[0] == s} == solo
+
+
+def test_pack_sequences_sharded_matches_global_per_shard(spark):
+    """pack_sequences(partition_by=shard) must equal packing each shard
+    with the global (partition_by=None) semantic spec independently."""
+    from epic_pandas_spark.operators import pack_sequences
+
+    rows = [(i, i % 3, (i * 37) % 100 + 1) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, shard long, n long")
+    sharded = {
+        r["doc_id"]: r["bin_id"]
+        for r in pack_sequences(
+            df, "n", 100, order_by=["doc_id"], partition_by=["shard"]
+        ).collect()
+    }
+    expect = {}
+    for s in (0, 1, 2):
+        for r in pack_sequences(
+            df.filter(F.col("shard") == s), "n", 100, order_by=["doc_id"]
+        ).collect():
+            expect[r["doc_id"]] = r["bin_id"]
+    assert sharded == expect
+
+
+def test_pack_sequences_greedy_bins(spark):
+    """Golden check of the running-total bin math: budget 10, token runs
+    4+4 fill bin 0, the 5 that crosses starts at total 8 -> bin 0 (greedy
+    contiguous: a row belongs to the bin its PRECEDING total falls in)."""
+    from epic_pandas_spark.operators import pack_sequences
+
+    df = spark.createDataFrame(
+        [(0, 4), (1, 4), (2, 5), (3, 9), (4, 1)], "doc_id long, n long"
+    )
+    got = [
+        (r["doc_id"], r["bin_id"])
+        for r in pack_sequences(df, "n", 10, order_by=["doc_id"]).orderBy("doc_id").collect()
+    ]
+    # preceding totals: 0, 4, 8, 13, 22 -> bins 0, 0, 0, 1, 2
+    assert got == [(0, 0), (1, 0), (2, 0), (3, 1), (4, 2)]
 
 
 def test_estimate_size_bytes_positive(spark):
@@ -266,6 +409,83 @@ def test_coo_is_square_true_case(spark):
         [("a", "b", 1.0), ("b", "a", 2.0)], "row_key string, col_key string, value double"
     )
     assert coo_is_square(df).first()["is_square"] is True
+
+
+def _random_sparse(rng, shape, density=0.4):
+    """(dense ndarray, COO row list) pair — dense is the test oracle (the
+    csr_matrix arithmetic the reference inherits; no scipy in-container)."""
+    import numpy as np
+
+    dense = rng.standard_normal(shape) * (rng.random(shape) < density)
+    rows = [
+        (int(r), int(c), float(dense[r, c]))
+        for r in range(shape[0])
+        for c in range(shape[1])
+        if dense[r, c] != 0
+    ]
+    return dense, rows
+
+
+def test_spmm_matches_dense_matmul(spark):
+    """spmm must reproduce dense @ on the nonzero support — the exact
+    arithmetic the reference's SparseDataFrame inherits (sparse.py:22)."""
+    import numpy as np
+
+    from epic_pandas_spark.operators.sparse import spmm
+
+    rng = np.random.default_rng(7)
+    a_dense, a_rows = _random_sparse(rng, (8, 6))
+    b_dense, b_rows = _random_sparse(rng, (6, 5))
+    schema = "row_key long, col_key long, value double"
+    da = spark.createDataFrame(a_rows, schema)
+    db = spark.createDataFrame(b_rows, schema)
+    expect = a_dense @ b_dense
+    got = {
+        (r["row_key"], r["col_key"]): r["value"]
+        for r in spmm(da, db, broadcast_right=True).collect()
+        if abs(r["value"]) > 1e-12
+    }
+    expected = {
+        (r, c): float(expect[r, c])
+        for r in range(8)
+        for c in range(5)
+        if abs(expect[r, c]) > 1e-12
+    }
+    assert set(got) == set(expected)
+    for k in expected:
+        assert abs(got[k] - expected[k]) < 1e-9
+
+
+def test_coo_elementwise_matches_dense(spark):
+    import numpy as np
+
+    from epic_pandas_spark.operators.sparse import coo_elementwise
+
+    rng = np.random.default_rng(3)
+    a_dense, a_rows = _random_sparse(rng, (6, 6))
+    b_dense, b_rows = _random_sparse(rng, (6, 6))
+    schema = "row_key long, col_key long, value double"
+    da = spark.createDataFrame(a_rows, schema)
+    db = spark.createDataFrame(b_rows, schema)
+    for op, expect in (
+        ("add", a_dense + b_dense),
+        ("sub", a_dense - b_dense),
+        ("multiply", a_dense * b_dense),
+    ):
+        got = {
+            (r["row_key"], r["col_key"]): r["value"]
+            for r in coo_elementwise(da, db, op=op).collect()
+            if abs(r["value"]) > 1e-12
+        }
+        expected = {
+            (r, c): float(expect[r, c])
+            for r in range(6)
+            for c in range(6)
+            if abs(expect[r, c]) > 1e-12
+        }
+        assert set(got) == set(expected), op
+        for k in expected:
+            assert abs(got[k] - expected[k]) < 1e-9, op
 
 
 def test_char_ngrams_expr(spark):

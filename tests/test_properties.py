@@ -79,3 +79,18 @@ def test_word_ngrams_match_python_reference(spark):
     }
     for i, t in enumerate(cases):
         assert got[i] == py_ngrams(t), (t, got[i], py_ngrams(t))
+
+
+def test_approx_sketch_queries_within_error_bound(spark):
+    """The approx-at-scale twins (`quantiles_approx` via percentile_approx,
+    `n_distinct_approx` via HyperLogLog++) must land inside their declared
+    error bounds — the registry queries compute the bound check themselves
+    (within_bound column) so the driver's rows-only run also exercises it;
+    this test asserts it holds."""
+    from epic_pandas_spark.plans.registry import REGISTRY
+    from tests.conftest import SF_DIR
+
+    for name in ("quantiles_approx", "n_distinct_approx"):
+        row = REGISTRY[name][0](spark, SF_DIR).first()
+        assert row["within_bound"] is True, (name, row.asDict())
+        assert row["max_rel_err" if "quantiles" in name else "rel_err"] >= 0.0
