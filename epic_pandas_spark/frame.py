@@ -71,6 +71,13 @@ class EpicFrame:
     def dropna(self, **kw) -> "EpicFrame":
         return self._wrap(_ops.dropna(self.df, **kw))
 
+    def iterrows(self, index: bool = False):
+        """Sized driver-side row iterator (reference utils.py:845-877);
+        `index=True` keys each row by this frame's key column(s)."""
+        from epic_pandas_spark.keyed import iterrows as _iterrows
+
+        return _iterrows(self.df, key=self.key if index else None, index=index)
+
     # --- §2.9 sampling --------------------------------------------------------
     def sample_at_most(self, n=None, frac=None, **kw) -> "EpicFrame":
         return self._wrap(_ops.sample_at_most(self.df, n=n, frac=frac, **kw))

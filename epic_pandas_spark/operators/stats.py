@@ -92,22 +92,28 @@ def _column_stats_per_column(df: DataFrame, cols, dtypes) -> DataFrame:
 
     profiles = []
     for c in cols:
+        # top-2 via orderBy().limit(2) — Spark plans a TakeOrdered
+        # (per-partition partial top-k + tiny merge), so no global-window
+        # single-partition funnel; rank 1 vs 2 is read back from a sorted
+        # 2-element struct array ((-cnt, v) ascending == cnt desc, v asc)
         top2 = (
             df.filter(F.col(c).isNotNull())
             .groupBy(F.col(c).cast("string").alias("v"))
             .agg(F.count(F.lit(1)).alias("cnt"))
-            .withColumn(
-                "rn",
-                F.row_number().over(Window.orderBy(F.col("cnt").desc(), F.col("v").asc())),
+            .orderBy(F.col("cnt").desc(), F.col("v").asc())
+            .limit(2)
+        )
+        ranked = F.sort_array(
+            F.collect_list(
+                F.struct((-F.col("cnt")).alias("nc"), F.col("v").alias("v"))
             )
-            .filter(F.col("rn") <= 2)
         )
         prof = top2.groupBy().agg(
             F.lit(c).alias("column"),
             F.lit(dtypes[c]).alias("dtype"),
-            F.max(F.when(F.col("rn") == 1, F.col("v"))).alias("top_value"),
-            F.max(F.when(F.col("rn") == 1, F.col("cnt"))).alias("top_count"),
-            F.max(F.when(F.col("rn") == 2, F.col("v"))).alias("second_value"),
+            F.get(ranked, 0)["v"].alias("top_value"),
+            (-F.get(ranked, 0)["nc"]).alias("top_count"),
+            F.get(ranked, 1)["v"].alias("second_value"),
         )
         profiles.append(prof)
     tops = profiles[0]
