@@ -891,6 +891,70 @@ def q_dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
 
 
+@register(
+    "near_dedup_curation",
+    """
+    WITH RECURSIVE ws AS (
+      SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents)
+    ), inv AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM ws WHERE len(sh) > 0
+    ), pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*)::DOUBLE / (a.n + b.n - COUNT(*)) AS jaccard
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      ) WHERE jaccard >= 0.8
+    ), edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ), nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ), labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id)
+    SELECT CAST((SELECT COUNT(*) FROM documents) AS BIGINT) AS n_docs,
+           CAST((SELECT COUNT(*) FROM labels) AS BIGINT) AS n_dup_members,
+           CAST((SELECT COUNT(DISTINCT cluster) FROM labels) AS BIGINT) AS n_clusters,
+           CAST((SELECT COUNT(*) FROM documents)
+                - (SELECT COUNT(*) FROM labels)
+                + (SELECT COUNT(DISTINCT cluster) FROM labels) AS BIGINT) AS n_surviving
+    """,
+)
+def q_near_dedup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end fuzzy-dedup curation — the flagship 100 TB pipeline in
+    one lazy plan: MinHash-LSH candidates → exact-Jaccard verification
+    (τ=0.8) → connected components → keep the min-id doc per cluster →
+    survivor accounting. Every stage is the bucketed/scale-safe variant
+    (banded LSH join, pointer-doubled CC); the oracle replays identical
+    semantics in DuckDB with exact all-pairs Jaccard and a recursive-CTE
+    transitive closure — so the approximate candidate generation is held
+    to the exact answer end-to-end, not just per stage."""
+    from epic_pandas_spark.extensions.dedup import connected_components, minhash_lsh_pairs
+
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8, n_hashes=32, bands=16)
+    labels = connected_components(pairs)
+    stats = labels.agg(
+        F.count(F.lit(1)).alias("n_dup_members"),
+        F.count_distinct("cluster").alias("n_clusters"),
+    )
+    totals = docs.agg(F.count(F.lit(1)).alias("n_docs"))
+    return totals.crossJoin(stats).select(
+        "n_docs",
+        "n_dup_members",
+        "n_clusters",
+        (F.col("n_docs") - F.col("n_dup_members") + F.col("n_clusters")).alias("n_surviving"),
+    )
+
+
 @register("dedup_simhash", None)  # cross-engine-portable hash doesn't exist in SQL → rows-only
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 over 64-bit bag-of-words
@@ -1430,11 +1494,25 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF coarse-quantization ANN (extensions.similarity.ivf_knn):
     recall-vs-bruteforce properties are unit-tested; full-probe equals
-    exact search."""
+    exact search (oracle-proven by `ivf_knn_fullprobe`)."""
     from epic_pandas_spark.extensions.similarity import ivf_knn
 
     emb = load_table(spark, sf_dir, "embeddings")
     return ivf_knn(emb, emb.filter(F.col("vec_id") < 5), n_centroids=8, n_probe=4, k=5)
+
+
+@register("ivf_knn_fullprobe", _KNN_ORACLE_SQL)
+def q_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF with n_probe == n_centroids degenerates to exact search — the
+    oracle-checkable correctness anchor for the IVF machinery (list
+    assignment, probe join, final top-k) against the same DuckDB exact-knn
+    oracle as `knn_bruteforce`. The approximate operating point
+    (`ivf_knn`, n_probe < n_centroids) differs only in the probe count."""
+    from epic_pandas_spark.extensions.similarity import ivf_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    out = ivf_knn(emb, emb.filter(F.col("vec_id") < 5), n_centroids=8, n_probe=8, k=5)
+    return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
 @register(

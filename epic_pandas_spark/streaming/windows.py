@@ -87,6 +87,55 @@ def sessionize(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str = "ts",
+    right_ts: str = "ts",
+    max_delay: str = "15 minutes",
+    watermark: str = "30 minutes",
+    how: str = "inner",
+) -> DataFrame:
+    """Stream-stream (or batch) interval join: match right rows to left
+    rows sharing the key columns with ``right_ts`` inside
+    ``[left_ts, left_ts + max_delay]`` — the attribution-style join
+    (click→conversion, request→response).
+
+    On streams, both sides get the watermark and the time bound lives in
+    the JOIN CONDITION itself — that is what lets Spark compute how long
+    buffered rows can possibly still match and evict join state, the
+    requirement for a bounded-memory stream-stream join. The identical
+    plan runs on batch frames (state machinery compiles away), giving the
+    stream==batch equivalence the rest of this module guarantees.
+
+    Right-side non-key columns that collide with left names come back
+    prefixed ``r_``."""
+    lw = left.withWatermark(left_ts, watermark) if left.isStreaming else left
+    rw = right.withWatermark(right_ts, watermark) if right.isStreaming else right
+    rename = {
+        c: f"r_{c}" for c in right.columns if c in left.columns and c not in on
+    }
+    for old, new in rename.items():
+        rw = rw.withColumnRenamed(old, new)
+    rts = rename.get(right_ts, right_ts)
+    cond = None
+    for k in on:
+        term = lw[k] == rw[k]
+        cond = term if cond is None else (cond & term)
+    cond = (
+        cond
+        & (rw[rts] >= lw[left_ts])
+        & (rw[rts] <= lw[left_ts] + F.expr(f"INTERVAL {max_delay}"))
+    )
+    joined = lw.join(rw, cond, how)
+    # drop the duplicated right-side key columns
+    keep = [lw[c] for c in left.columns] + [
+        rw[rename.get(c, c)] for c in right.columns if c not in on
+    ]
+    return joined.select(*keep)
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming query synchronously into an in-memory table (the
     test/demo sink). Returns the query handle after all available input is

@@ -169,3 +169,40 @@ def test_stream_static_enrichment_join(spark, event_stream):
         assert got == want
     finally:
         q.stop()
+
+
+def test_interval_join_stream_matches_batch(spark, event_stream):
+    """Stream-stream interval join (time bound in the join condition →
+    evictable state) must produce exactly the batch join's pairs."""
+    from epic_pandas_spark.streaming.windows import interval_join
+
+    stream, batch = event_stream
+    types = sorted(r["event_type"] for r in batch.select("event_type").distinct().collect())
+    ta, tb = types[0], types[1]
+
+    def split(df):
+        return (
+            df.filter(F.col("event_type") == ta),
+            df.filter(F.col("event_type") == tb),
+        )
+
+    bl, br = split(batch)
+    want = {
+        (r["event_id"], r["r_event_id"])
+        for r in interval_join(bl, br, on=["user_id"], max_delay="10 minutes").collect()
+    }
+    assert want, "fixture should produce at least one joined pair"
+
+    sl, sr = split(_normalize_events(stream))
+    out = interval_join(
+        sl, sr, on=["user_id"], max_delay="10 minutes", watermark="10 hours"
+    )
+    q = run_stream_to_memory(out, "ij_out")
+    try:
+        got = {
+            (r["event_id"], r["r_event_id"])
+            for r in spark.sql("SELECT event_id, r_event_id FROM ij_out").collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
