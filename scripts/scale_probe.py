@@ -23,7 +23,31 @@ PROBE_QUERIES = [
     "tpch_q1", "tpch_q3", "tpch_q5", "tpch_q6",
     "value_counts", "topk_customers", "cumsum_diff",
     "drop_duplicates_keep_first", "sessionize",
+    "coo_matmul", "grouped_demean", "rolling_mean",
 ]
+
+
+def extra_ops(spark, sf_dir: str):
+    """Operators without a fact-table registry query, probed directly on
+    the replicated tables (the registry versions run on the small dims)."""
+    from epic_pandas_spark.operators import pack_sequences
+    from epic_pandas_spark.operators.sampling import sample_with_replacement
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "user_id", "ts", "value")
+        .withColumn("shard", F.pmod(F.col("user_id"), F.lit(64)))
+        .withColumn("n", (F.col("value") * 10 + 1).cast("long"))
+    )
+    return {
+        "sample_with_replacement": lambda: sample_with_replacement(li, 5000, seed=1),
+        "pack_sequences_sharded": lambda: pack_sequences(
+            ev, "n", 4096, order_by=["ts", "event_id"], partition_by=["shard"]
+        ),
+    }
 
 
 def build(spark, src: str, dst: str, factor: int) -> None:
@@ -56,6 +80,10 @@ def time_queries(spark, sf_dir: str) -> dict[str, float]:
         fn, _ = REGISTRY[name]
         t0 = time.perf_counter()
         fn(spark, sf_dir).count()
+        out[name] = round(time.perf_counter() - t0, 3)
+    for name, thunk in extra_ops(spark, sf_dir).items():
+        t0 = time.perf_counter()
+        thunk().count()
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 

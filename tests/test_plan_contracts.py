@@ -7,6 +7,7 @@ from epic_pandas_spark.plans.inspect import (
     assert_plan,
     count_shuffles,
     join_strategies,
+    physical_plan,
     pushed_filters,
     read_schemas,
 )
@@ -51,3 +52,54 @@ def test_exact_dedup_shuffles_fingerprint_not_text(spark):
     docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     df = exact_dedup(docs, "text", "doc_id")
     assert count_shuffles(df) == 1
+
+
+def test_sample_with_replacement_broadcasts_draws(spark):
+    """The corpus must never shuffle: the aggregated draw table is the
+    broadcast side of the candidate join (docstring's scale claim)."""
+    from epic_pandas_spark.operators.sampling import sample_with_replacement
+
+    ords = load_table(spark, SF_DIR, "orders")
+    df = sample_with_replacement(ords, 100, seed=1)
+    plan = physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_spmm_broadcast_right_no_shuffle_join(spark):
+    from epic_pandas_spark.operators.sparse import spmm
+
+    coo = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(
+            (F.col("o_custkey") % 10).alias("row_key"),
+            (F.col("o_orderkey") % 10).alias("col_key"),
+        )
+        .agg(F.count(F.lit(1)).alias("value"))
+    )
+    df = spmm(coo, coo, broadcast_right=True)
+    assert "BroadcastHashJoin" in join_strategies(df)
+
+
+def test_simhash_banded_join_no_cartesian(spark):
+    """Band blocking must plan as an equi-join on (band, bval) — never a
+    cartesian/nested-loop pair enumeration."""
+    from epic_pandas_spark.extensions.dedup import simhash_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = physical_plan(simhash_pairs(docs, "text", "doc_id"))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pack_sequences_sharded_no_single_partition_exchange(spark):
+    """partition_by must hash-partition the window on the shard key, not
+    funnel through Exchange SinglePartition."""
+    from epic_pandas_spark.operators import pack_sequences
+
+    docs = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", (F.col("doc_id") % 8).alias("shard"), F.length("text").alias("n")
+    )
+    plan = physical_plan(
+        pack_sequences(docs, "n", 512, order_by=["doc_id"], partition_by=["shard"])
+    )
+    assert "SinglePartition" not in plan
