@@ -58,7 +58,10 @@ def kmeans_fit(
     centroids = [list(r["v"]) for r in init_rows]
     prev_inertia = math.inf
     for _ in range(max_iterations):
-        assigned = assign_clusters(df, centroids, vec_col)
+        # lazy checkpoint: the iteration takes TWO actions on the
+        # assignment (mean sums + inertia) — materialize the scored rows
+        # once instead of re-running the k×N cross-scoring for each
+        assigned = assign_clusters(df, centroids, vec_col).localCheckpoint(eager=False)
         sums = (
             assigned.select(
                 "cluster",

@@ -137,44 +137,34 @@ def identity_series(df: DataFrame, key: str | Sequence[str] | None = None, value
 
 
 def alignable_frame(df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | None = None) -> DataFrame:
-    """Lazy single-plan `alignable`: a 1-row DataFrame with the boolean,
-    composed from three aggregates cross-joined (each 1 row) — one Spark
-    action for the whole check instead of the eager variant's three
-    driver round-trips. Use this inside larger plans; `alignable()`
-    remains the eager convenience."""
+    """Lazy single-plan `alignable`: a 1-row DataFrame with the boolean.
+
+    Fused formulation: each side aggregates ONCE to per-key
+    multiplicities, then one full-outer join checks everything —
+    uniqueness is "every key count is exactly 1 on both sides" and
+    key-set equality is "no join side is null". Null keys never
+    equi-join, so they surface as mismatches, matching the reference's
+    nulls-disqualify rule (utils.py:492-513). 2 scans + 1 join + 1 final
+    aggregate, versus the naive 4 scans + 2 distinct aggregates; empty
+    vs empty stays alignable via the coalesce defaults."""
     keys = as_keys(key)
-
-    def uniq(df):
-        null_counts = sum(
-            (F.coalesce(F.sum(F.col(k).isNull().cast("long")), F.lit(0)) for k in keys),
-            F.lit(0),
-        )
-        return df.agg(
-            (
-                (F.count(F.lit(1)) == F.count_distinct(*[F.col(k) for k in keys]))
-                & (null_counts == 0)
-            ).alias("u")
-        )
-
-    k1 = df1.select(*keys).distinct().withColumn("__l", F.lit(1))
-    k2 = df2.select(*keys).distinct().withColumn("__r", F.lit(1))
-    mism = (
-        k1.join(k2, on=keys, how="full_outer")
-        .agg(
-            (
+    c1 = df1.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c1"))
+    c2 = df2.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c2"))
+    joined = c1.join(c2, on=keys, how="full_outer")
+    return joined.agg(
+        (
+            (F.coalesce(F.max("__c1"), F.lit(1)) == 1)
+            & (F.coalesce(F.max("__c2"), F.lit(1)) == 1)
+            & (
                 F.coalesce(
-                    F.sum((F.col("__l").isNull() | F.col("__r").isNull()).cast("long")),
-                    F.lit(0),  # empty-vs-empty join => alignable, not NULL
+                    F.sum(
+                        (F.col("__c1").isNull() | F.col("__c2").isNull()).cast("long")
+                    ),
+                    F.lit(0),
                 )
                 == 0
-            ).alias("m")
-        )
-    )
-    return (
-        uniq(df1).withColumnRenamed("u", "u1")
-        .crossJoin(uniq(df2).withColumnRenamed("u", "u2"))
-        .crossJoin(mism)
-        .select((F.col("u1") & F.col("u2") & F.col("m")).alias("alignable"))
+            )
+        ).alias("alignable")
     )
 
 
