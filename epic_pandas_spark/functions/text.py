@@ -128,3 +128,33 @@ def word_ngrams_expr(text: Column, n: int = 3, distinct: bool = True) -> Column:
         )
     out = F.filter(acc, lambda x: x.isNotNull())
     return F.array_distinct(out) if distinct else out
+
+
+def build_vocab(
+    df,
+    text_col: str,
+    top_k: int = 1000,
+    min_count: int = 1,
+):
+    """Vocabulary construction for tokenizer training: whitespace-token
+    frequencies over the corpus, ranked by (count desc, token asc) with
+    contiguous ids 0..k-1. The workhorse plan — explode → hash-aggregate
+    (map-side partial counts collapse the per-partition Zipf head, so the
+    shuffle carries |vocab| rows per partition, not |tokens|) → TakeOrdered
+    top-k. The final rank window runs on k rows only."""
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("token")
+    ).filter(F.col("token") != "")
+    counts = (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("count"))
+        .filter(F.col("count") >= min_count)
+        .orderBy(F.col("count").desc(), F.col("token").asc())
+        .limit(top_k)
+    )
+    w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
+    return counts.withColumn("token_id", F.row_number().over(w) - 1)

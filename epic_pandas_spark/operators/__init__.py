@@ -18,6 +18,7 @@ from epic_pandas_spark.operators.sampling import (
     sample_at_most,
     sample_with_distribution,
     sample_with_replacement,
+    split_train_val,
 )
 from epic_pandas_spark.operators.nulls import fillna, dropna
 from epic_pandas_spark.operators.windows import (
@@ -50,6 +51,7 @@ __all__ = [
     "drop_duplicates_by_key", "unique_row_ids",
     "column_stats", "weighted_average",
     "sample_at_most", "sample_with_distribution", "sample_with_replacement",
+    "split_train_val",
     "fillna", "dropna",
     "cumsum", "diff", "smooth_with_gaussian", "split_with_overlap",
     "union_all", "intersect_keys", "symmetric_difference",

@@ -260,3 +260,28 @@ def sample_with_distribution(
         .filter(F.col("__rn") <= F.col("__need"))
         .drop("__u", "__rn", "__need")
     )
+
+
+def split_train_val(
+    df: DataFrame,
+    val_frac: float,
+    by: Sequence[str] | None = None,
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Deterministic train/validation split: tags each row 'train' or
+    'val' from a hash of ``by`` (or the whole row) — a pure projection, no
+    shuffle, stable under any partitioning and across runs, so the split
+    is reproducible on 100 TB without materializing membership tables.
+
+    ``by`` is the leakage boundary: pass the entity key (user id, document
+    source, dedup cluster) and every row of an entity lands in the SAME
+    split — the group-aware split that keeps eval honest. Expected (not
+    exact) fractions, the standard trade for a stateless split."""
+    if not (0.0 <= val_frac <= 1.0):
+        raise ValueError("val_frac must be in [0, 1]")
+    cols = [F.col(c) for c in by] if by else [F.col(c) for c in df.columns]
+    u = (F.xxhash64(*cols, F.lit(seed)).cast("double") / F.lit(float(2**64))) + F.lit(0.5)
+    return df.withColumn(
+        out_col, F.when(u < F.lit(val_frac), F.lit("val")).otherwise(F.lit("train"))
+    )

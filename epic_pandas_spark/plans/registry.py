@@ -955,6 +955,72 @@ def q_near_dedup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "vocab_topk",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ), counted AS (
+      SELECT token, COUNT(*) AS count FROM toks WHERE token <> '' GROUP BY token
+    )
+    SELECT token, CAST(count AS BIGINT) AS count, token_id FROM (
+      SELECT token, count,
+             CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token ASC) - 1 AS INT) AS token_id
+      FROM counted
+    ) WHERE token_id < 50
+    """,
+)
+def q_vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary construction (functions.text.build_vocab): top-50
+    whitespace tokens by corpus frequency with contiguous ids — the
+    tokenizer-training workhorse. Map-side partial counts collapse the
+    Zipf head before the shuffle; the rank window only ever sees the
+    k surviving rows."""
+    from epic_pandas_spark.functions.text import build_vocab
+
+    docs = load_table(spark, sf_dir, "documents")
+    return build_vocab(docs, "text", top_k=50)
+
+
+@register(
+    "train_val_split",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_rows,
+           CAST(0 AS BIGINT) AS n_leaky_groups,
+           TRUE AS partitioned_completely
+    """,
+)
+def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-aware deterministic train/val split
+    (operators.sampling.split_train_val, by=nation → no entity straddles
+    the split boundary). The oracle checks the split CONTRACT — every row
+    tagged, zero leaky groups — since the membership itself is
+    hash-defined; the fraction expectation is property-tested."""
+    from epic_pandas_spark.operators.sampling import split_train_val
+
+    cust = load_table(spark, sf_dir, "customer")
+    tagged = split_train_val(cust, 0.2, by=["c_nationkey"], seed=7)
+    per_group = tagged.groupBy("c_nationkey").agg(
+        F.count_distinct("split").alias("n_splits")
+    )
+    leaky = per_group.agg(
+        F.coalesce(
+            F.sum((F.col("n_splits") > 1).cast("long")), F.lit(0)
+        ).alias("n_leaky_groups")
+    )
+    totals = tagged.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        (
+            F.sum(F.col("split").isin("train", "val").cast("long"))
+            == F.count(F.lit(1))
+        ).alias("partitioned_completely"),
+    )
+    return totals.crossJoin(leaky).select(
+        "n_rows", "n_leaky_groups", "partitioned_completely"
+    )
+
+
 @register("dedup_simhash", None)  # cross-engine-portable hash doesn't exist in SQL → rows-only
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash near-dup pairs (hamming ≤ 3 over 64-bit bag-of-words

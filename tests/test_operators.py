@@ -723,3 +723,36 @@ def test_ffill_bfill_interpolate(spark):
     assert i[0] is None and i[1] == 10.0
     assert i[2] == 20.0 and i[3] == 30.0  # linear between 10 and 40
     assert i[4] == 40.0 and i[5] == 40.0  # trailing carries forward
+
+
+def test_split_train_val_properties(spark):
+    from epic_pandas_spark.operators.sampling import split_train_val
+
+    df = spark.createDataFrame([(i, i % 97) for i in range(5000)], "k long, g long")
+    out = split_train_val(df, 0.25, seed=3)
+    frac = out.filter(F.col("split") == "val").count() / 5000
+    assert abs(frac - 0.25) < 0.05  # expectation, ~8 sd tolerance
+    # deterministic and partitioning-invariant
+    a = {(r["k"], r["split"]) for r in out.collect()}
+    b = {(r["k"], r["split"]) for r in split_train_val(df.repartition(7), 0.25, seed=3).collect()}
+    assert a == b
+    # group-aware: every group entirely in one split
+    by_group = split_train_val(df, 0.25, by=["g"], seed=3)
+    purity = by_group.groupBy("g").agg(F.count_distinct("split").alias("n")).collect()
+    assert all(r["n"] == 1 for r in purity)
+    with pytest.raises(ValueError, match="val_frac"):
+        split_train_val(df, 1.5)
+
+
+def test_build_vocab_ranks_and_ids(spark):
+    from epic_pandas_spark.functions.text import build_vocab
+
+    df = spark.createDataFrame(
+        [("b b b a a c",), ("a b  ",), ("",)], "text string"
+    )
+    rows = build_vocab(df, "text", top_k=2).orderBy("token_id").collect()
+    # a:3, b:4, c:1 -> top-2 is b(0), a(1); empty strings never count
+    assert [(r["token"], r["count"], r["token_id"]) for r in rows] == [
+        ("b", 4, 0),
+        ("a", 3, 1),
+    ]
