@@ -956,6 +956,96 @@ def q_near_dedup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "papply_batch",
+    """
+    SELECT l_orderkey, l_linenumber,
+           ROUND(LN(1 + l_extendedprice), 6) AS log_price
+    FROM lineitem
+    """,
+)
+def q_papply_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`papply` (mapInPandas batch apply, parallel.py §2.11) oracle-checked:
+    a numpy-vectorized kernel per Arrow batch must equal the SQL
+    expression — proving the chunked-parallel-apply surface is
+    value-faithful, like `grouped_demean` does for applyInPandas."""
+    import numpy as np
+    import pandas as pd
+
+    from epic_pandas_spark.parallel import papply
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+
+    def kernel(pdf: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "l_orderkey": pdf["l_orderkey"],
+                "l_linenumber": pdf["l_linenumber"],
+                "log_price": np.log1p(pdf["l_extendedprice"].to_numpy()),
+            }
+        )
+
+    out = papply(li, kernel, "l_orderkey long, l_linenumber int, log_price double")
+    return out.select("l_orderkey", "l_linenumber", F.round("log_price", 6).alias("log_price"))
+
+
+@register(
+    "even_slices_sharded",
+    """
+    SELECT c_custkey,
+           CAST(NTILE(4) OVER (PARTITION BY c_mktsegment ORDER BY c_custkey) - 1 AS INT)
+             AS slice_id
+    FROM customer
+    """,
+)
+def q_even_slices_sharded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """`gen_slices` parity (operators.windows.even_slices) in its
+    scale-out form: remainder-balanced contiguous slices computed per
+    market-segment shard — the window partitions on the shard key, so no
+    single-partition funnel."""
+    from epic_pandas_spark.operators import even_slices
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    out = even_slices(
+        cust, 4, order_by=["c_custkey"], partition_by=["c_mktsegment"]
+    )
+    return out.select("c_custkey", "slice_id")
+
+
+@register(
+    "coo_add",
+    f"""
+    WITH coo AS ({_COO_SQL_BASE}),
+    coo2 AS (
+      SELECT o_custkey % 10 AS row_key, o_orderkey % 7 AS col_key,
+             COUNT(*) AS value
+      FROM orders GROUP BY 1, 2
+    )
+    SELECT COALESCE(a.row_key, b.row_key) AS row_key,
+           COALESCE(a.col_key, b.col_key) AS col_key,
+           ROUND(COALESCE(a.value, 0) + COALESCE(b.value, 0), 6) AS value
+    FROM coo a FULL OUTER JOIN coo2 b
+      ON a.row_key = b.row_key AND a.col_key = b.col_key
+    """,
+)
+def q_coo_add(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Elementwise COO addition over the union of supports
+    (operators.sparse.coo_elementwise, csr `+` parity): full-outer cell
+    join with absent cells as zero."""
+    from epic_pandas_spark.operators.sparse import coo_elementwise
+
+    ords = load_table(spark, sf_dir, "orders")
+    a = _coo(spark, sf_dir)
+    b = ords.groupBy(
+        (F.col("o_custkey") % 10).alias("row_key"),
+        (F.col("o_orderkey") % 7).alias("col_key"),
+    ).agg(F.count(F.lit(1)).alias("value"))
+    out = coo_elementwise(a, b, op="add")
+    return out.select("row_key", "col_key", F.round("value", 6).alias("value"))
+
+
+@register(
     "vocab_topk",
     """
     WITH toks AS (
