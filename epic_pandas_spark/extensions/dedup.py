@@ -76,8 +76,16 @@ def jaccard_pairs(
     sizes = words.select("id", "ws", F.size("ws").alias("n"))
     # the self-join references the inverted index twice; a lazy local
     # checkpoint materializes it once instead of recomputing the shingle
-    # expressions on both branches (measured 8.2s -> 3.0s at 5k docs)
-    inv = sizes.select("id", "n", F.explode("ws").alias("w")).localCheckpoint(eager=False)
+    # expressions on both branches (measured 8.2s -> 3.0s at 5k docs).
+    # Shingles join as 8-byte xxhash64 keys, never as strings — the
+    # shuffle carries fixed-width longs (collision odds ~|shingles|²/2^64,
+    # immaterial; the set semantics are unchanged since shingle arrays are
+    # already distinct per doc).
+    inv = (
+        sizes.select("id", "n", F.explode("ws").alias("w"))
+        .withColumn("w", F.xxhash64("w"))
+        .localCheckpoint(eager=False)
+    )
     if max_doc_freq is not None:
         dfreq = inv.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
         inv = inv.join(F.broadcast(dfreq.filter(F.col("df") <= max_doc_freq)), "w", "left_semi")
