@@ -162,3 +162,65 @@ def coo_to_ml_vectors(coo: DataFrame, size: int, row: str = ROW, col_idx: str = 
         return SparseVector(size, [e["i"] for e in ents], [e["v"] for e in ents])
 
     return assembled.select(F.col(row), to_vec("ents").alias("features"))
+
+
+class CooFrame:
+    """Thin class facade over the COO tier mirroring the reference's
+    `SparseDataFrame` operator surface (sparse.py:22-167 subclasses
+    csr_matrix, so users write `a @ b`, `a + b`, `a.T`, `.density()`).
+    Holds a (row_key, col_key, value) DataFrame; every method delegates to
+    the module-level operators, so plans stay lazy and composable."""
+
+    def __init__(self, df: DataFrame, row: str = ROW, col: str = COL, val: str = VAL):
+        missing = {row, col, val} - set(df.columns)
+        if missing:
+            raise ValueError(f"COO frame missing columns: {sorted(missing)}")
+        self.df = df
+        self._rcv = (row, col, val)
+
+    def _wrap(self, df: DataFrame) -> "CooFrame":
+        return CooFrame(df, *self._rcv)
+
+    @property
+    def T(self) -> "CooFrame":
+        r, c, v = self._rcv
+        return self._wrap(coo_transpose(self.df, row=r, col=c))
+
+    def __matmul__(self, other: "CooFrame") -> "CooFrame":
+        r, c, v = self._rcv
+        return self._wrap(spmm(self.df, other.df, row=r, col=c, val=v))
+
+    def __add__(self, other: "CooFrame") -> "CooFrame":
+        r, c, v = self._rcv
+        return self._wrap(coo_elementwise(self.df, other.df, op="add", row=r, col=c, val=v))
+
+    def __sub__(self, other: "CooFrame") -> "CooFrame":
+        r, c, v = self._rcv
+        return self._wrap(coo_elementwise(self.df, other.df, op="sub", row=r, col=c, val=v))
+
+    def multiply(self, other: "CooFrame") -> "CooFrame":
+        """Elementwise (Hadamard) product, csr_matrix.multiply parity."""
+        r, c, v = self._rcv
+        return self._wrap(coo_elementwise(self.df, other.df, op="multiply", row=r, col=c, val=v))
+
+    def __mul__(self, alpha: float) -> "CooFrame":
+        v = self._rcv[2]
+        return self._wrap(coo_scale(self.df, float(alpha), val=v))
+
+    __rmul__ = __mul__
+
+    def diagonal(self) -> DataFrame:
+        r, c, _ = self._rcv
+        return dfdiag(self.df, row=r, col=c)
+
+    def density(self) -> DataFrame:
+        r, c, _ = self._rcv
+        return coo_density(self.df, row=r, col=c)
+
+    def is_square(self) -> DataFrame:
+        r, c, _ = self._rcv
+        return coo_is_square(self.df, row=r, col=c)
+
+    def todense(self, fill=0.0) -> DataFrame:
+        r, c, v = self._rcv
+        return coo_todense(self.df, row=r, col=c, val=v, fill=fill)

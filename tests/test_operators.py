@@ -756,3 +756,37 @@ def test_build_vocab_ranks_and_ids(spark):
         ("b", 4, 0),
         ("a", 3, 1),
     ]
+
+
+def test_coo_frame_operator_surface(spark):
+    """CooFrame mirrors the reference SparseDataFrame's csr operator
+    syntax: a @ a.T, a + a, a - a, 2 * a, .multiply, .diagonal."""
+    import numpy as np
+
+    from epic_pandas_spark.operators.sparse import CooFrame
+
+    dense = np.array([[1.0, 0.0, 2.0], [0.0, 3.0, 0.0], [4.0, 0.0, 5.0]])
+    rows = [
+        (int(r), int(c), float(dense[r, c]))
+        for r in range(3)
+        for c in range(3)
+        if dense[r, c] != 0
+    ]
+    a = CooFrame(spark.createDataFrame(rows, "row_key long, col_key long, value double"))
+
+    def as_dense(cf):
+        out = np.zeros((3, 3))
+        for r in cf.df.collect():
+            out[r["row_key"], r["col_key"]] = r["value"]
+        return out
+
+    assert np.allclose(as_dense(a @ a.T), dense @ dense.T)
+    assert np.allclose(as_dense(a + a), 2 * dense)
+    assert np.allclose(as_dense(2 * a), 2 * dense)
+    sub = as_dense(a - a)
+    assert np.allclose(sub, 0 * dense)
+    assert np.allclose(as_dense(a.multiply(a)), dense * dense)
+    diag = {r["row_key"]: r["value"] for r in a.diagonal().collect()}
+    assert diag == {0: 1.0, 1: 3.0, 2: 5.0}
+    with pytest.raises(ValueError, match="missing columns"):
+        CooFrame(spark.createDataFrame([(1,)], "x long"))
