@@ -131,11 +131,31 @@ def _column_stats_per_column(df: DataFrame, cols, dtypes) -> DataFrame:
     )
 
 
-def estimate_size_bytes(df: DataFrame) -> int:
-    """Deep-size estimate of a frame — the `sizeof` analog
-    (/root/reference/epic/pandas/utils.py:451-466). Uses Catalyst's
-    optimized-plan statistics (parquet footer sizes × selectivity
-    heuristics), so it costs no job at all; exact bytes are unknowable
-    without materializing, which the reference's recursive
-    sys.getsizeof walk also only approximates."""
-    return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+def estimate_size_bytes(df: DataFrame, method: str = "plan") -> int:
+    """Deep-size of a frame — the `sizeof` analog
+    (/root/reference/epic/pandas/utils.py:451-466).
+
+    method="plan" (default): Catalyst's optimized-plan statistics
+    (parquet footer sizes × selectivity heuristics) — costs no job at
+    all; the right answer for "should I broadcast this?".
+
+    method="arrow": the MEASURED serialized size — one distributed pass
+    summing per-Arrow-batch byte counts via mapInArrow (each task ships
+    back one long, never the data). The honest analog of the reference's
+    recursive getsizeof walk, at the cost of one job."""
+    if method == "plan":
+        return int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    if method != "arrow":
+        raise ValueError("method must be 'plan' or 'arrow'")
+    import pyarrow as pa
+
+    def measure(batches):
+        for batch in batches:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([batch.nbytes], type=pa.int64())], ["nbytes"]
+            )
+
+    row = df.mapInArrow(measure, "nbytes long").agg(
+        F.coalesce(F.sum("nbytes"), F.lit(0)).alias("n")
+    ).first()
+    return int(row["n"])

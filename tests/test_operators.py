@@ -376,7 +376,15 @@ def test_estimate_size_bytes_positive(spark):
     from epic_pandas_spark.session import load_table
     from tests.conftest import SF_DIR
 
-    assert estimate_size_bytes(load_table(spark, SF_DIR, "lineitem")) > 0
+    li = load_table(spark, SF_DIR, "lineitem")
+    assert estimate_size_bytes(li) > 0
+    # measured Arrow size: positive, and a long column of n rows must
+    # serialize to at least 8n bytes
+    n = li.count()
+    measured = estimate_size_bytes(li.select("l_orderkey"), method="arrow")
+    assert measured >= 8 * n
+    with pytest.raises(ValueError, match="method"):
+        estimate_size_bytes(li, method="exact")
 
 
 def test_value_counts_keeps_nulls_when_asked(spark):
