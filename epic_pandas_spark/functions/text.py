@@ -142,6 +142,8 @@ def build_vocab(
     (map-side partial counts collapse the per-partition Zipf head, so the
     shuffle carries |vocab| rows per partition, not |tokens|) → TakeOrdered
     top-k. The final rank window runs on k rows only."""
+    if top_k < 1:
+        raise ValueError("top_k must be >= 1")
     from pyspark.sql import Window
 
     toks = df.select(

@@ -145,6 +145,8 @@ def even_slices(
     driver-ish sizes, a scale-killer beyond that. At scale pass
     ``partition_by`` (a shard column): each shard is sliced independently
     with one shuffle on the shard key and no global sort."""
+    if n_slices < 1:
+        raise ValueError("n_slices must be >= 1")
     w = _window(partition_by, order_by)
     return df.withColumn(out_col, F.ntile(n_slices).over(w) - 1)
 
@@ -167,6 +169,8 @@ def pack_sequences(
     pass a shard column: packing is only ever required within a shard, and
     the per-shard form shuffles once on the shard key, scales linearly,
     and emits no single-partition window warnings."""
+    if budget <= 0:
+        raise ValueError("budget must be positive")
     w = _window(partition_by, order_by).rowsBetween(Window.unboundedPreceding, 0)
     running = F.sum(token_col).over(w) - F.col(token_col)
     return df.withColumn(out_col, F.floor(running / F.lit(float(budget))).cast("long"))

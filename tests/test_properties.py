@@ -94,3 +94,46 @@ def test_approx_sketch_queries_within_error_bound(spark):
         row = REGISTRY[name][0](spark, SF_DIR).first()
         assert row["within_bound"] is True, (name, row.asDict())
         assert row["max_rel_err" if "quantiles" in name else "rel_err"] >= 0.0
+
+
+@given(
+    weights=st.lists(st.floats(0.01, 100.0), min_size=1, max_size=20),
+    n=st.integers(1, 60),
+)
+@settings(max_examples=10, deadline=None)
+def test_sample_with_replacement_always_exact_n(spark, weights, n):
+    """Property: for ANY positive weight vector and draw count, exactly n
+    rows come back and every row is from the population."""
+    from epic_pandas_spark.operators.sampling import sample_with_replacement
+
+    df = spark.createDataFrame(
+        [(i, float(w)) for i, w in enumerate(weights)], "k long, w double"
+    )
+    out = sample_with_replacement(df, n, weights="w", seed=13).collect()
+    assert len(out) == n
+    assert {r["k"] for r in out} <= set(range(len(weights)))
+
+
+@given(
+    tokens=st.lists(st.integers(1, 50), min_size=1, max_size=40),
+    budget=st.integers(10, 200),
+)
+@settings(max_examples=10, deadline=None)
+def test_pack_sequences_bins_are_contiguous_and_bounded(spark, tokens, budget):
+    """Property: bin ids are contiguous non-decreasing in doc order, every
+    bin's PRECEDING-total start is inside its budget window, and only the
+    bin-crossing document can push a bin past the budget."""
+    from epic_pandas_spark.operators import pack_sequences
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(tokens)], "doc_id long, n long"
+    )
+    rows = pack_sequences(df, "n", budget, order_by=["doc_id"]).orderBy("doc_id").collect()
+    bins = [r["bin_id"] for r in rows]
+    assert bins[0] == 0
+    assert all(b2 >= b1 for b1, b2 in zip(bins, bins[1:]))
+    # reconstruct: bin id must equal floor(preceding_total / budget)
+    total = 0
+    for r in rows:
+        assert r["bin_id"] == total // budget
+        total += r["n"]
