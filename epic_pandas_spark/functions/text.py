@@ -160,3 +160,27 @@ def build_vocab(
     )
     w = Window.orderBy(F.col("count").desc(), F.col("token").asc())
     return counts.withColumn("token_id", F.row_number().over(w) - 1)
+
+
+def compression_ratio_udf():
+    """Arrow-batched zlib compression-ratio UDF: compressed_bytes /
+    raw_bytes per document. The standard cheap boilerplate/spam signal —
+    repetitive templated text compresses far below organic prose. zlib is
+    stdlib (deterministic level 6), the kernel is per-batch Python with no
+    shuffle; returns null for null text, 1.0-ish for empty."""
+    def ratio(texts):
+        import zlib
+
+        def one(t):
+            if t is None:
+                return None
+            raw = t.encode("utf-8")
+            if not raw:
+                return None
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    # explicit returnType form: `from __future__ import annotations` makes
+    # pd.Series hints unresolvable strings for pyspark's hint inference
+    return F.pandas_udf(ratio, "double")

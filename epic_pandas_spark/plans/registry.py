@@ -1046,6 +1046,66 @@ def q_coo_add(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "unigram_logprob",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ), tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    vocab AS (SELECT token, COUNT(*) AS c FROM tok GROUP BY token),
+    tot AS (SELECT CAST(SUM(c) AS DOUBLE) AS t FROM vocab)
+    SELECT doc_id, ROUND(AVG(LN(CAST(c AS DOUBLE) / (SELECT t FROM tot))), 6) AS avg_logprob
+    FROM tok JOIN vocab USING (token)
+    GROUP BY doc_id
+    """,
+)
+def q_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy quality score: per-document mean unigram
+    log-probability under the corpus's own unigram LM — the classic
+    cheap filter for rare-token soup / corrupted text. Two-pass plan:
+    token counts (map-side partial agg) then a token-keyed join back;
+    the token table is checkpointed once and scanned for both passes.
+    Fully SQL-expressible, so the oracle is exact."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.split(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " "), " ")
+            ).alias("token"),
+        )
+        .filter(F.col("token") != "")
+        .localCheckpoint(eager=False)  # scanned for the vocab AND the join
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    total = vocab.agg(F.sum("c").cast("double").alias("t"))
+    vocab_p = vocab.crossJoin(F.broadcast(total)).select(
+        "token", (F.log(F.col("c") / F.col("t"))).alias("lp")
+    )
+    return (
+        toks.join(vocab_p, on="token")
+        .groupBy("doc_id")
+        .agg(F.round(F.avg("lp"), 6).alias("avg_logprob"))
+    )
+
+
+@register("compression_quality", None)  # zlib has no DuckDB analog → rows-only
+def q_compression_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """zlib compression-ratio quality signal
+    (functions.text.compression_ratio_udf): repetitive/templated text
+    compresses far below organic prose. Arrow-batched stdlib-zlib kernel;
+    monotonicity and bounds are pytest-verified (no DuckDB zlib)."""
+    from epic_pandas_spark.functions.text import compression_ratio_udf
+
+    docs = load_table(spark, sf_dir, "documents")
+    ratio = compression_ratio_udf()
+    return docs.select(
+        "doc_id", F.round(ratio(F.col("text")), 6).alias("compression_ratio")
+    )
+
+
+@register(
     "vocab_topk",
     """
     WITH toks AS (

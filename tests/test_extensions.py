@@ -248,3 +248,24 @@ def test_sparkml_lsh_agrees_with_custom_neardup(spark):
         if r["datasetA"]["id"] < r["datasetB"]["id"]
     }
     assert (0, 9999) in found  # the planted duplicate pair
+
+
+def test_compression_ratio_bounds_and_monotonicity(spark):
+    """Repetitive text must compress harder than high-entropy text, and
+    ratios stay in sane bounds; null/empty give null."""
+    from epic_pandas_spark.functions.text import compression_ratio_udf
+
+    ratio = compression_ratio_udf()
+    df = spark.createDataFrame(
+        [
+            (1, "spam spam spam spam spam spam spam spam spam spam" * 20),
+            (2, "the quick brown fox jumps over a lazy dog while 42 ships sail east" * 5),
+            (3, None),
+            (4, ""),
+        ],
+        "id long, text string",
+    )
+    got = {r["id"]: r["r"] for r in df.select("id", ratio(F.col("text")).alias("r")).collect()}
+    assert got[3] is None and got[4] is None
+    assert 0 < got[1] < got[2] < 1.2
+    assert got[1] < 0.1  # pure repetition collapses
