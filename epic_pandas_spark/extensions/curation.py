@@ -1,0 +1,281 @@
+"""Corpus-curation operators for LLM training-data pipelines.
+
+Extension tier beyond the reference surface (epic-pandas has no corpus
+layer — SURVEY.md §2 extension scope): benchmark decontamination,
+Gopher-style repetition quality metrics, domain-mixture resampling,
+deterministic global shuffle, and PII scrubbing. Semantics follow the
+published recipes (GPT-3 appendix C: 13-gram decontamination; Gopher
+table A1: repetition thresholds; C4: regex cleaning) re-expressed as
+lazy Spark plans.
+
+Scale design (100 TB / 1000 executors):
+- decontamination broadcasts the EVAL side's n-gram hash set (benchmark
+  suites are MBs; the corpus is not) — the corpus is scanned once with a
+  map-side hash join and never shuffled; only the rare hit rows shuffle
+  for the per-document count.
+- repetition metrics shuffle (doc_id, n, gram-hash) tuples — never text —
+  through two keyed aggregations; both keys include doc_id so skew is
+  bounded by document length, not corpus shape.
+- mixture resampling shuffles once on the domain column (window top-k per
+  stratum); upsampled strata reuse the broadcast-draw with-replacement
+  sampler (operators/sampling.py), so no path materializes a global sort.
+- shuffle_rows is a Spark range-partitioned sort on a 64-bit hash: the
+  planner samples hash bounds, every partition sorts locally — the
+  standard distributed permutation, no single-partition window anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+from epic_pandas_spark.functions.text import word_ngrams_expr
+from epic_pandas_spark.operators.sampling import (
+    _rand_col,
+    allocate_counts,
+    sample_with_replacement,
+)
+
+__all__ = [
+    "ngram_hash_stream",
+    "decontaminate",
+    "repetition_stats",
+    "repetition_filter",
+    "resample_mixture",
+    "shuffle_rows",
+    "scrub_pii_expr",
+]
+
+
+def _norm_words(text: Column) -> Column:
+    """Lower/trim/collapse-whitespace word array — the same normalization
+    `word_ngrams_expr` applies, so 1-gram and n-gram streams agree."""
+    return F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
+
+
+def ngram_hash_stream(
+    df: DataFrame, text_col: str, id_col: str, n: int = 13
+) -> DataFrame:
+    """Per-document stream of DISTINCT word-n-gram 64-bit hashes:
+    ``(id_col, gh)``. The shuffle/join currency for decontamination —
+    8 bytes per gram, never the gram text."""
+    grams = word_ngrams_expr(F.col(text_col), n=n, distinct=True)
+    return df.select(
+        F.col(id_col), F.explode(grams).alias("__g")
+    ).select(id_col, F.xxhash64("__g").alias("gh"))
+
+
+def decontaminate(
+    train: DataFrame,
+    eval_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n: int = 13,
+    min_hits: int = 1,
+) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C / Llama recipe): flag
+    every training document sharing >= ``min_hits`` distinct word
+    ``n``-grams with ANY document of the evaluation set.
+
+    Returns ``train`` + ``n_eval_hits`` (distinct overlapping grams) +
+    boolean ``contaminated``. Filter on ``~contaminated`` to clean, or
+    keep the flag for a contamination report.
+
+    Plan: the eval set collapses to a distinct gram-hash table that is
+    explicitly broadcast; the corpus gram stream probes it map-side, so
+    the full corpus is never shuffled — only matching (id, gh) pairs move
+    to the count, and the final attach is a left join on the id."""
+    eval_hashes = (
+        ngram_hash_stream(eval_df, text_col, id_col, n=n).select("gh").distinct()
+    )
+    hits = (
+        ngram_hash_stream(train, text_col, id_col, n=n)
+        .join(F.broadcast(eval_hashes), on="gh", how="inner")
+        .groupBy(id_col)
+        .agg(F.count_distinct("gh").alias("n_eval_hits"))
+    )
+    return (
+        train.join(hits, on=id_col, how="left")
+        .withColumn("n_eval_hits", F.coalesce(F.col("n_eval_hits"), F.lit(0)))
+        .withColumn("contaminated", F.col("n_eval_hits") >= F.lit(min_hits))
+    )
+
+
+def repetition_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ns: tuple[int, ...] = (1, 2, 3),
+) -> DataFrame:
+    """Gopher-style per-document repetition metrics, one row per doc with,
+    for each n in ``ns``:
+
+    - ``top{n}_frac`` — fraction of word characters covered by the single
+      heaviest n-gram, where weight = occurrences x gram length. (Gopher
+      uses "most common n-gram"; taking the max of count*length instead
+      makes the metric a deterministic scalar max — no tie-break needed —
+      while ranking pathological repetition identically.)
+    - ``dup{n}_frac`` — fraction of word characters inside n-grams that
+      occur more than once (Gopher's duplicated-n-gram fraction).
+
+    Plan: the tagged gram streams union into ONE (id, n, gram) stream,
+    one groupBy counts occurrences, a second computes the per-(id, n)
+    fractions, and a conditional-agg pivot lands one row per doc. Gram
+    text is hashed to 64 bits before the first shuffle."""
+    streams = []
+    for n in ns:
+        grams = (
+            _norm_words(F.col(text_col))
+            if n == 1
+            else word_ngrams_expr(F.col(text_col), n=n, distinct=False)
+        )
+        streams.append(
+            df.select(
+                F.col(id_col),
+                F.lit(n).alias("__n"),
+                F.explode(grams).alias("__g"),
+            ).select(
+                id_col,
+                "__n",
+                F.xxhash64("__g").alias("__gh"),
+                F.length("__g").alias("__chars"),
+            )
+        )
+    allgrams = streams[0]
+    for s in streams[1:]:
+        allgrams = allgrams.unionByName(s)
+    counts = allgrams.groupBy(id_col, "__n", "__gh").agg(
+        F.count(F.lit(1)).alias("__cnt"), F.first("__chars").alias("__chars")
+    )
+    weight = F.col("__cnt") * F.col("__chars")
+    per_n = counts.groupBy(id_col, "__n").agg(
+        F.sum(weight).alias("__total"),
+        F.max(weight).alias("__top"),
+        F.sum(F.when(F.col("__cnt") > 1, weight).otherwise(F.lit(0))).alias("__dup"),
+    )
+    aggs = []
+    for n in ns:
+        sel = F.col("__n") == n
+        aggs.append(
+            F.round(
+                F.max(F.when(sel, F.col("__top"))) / F.nullif(F.max(F.when(sel, F.col("__total"))), F.lit(0)),
+                6,
+            ).alias(f"top{n}_frac")
+        )
+        aggs.append(
+            F.round(
+                F.max(F.when(sel, F.col("__dup"))) / F.nullif(F.max(F.when(sel, F.col("__total"))), F.lit(0)),
+                6,
+            ).alias(f"dup{n}_frac")
+        )
+    return per_n.groupBy(id_col).agg(*aggs)
+
+
+def repetition_filter(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_top1_frac: float = 0.20,
+    max_top2_frac: float = 0.18,
+    max_dup3_frac: float = 0.60,
+) -> DataFrame:
+    """Attach Gopher-style repetition metrics and a ``keep`` verdict
+    (thresholds default to Gopher table A1's word-level band, tuned for
+    word-salad test corpora via the dup3 bound)."""
+    stats = repetition_stats(df, text_col, id_col, ns=(1, 2, 3))
+    keep = (
+        (F.col("top1_frac") <= max_top1_frac)
+        & (F.col("top2_frac") <= max_top2_frac)
+        & (F.col("dup3_frac") <= max_dup3_frac)
+    )
+    return df.join(stats, on=id_col, how="inner").withColumn("keep", keep)
+
+
+def resample_mixture(
+    df: DataFrame,
+    domain_col: str,
+    weights: dict,
+    n_rows: int,
+    seed: int = 42,
+    allow_upsample: bool = False,
+) -> DataFrame:
+    """Domain-mixture resampling: draw exactly ``n_rows`` rows whose
+    domain distribution matches ``weights`` (largest-remainder exact
+    allocation — the same cumsum-round-diff rule as stratified sampling,
+    reference utils.py:267-271, so allocations are oracle-checkable).
+
+    Domains whose quota exceeds their population raise, unless
+    ``allow_upsample=True`` — then the shortfall domains are drawn WITH
+    replacement (the temperature-upsampling case for rare domains in
+    mixture training), via the broadcast-draw sampler: no global window.
+
+    Plan: one shuffle on the domain column for the window top-k over the
+    downsampled domains; each upsampled domain adds a broadcast-draw scan.
+    Driver state is |domains| counts, never data rows."""
+    counts = allocate_counts(weights, n_rows)
+    avail = {
+        r["v"]: r["n"]
+        for r in df.groupBy(F.col(domain_col).alias("v"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    over = {k: v for k, v in counts.items() if v > avail.get(k, 0)}
+    if over and not allow_upsample:
+        raise ValueError(
+            f"domains {sorted(over)} need more rows than they have "
+            f"(pass allow_upsample=True to draw them with replacement)"
+        )
+    down = {k: v for k, v in counts.items() if k not in over}
+    spark = df.sparkSession
+    parts: list[DataFrame] = []
+    if down:
+        dom_type = dict(df.dtypes)[domain_col]
+        quota = F.broadcast(
+            spark.createDataFrame(
+                list(down.items()), f"{domain_col} {dom_type}, __need long"
+            )
+        )
+        w = Window.partitionBy(domain_col).orderBy(F.col("__u").asc())
+        parts.append(
+            df.withColumn("__u", _rand_col(df, seed))
+            .join(quota, on=domain_col, how="inner")
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") <= F.col("__need"))
+            .select(*df.columns)
+        )
+    for i, (dom, need) in enumerate(sorted(over.items())):
+        drawn = sample_with_replacement(
+            df.filter(F.col(domain_col) == F.lit(dom)), need, seed=seed + 7919 * (i + 1)
+        )
+        parts.append(drawn.select(*df.columns))
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def shuffle_rows(df: DataFrame, seed: int = 42, by: list[str] | None = None) -> DataFrame:
+    """Deterministic global permutation — the training-order shuffle.
+    Rows are totally ordered by ``xxhash64(identity, seed)`` (identity =
+    ``by`` or the whole row), so the permutation is reproducible across
+    runs and independent of input partitioning; changing the seed yields
+    an unrelated order.
+
+    Spark executes the orderBy as range-partition-by-sampled-bounds +
+    per-partition local sort — the scalable distributed shuffle. Write the
+    result with ``maxRecordsPerFile`` for fixed-size training shards."""
+    cols = [F.col(c) for c in (by or df.columns)]
+    return df.orderBy(F.xxhash64(*cols, F.lit(seed)).asc(), *cols)
+
+
+def scrub_pii_expr(text: Column) -> Column:
+    """PII scrubbing as a pure codegen expression chain (C4-style regex
+    cleaning): emails, IPv4 addresses, international-format phone numbers,
+    then bare long digit runs, each replaced by a typed placeholder.
+    Patterns are RE2-compatible (no backreferences/lookahead) so the same
+    regexes run in the DuckDB oracle."""
+    e = F.regexp_replace(
+        text, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"
+    )
+    e = F.regexp_replace(e, r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>")
+    e = F.regexp_replace(e, r"\+\d[\d ().-]{6,}\d", "<PHONE>")
+    return F.regexp_replace(e, r"\b\d{7,}\b", "<NUM>")

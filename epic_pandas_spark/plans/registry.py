@@ -2119,3 +2119,174 @@ def q_grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_orderkey long, l_linenumber int, qty_demeaned double",
     )
     return out.select("l_orderkey", "l_linenumber", F.round("qty_demeaned", 6).alias("qty_demeaned"))
+
+
+# ---------------------------------------------------------------------------
+# corpus-curation tier (extensions/curation.py): decontamination, Gopher
+# repetition rules, mixture resampling, global shuffle, PII scrub
+# ---------------------------------------------------------------------------
+
+@register(
+    "decontamination",
+    """
+    WITH ws AS (
+      SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, greatest(len(w)-7, 0)),
+                       i -> array_to_string(w[i:i+7], ' '))) AS sh
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents)
+    ),
+    tr AS (SELECT doc_id, unnest(sh) AS g FROM ws),
+    ev AS (SELECT DISTINCT unnest(sh) AS g FROM ws WHERE doc_id % 25 = 0)
+    SELECT t.doc_id, CAST(COUNT(DISTINCT t.g) AS BIGINT) AS n_eval_hits
+    FROM tr t JOIN ev ON t.g = ev.g
+    GROUP BY t.doc_id
+    """,
+)
+def q_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (GPT-3 appendix C recipe, word-8-grams
+    here): the eval set is every 25th document — simulating benchmark
+    text leaked into the corpus — and every training doc sharing >=1
+    distinct 8-gram with it is reported with its overlap count. The eval
+    gram-hash table is broadcast; the corpus is never shuffled."""
+    from epic_pandas_spark.extensions.curation import decontaminate
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    eval_df = docs.filter(F.col("doc_id") % 25 == 0)
+    out = decontaminate(docs, eval_df, "text", "doc_id", n=8, min_hits=1)
+    return out.filter(F.col("contaminated")).select("doc_id", "n_eval_hits")
+
+
+@register(
+    "gopher_repetition",
+    """
+    WITH docs_w AS (
+      SELECT doc_id, string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ),
+    g1 AS (SELECT doc_id, 1 AS n, unnest(w) AS g FROM docs_w),
+    g2 AS (SELECT doc_id, 2 AS n,
+                  unnest(list_transform(generate_series(1, greatest(len(w)-1, 0)),
+                                        i -> w[i] || ' ' || w[i+1])) AS g
+           FROM docs_w),
+    g3 AS (SELECT doc_id, 3 AS n,
+                  unnest(list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                                        i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS g
+           FROM docs_w),
+    allg AS (SELECT * FROM g1 UNION ALL SELECT * FROM g2 UNION ALL SELECT * FROM g3),
+    cnts AS (SELECT doc_id, n, g, COUNT(*) AS cnt, length(g) AS chars
+             FROM allg GROUP BY doc_id, n, g),
+    pern AS (SELECT doc_id, n, SUM(cnt * chars) AS total, MAX(cnt * chars) AS top,
+                    SUM(CASE WHEN cnt > 1 THEN cnt * chars ELSE 0 END) AS dup
+             FROM cnts GROUP BY doc_id, n),
+    piv AS (SELECT doc_id,
+      ROUND(MAX(CASE WHEN n = 1 THEN top END)::DOUBLE / NULLIF(MAX(CASE WHEN n = 1 THEN total END), 0), 6) AS top1_frac,
+      ROUND(MAX(CASE WHEN n = 2 THEN top END)::DOUBLE / NULLIF(MAX(CASE WHEN n = 2 THEN total END), 0), 6) AS top2_frac,
+      ROUND(MAX(CASE WHEN n = 3 THEN dup END)::DOUBLE / NULLIF(MAX(CASE WHEN n = 3 THEN total END), 0), 6) AS dup3_frac
+      FROM pern GROUP BY doc_id)
+    SELECT doc_id, top1_frac, top2_frac, dup3_frac,
+           (top1_frac <= 0.20 AND top2_frac <= 0.18 AND dup3_frac <= 0.60) AS keep
+    FROM piv
+    """,
+)
+def q_gopher_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality gate per document: fraction of word
+    characters in the heaviest 1-gram / 2-gram and in duplicated 3-grams,
+    plus the keep verdict at Gopher-band thresholds. One tagged gram
+    stream, two keyed aggregations, gram text hashed before the shuffle."""
+    from epic_pandas_spark.extensions.curation import repetition_filter
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = repetition_filter(docs, "text", "doc_id")
+    return out.select("doc_id", "top1_frac", "top2_frac", "dup3_frac", "keep")
+
+
+@register(
+    "mixture_resample",
+    """
+    WITH dist(lang, p) AS (VALUES ('de', 0.15), ('en', 0.40), ('es', 0.15), ('fr', 0.15), ('zh', 0.15)),
+    alloc AS (
+      SELECT lang,
+             CAST(ROUND(SUM(p) OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) * 300, 0)
+               - COALESCE(ROUND(SUM(p) OVER (ORDER BY lang ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) * 300, 0), 0)
+             AS BIGINT) AS n_sampled
+      FROM dist
+    )
+    SELECT lang, n_sampled FROM alloc
+    """,
+)
+def q_mixture_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixture resampling to target language proportions: the
+    largest-remainder allocation is deterministic, so per-domain sampled
+    counts must equal the oracle's windowed cumsum-round-diff allocation
+    (same count contract as `stratified_sample_counts`). Upsampling of
+    rare domains is exercised in pytest (hash-dependent draws have no SQL
+    twin)."""
+    from epic_pandas_spark.extensions.curation import resample_mixture
+
+    docs = load_table(spark, sf_dir, "documents")
+    weights = {"de": 0.15, "en": 0.40, "es": 0.15, "fr": 0.15, "zh": 0.15}
+    out = resample_mixture(docs, "lang", weights, 300, seed=42)
+    return out.groupBy("lang").agg(F.count(F.lit(1)).alias("n_sampled"))
+
+
+@register(
+    "global_shuffle",
+    """
+    SELECT doc_id, lang, source FROM documents
+    """,
+)
+def q_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle: a range-partitioned sort on
+    xxhash64(row, seed). The oracle proves the permutation contract (the
+    multiset of rows is untouched — nothing dropped or duplicated); order
+    determinism and seed sensitivity are pytest properties, since the hash
+    order has no SQL twin."""
+    from epic_pandas_spark.extensions.curation import shuffle_rows
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    return shuffle_rows(docs, seed=7)
+
+
+@register(
+    "pii_scrub",
+    """
+    SELECT doc_id,
+      regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+        text || ' contact user' || doc_id::VARCHAR || '@example.com from 10.0.'
+             || (doc_id % 256)::VARCHAR || '.7 call +1 415-555-01'
+             || lpad((doc_id % 100)::VARCHAR, 2, '0')
+             || ' ref 90071234' || (doc_id % 10)::VARCHAR || ' end',
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        '\\b\\d{1,3}(\\.\\d{1,3}){3}\\b', '<IP>', 'g'),
+        '\\+\\d[\\d ().-]{6,}\\d', '<PHONE>', 'g'),
+        '\\b\\d{7,}\\b', '<NUM>', 'g') AS scrubbed
+    FROM documents
+    """,
+)
+def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style PII scrubbing as a pure codegen regexp chain. Synthetic
+    PII (email, IPv4, phone, long id) is injected deterministically from
+    doc_id, then scrubbed; the oracle replays the identical injection and
+    RE2-compatible regexes, so every placeholder substitution is
+    value-checked."""
+    from epic_pandas_spark.extensions.curation import scrub_pii_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    injected = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com from 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(".7 call +1 415-555-01"),
+            F.lpad((F.col("doc_id") % 100).cast("string"), 2, "0"),
+            F.lit(" ref 90071234"),
+            (F.col("doc_id") % 10).cast("string"),
+            F.lit(" end"),
+        ).alias("t"),
+    )
+    return injected.select("doc_id", scrub_pii_expr(F.col("t")).alias("scrubbed"))

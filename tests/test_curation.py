@@ -1,0 +1,124 @@
+"""Unit/property tests for the corpus-curation tier
+(extensions/curation.py): semantics the registry oracles can't see —
+hash-order properties of the shuffle, with-replacement upsampling,
+min_hits thresholds, exact repetition fractions on hand-computed docs."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from epic_pandas_spark.extensions.curation import (
+    decontaminate,
+    repetition_stats,
+    resample_mixture,
+    scrub_pii_expr,
+    shuffle_rows,
+)
+
+
+def test_decontaminate_counts_and_threshold(spark):
+    train = spark.createDataFrame(
+        [
+            # shares the full eval 3-gram window twice over -> 2 distinct hits
+            (1, "the quick brown fox jumps"),
+            # shares exactly one 3-gram ("quick brown fox")
+            (2, "a quick brown fox sleeps"),
+            # no overlap
+            (3, "completely unrelated words here"),
+        ],
+        "doc_id long, text string",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, "the quick brown fox")], "doc_id long, text string"
+    )
+    out = decontaminate(train, eval_df, "text", "doc_id", n=3, min_hits=1)
+    rows = {r["doc_id"]: (r["n_eval_hits"], r["contaminated"]) for r in out.collect()}
+    assert rows[1] == (2, True)
+    assert rows[2] == (1, True)
+    assert rows[3] == (0, False)
+
+    strict = decontaminate(train, eval_df, "text", "doc_id", n=3, min_hits=2)
+    flags = {r["doc_id"]: r["contaminated"] for r in strict.collect()}
+    assert flags == {1: True, 2: False, 3: False}
+
+
+def test_repetition_stats_hand_computed(spark):
+    # "aa aa b": words aa(2),b(1) -> total chars 2*2+1=5, top = aa 4, dup = 4
+    # 2-grams "aa aa"(1), "aa b"(1) -> total 5+4=9, top 5, dup 0
+    df = spark.createDataFrame([(1, "aa aa b")], "doc_id long, text string")
+    r = repetition_stats(df, "text", "doc_id", ns=(1, 2)).collect()[0]
+    assert r["top1_frac"] == pytest.approx(4 / 5)
+    assert r["dup1_frac"] == pytest.approx(4 / 5)
+    assert r["top2_frac"] == pytest.approx(5 / 9)
+    assert r["dup2_frac"] == 0.0
+
+
+def test_repetition_stats_no_repetition_doc(spark):
+    df = spark.createDataFrame([(1, "x yy zzz")], "doc_id long, text string")
+    r = repetition_stats(df, "text", "doc_id", ns=(1,)).collect()[0]
+    # heaviest word is zzz: 3 of 6 chars; nothing duplicated
+    assert r["top1_frac"] == pytest.approx(3 / 6)
+    assert r["dup1_frac"] == 0.0
+
+
+def _domains_df(spark, counts: dict):
+    rows = []
+    i = 0
+    for dom, n in counts.items():
+        for _ in range(n):
+            rows.append((i, dom))
+            i += 1
+    return spark.createDataFrame(rows, "id long, dom string")
+
+
+def test_resample_mixture_exact_counts(spark):
+    df = _domains_df(spark, {"a": 50, "b": 30, "c": 20})
+    out = resample_mixture(df, "dom", {"a": 0.5, "b": 0.3, "c": 0.2}, 40, seed=1)
+    got = {r["dom"]: r["n"] for r in out.groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"a": 20, "b": 12, "c": 8}
+    # sampled ids are real rows, no duplicates in the without-replacement path
+    ids = [r["id"] for r in out.select("id").collect()]
+    assert len(ids) == len(set(ids))
+
+
+def test_resample_mixture_infeasible_raises(spark):
+    df = _domains_df(spark, {"a": 50, "b": 2})
+    with pytest.raises(ValueError, match="allow_upsample"):
+        resample_mixture(df, "dom", {"a": 0.5, "b": 0.5}, 40, seed=1)
+
+
+def test_resample_mixture_upsample_with_replacement(spark):
+    df = _domains_df(spark, {"a": 50, "b": 2})
+    out = resample_mixture(
+        df, "dom", {"a": 0.5, "b": 0.5}, 40, seed=1, allow_upsample=True
+    )
+    got = {r["dom"]: r["n"] for r in out.groupBy("dom").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert got == {"a": 20, "b": 20}
+    # the 20 b-rows are drawn with replacement from the 2 real b rows
+    b_ids = {r["id"] for r in out.filter(F.col("dom") == "b").select("id").collect()}
+    assert b_ids <= {50, 51}
+
+
+def test_shuffle_rows_permutation_properties(spark):
+    df = spark.range(500).select(F.col("id"), (F.col("id") % 7).alias("k"))
+    s1 = [r["id"] for r in shuffle_rows(df, seed=1).collect()]
+    s1_again = [r["id"] for r in shuffle_rows(df.repartition(13), seed=1).collect()]
+    s2 = [r["id"] for r in shuffle_rows(df, seed=2).collect()]
+    assert sorted(s1) == list(range(500))          # a permutation
+    assert s1 == s1_again                          # deterministic, partitioning-proof
+    assert s1 != s2                                # seed changes the order
+    assert s1 != list(range(500))                  # actually shuffled
+
+
+def test_scrub_pii_goldens(spark):
+    cases = [
+        ("mail bob.smith+x@corp-mail.io now", "mail <EMAIL> now"),
+        ("from 192.168.0.1 port", "from <IP> port"),
+        ("call +44 (0) 20-7946-0958 today", "call <PHONE> today"),
+        ("ref 900712345 end", "ref <NUM> end"),
+        ("short 123456 stays", "short 123456 stays"),
+        ("no pii at all", "no pii at all"),
+    ]
+    df = spark.createDataFrame([(i, t) for i, (t, _) in enumerate(cases)], "i long, t string")
+    got = {r["i"]: r["s"] for r in df.select("i", scrub_pii_expr(F.col("t")).alias("s")).collect()}
+    for i, (_, want) in enumerate(cases):
+        assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"

@@ -103,3 +103,36 @@ def test_pack_sequences_sharded_no_single_partition_exchange(spark):
         pack_sequences(docs, "n", 512, order_by=["doc_id"], partition_by=["shard"])
     )
     assert "SinglePartition" not in plan
+
+
+def test_decontamination_broadcasts_eval_grams(spark):
+    """The corpus must probe a broadcast eval-gram table map-side — no
+    shuffle of the corpus gram stream into the overlap join."""
+    fn, _ = REGISTRY["decontamination"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "SortMergeJoin" not in plan, "gram overlap join must not sort-merge the corpus"
+
+
+def test_gopher_repetition_no_global_window_or_cartesian(spark):
+    fn, _ = REGISTRY["gopher_repetition"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "Window" not in plan, "repetition metrics are pure keyed aggregates"
+
+
+def test_global_shuffle_is_range_partitioned_sort(spark):
+    """orderBy(hash) must plan as a rangepartitioning exchange + local
+    sort — the distributed permutation, never a single-partition window."""
+    fn, _ = REGISTRY["global_shuffle"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "rangepartitioning" in plan
+    assert "SinglePartition" not in plan
+
+
+def test_pii_scrub_stays_in_codegen(spark):
+    fn, _ = REGISTRY["pii_scrub"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Project" in plan, "scrub chain must be a single projection over the scan"
