@@ -53,15 +53,22 @@ def _norm_words(text: Column) -> Column:
 
 
 def ngram_hash_stream(
-    df: DataFrame, text_col: str, id_col: str, n: int = 13
+    df: DataFrame, text_col: str, id_col: str, n: int = 13, distinct: bool = True
 ) -> DataFrame:
-    """Per-document stream of DISTINCT word-n-gram 64-bit hashes:
-    ``(id_col, gh)``. The shuffle/join currency for decontamination —
-    8 bytes per gram, never the gram text."""
-    grams = word_ngrams_expr(F.col(text_col), n=n, distinct=True)
-    return df.select(
+    """Per-document stream of word-n-gram 64-bit hashes: ``(id_col, gh)``.
+    The shuffle/join currency for decontamination — 8 bytes per gram,
+    never the gram text.
+
+    Dedup happens AFTER hashing (``dropDuplicates`` on the 8-byte pairs),
+    not via ``array_distinct`` on the gram strings: long-gram string
+    comparison is quadratic per doc and measured 3× the cost of the whole
+    hash stream at n=8. Pass ``distinct=False`` when the consumer's
+    aggregate already dedups (e.g. a downstream count_distinct)."""
+    grams = word_ngrams_expr(F.col(text_col), n=n, distinct=False)
+    out = df.select(
         F.col(id_col), F.explode(grams).alias("__g")
     ).select(id_col, F.xxhash64("__g").alias("gh"))
+    return out.dropDuplicates([id_col, "gh"]) if distinct else out
 
 
 def decontaminate(
@@ -85,10 +92,12 @@ def decontaminate(
     the full corpus is never shuffled — only matching (id, gh) pairs move
     to the count, and the final attach is a left join on the id."""
     eval_hashes = (
-        ngram_hash_stream(eval_df, text_col, id_col, n=n).select("gh").distinct()
+        ngram_hash_stream(eval_df, text_col, id_col, n=n, distinct=False)
+        .select("gh")
+        .distinct()
     )
     hits = (
-        ngram_hash_stream(train, text_col, id_col, n=n)
+        ngram_hash_stream(train, text_col, id_col, n=n, distinct=False)
         .join(F.broadcast(eval_hashes), on="gh", how="inner")
         .groupBy(id_col)
         .agg(F.count_distinct("gh").alias("n_eval_hits"))

@@ -24,6 +24,9 @@ PROBE_QUERIES = [
     "value_counts", "topk_customers", "cumsum_diff",
     "drop_duplicates_keep_first", "sessionize",
     "coo_matmul", "grouped_demean", "rolling_mean",
+    # curation tier over the replicated documents table
+    "decontamination", "gopher_repetition", "pii_scrub",
+    "global_shuffle", "mixture_resample",
 ]
 
 
@@ -55,6 +58,9 @@ def build(spark, src: str, dst: str, factor: int) -> None:
         "lineitem": ["l_orderkey"],
         "orders": ["o_orderkey", "o_custkey"],
         "events": ["event_id", "user_id"],
+        # 10M is a multiple of 25, so the shifted copies keep the same
+        # doc_id%25 eval membership in the decontamination probe
+        "documents": ["doc_id"],
     }
     for t, key_cols in shifted.items():
         df = load_table(spark, src, t)
@@ -68,7 +74,7 @@ def build(spark, src: str, dst: str, factor: int) -> None:
         for p in parts[1:]:
             out = out.unionByName(p)
         out.write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
-    for t in ["customer", "supplier", "part", "nation", "region", "documents", "embeddings"]:
+    for t in ["customer", "supplier", "part", "nation", "region", "embeddings"]:
         load_table(spark, src, t).write.mode("overwrite").parquet(f"{dst}/{t}.parquet")
 
 

@@ -206,3 +206,53 @@ def test_interval_join_stream_matches_batch(spark, event_stream):
         assert got == want
     finally:
         q.stop()
+
+
+def test_streaming_decontamination_matches_batch(spark):
+    """Decontamination over a document STREAM: the eval n-gram hash set is
+    static (benchmarks don't change mid-run), so the overlap probe is a
+    stream-static broadcast join + per-doc streaming agg — the exact
+    batch plan, re-run per micro-batch. Flags must match the batch twin."""
+    from epic_pandas_spark.extensions.curation import ngram_hash_stream
+
+    batch = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    eval_df = batch.filter(F.col("doc_id") % 25 == 0)
+    eval_hashes = (
+        ngram_hash_stream(eval_df, "text", "doc_id", n=8, distinct=False)
+        .select("gh")
+        .distinct()
+    )
+
+    stream = (
+        spark.readStream.schema(spark.read.parquet(f"{SF_DIR}/documents.parquet").schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_DIR)
+        .select("doc_id", "text")
+    )
+    # distinct aggs are unsupported on streams: dedup the matched pairs
+    # with stateful dropDuplicates, then a plain count — the standard
+    # rewrite of count_distinct for streaming
+    hits = (
+        ngram_hash_stream(stream, "text", "doc_id", n=8, distinct=False)
+        .join(F.broadcast(eval_hashes), on="gh", how="inner")
+        .dropDuplicates(["doc_id", "gh"])
+        .groupBy("doc_id")
+        .agg(F.count("gh").alias("n_eval_hits"))
+    )
+    q = run_stream_to_memory(hits, "decon_out", output_mode="complete")
+    try:
+        got = {
+            r["doc_id"]: r["n_eval_hits"]
+            for r in spark.sql("SELECT * FROM decon_out").collect()
+        }
+        from epic_pandas_spark.extensions.curation import decontaminate
+
+        want = {
+            r["doc_id"]: r["n_eval_hits"]
+            for r in decontaminate(batch, eval_df, "text", "doc_id", n=8, min_hits=1)
+            .filter(F.col("contaminated"))
+            .collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
