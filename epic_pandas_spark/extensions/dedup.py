@@ -372,3 +372,166 @@ def connected_components(
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning)
     return labels
+
+
+# ---------------------------------------------------------------------------
+# incremental dedup: new batch vs persisted corpus index (no full recompute)
+# ---------------------------------------------------------------------------
+
+def exact_dedup_incremental(
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    store: DataFrame | None = None,
+    reuse: bool = True,
+) -> tuple[DataFrame, DataFrame]:
+    """Incremental exact dedup — the production shape at 100 TB: dedup a
+    NEW batch against the existing corpus's persisted fingerprint store
+    (one 8-byte ``fp`` per historical doc) instead of recomputing over
+    the whole corpus. Returns ``(survivors, updated_store)``.
+
+    Within the batch the min-id row per normalized text wins (same rule
+    as `exact_dedup`); batch canonicals whose fingerprint is already in
+    the store are dropped by an anti-join. The corpus itself is never
+    read — a daily 1 TB increment costs one shuffle of the increment plus
+    an anti-join against the store, not a 100 TB recompute. Persist
+    ``updated_store`` (parquet, optionally bucketed by ``fp`` for a
+    co-located anti-join) between batches.
+
+    ``reuse=True`` lazily checkpoints the deduped batch so materializing
+    BOTH outputs computes the window + anti-join once; pass False when
+    only one output is consumed (keeps the full plan visible too)."""
+    fp = fingerprint_expr(F.col(text_col))
+    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    batch_canon = (
+        new_df.withColumn("__fp", fp)
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    if store is not None:
+        batch_canon = batch_canon.join(
+            store, batch_canon["__fp"] == store["fp"], "left_anti"
+        )
+    if reuse:
+        batch_canon = batch_canon.localCheckpoint(eager=False)  # survivors + store update
+    survivors = batch_canon.drop("__fp")
+    new_fps = batch_canon.select(F.col("__fp").alias("fp"))
+    updated = store.unionByName(new_fps) if store is not None else new_fps
+    return survivors, updated
+
+
+def minhash_index(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_words: int = 3,
+    n_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 7,
+) -> tuple[DataFrame, DataFrame]:
+    """Build the persistable near-dup index of a corpus (or batch):
+    ``(bands_df, shingles_df)`` with schemas ``(id, band, bucket)`` and
+    ``(id, ws array<long>, n)``. Both are id-keyed parquet-friendly
+    frames — the banded signatures drive candidate generation, the
+    hashed shingle sets drive exact-Jaccard verification; together they
+    are ~1-2% of corpus text size, which is what makes incremental
+    near-dedup feasible without re-reading the corpus."""
+    if n_hashes % bands != 0:
+        raise ValueError("bands must divide n_hashes")
+    r = n_hashes // bands
+    words = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_ngrams_expr(F.col(text_col), n=shingle_words).alias("ws"),
+        )
+        .filter(F.size("ws") > 0)
+        .select(
+            "id",
+            F.transform("ws", lambda s: F.xxhash64(s)).alias("ws"),
+        )
+        .select("id", "ws", F.size("ws").alias("n"))
+        .localCheckpoint(eager=False)  # feeds both signatures and the store
+    )
+    signed = minhash_signatures(
+        words.select("id", "ws"), n_hashes=n_hashes, seed=seed
+    )
+    banded = signed.select(
+        "id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(*[F.col(f"s{b * r + j}") for j in range(r)])
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "bucket"),
+    )
+    return banded, words
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    index: tuple[DataFrame, DataFrame] | None = None,
+    shingle_words: int = 3,
+    n_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 7,
+) -> tuple[DataFrame, tuple[DataFrame, DataFrame]]:
+    """Incremental MinHash+LSH near-dup: find all verified pairs with
+    Jaccard >= threshold that INVOLVE the new batch — new-vs-new and
+    new-vs-corpus — without re-pairing the historical corpus against
+    itself. Returns ``(pairs, updated_index)``.
+
+    ``index`` is the corpus index from `minhash_index` (or a previous
+    call's ``updated_index``). Candidate generation joins the new batch's
+    banded signatures against itself AND against the stored bands; exact
+    verification joins hashed shingle sets only for candidate ids. Per
+    batch, cost is O(new x collision-rate), never O(corpus²) — the
+    standing index turns near-dedup into a streaming-friendly operator."""
+    new_bands, new_words = minhash_index(
+        new_df, text_col, id_col, shingle_words, n_hashes, bands, seed
+    )
+    new_bands = new_bands.localCheckpoint(eager=False)  # self-join + store union
+    lhs = new_bands.select(F.col("id").alias("id_a"), "band", "bucket")
+    rhs = new_bands.select(F.col("id").alias("id_b"), "band", "bucket")
+    cand = (
+        lhs.join(rhs, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    all_words = new_words
+    if index is not None:
+        store_bands, store_words = index
+        old = store_bands.select(F.col("id").alias("id_b"), "band", "bucket")
+        cross = (
+            new_bands.select(F.col("id").alias("id_a"), "band", "bucket")
+            .join(old, on=["band", "bucket"])
+            .select("id_a", "id_b")
+        )
+        cand = cand.unionByName(cross)
+        all_words = new_words.unionByName(store_words)
+    cand = cand.dropDuplicates(["id_a", "id_b"])
+    wa = all_words.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a"))
+    wb = all_words.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b"))
+    verified = cand.join(wa, "id_a").join(wb, "id_b")
+    jac = (
+        F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
+        / F.size(F.array_union("ws_a", "ws_b"))
+    )
+    pairs = (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+    if index is not None:
+        updated = (
+            index[0].unionByName(new_bands),
+            index[1].unionByName(new_words),
+        )
+    else:
+        updated = (new_bands, new_words)
+    return pairs, updated

@@ -2290,3 +2290,106 @@ def q_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("t"),
     )
     return injected.select("doc_id", scrub_pii_expr(F.col("t")).alias("scrubbed"))
+
+
+@register(
+    "dedup_exact_incremental",
+    """
+    WITH store AS (
+      SELECT DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM documents WHERE doc_id % 2 = 0
+    ),
+    newb AS (
+      SELECT doc_id, text FROM documents WHERE doc_id % 2 = 1
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 10 = 0
+      UNION ALL
+      SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 10 = 1
+    ),
+    canon AS (
+      SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id,
+             regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+      FROM newb GROUP BY 2
+    )
+    SELECT doc_id FROM canon WHERE t NOT IN (SELECT t FROM store)
+    """,
+)
+def q_dedup_exact_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental exact dedup: the even docs are the existing corpus
+    (persisted as an 8-byte-per-doc fingerprint store); the new batch is
+    the odd docs plus injected duplicates of BOTH sides (copies of store
+    docs under +1M ids, copies of batch docs under +2M ids). Survivors
+    must be exactly the batch canonicals whose text the store has never
+    seen — the corpus itself is never re-read."""
+    from epic_pandas_spark.extensions.dedup import exact_dedup_incremental
+    from epic_pandas_spark.functions.text import fingerprint_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = (
+        docs.filter(F.col("doc_id") % 2 == 0)
+        .select(fingerprint_expr(F.col("text")).alias("fp"))
+        .distinct()
+    )
+    newb = (
+        docs.filter(F.col("doc_id") % 2 == 1)
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 0).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(1000000)
+            )
+        )
+        .unionByName(
+            docs.filter(F.col("doc_id") % 10 == 1).withColumn(
+                "doc_id", F.col("doc_id") + F.lit(2000000)
+            )
+        )
+    )
+    survivors, _updated = exact_dedup_incremental(
+        newb, "text", "doc_id", store=store, reuse=False
+    )
+    return survivors.select("doc_id")
+
+
+@register(
+    "dedup_minhash_incremental",
+    """
+    WITH ws AS (
+      SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, greatest(len(w)-2, 0)),
+                       i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])) AS sh
+      FROM (SELECT doc_id,
+                   string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+            FROM documents)
+    ), inv AS (
+      SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM ws WHERE len(sh) > 0
+    )
+    SELECT id_a, id_b, ROUND(jaccard, 6) AS jaccard FROM (
+      SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             COUNT(*)::DOUBLE / (a.n + b.n - COUNT(*)) AS jaccard
+      FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id, a.n, b.n
+    ) WHERE jaccard >= 0.8 AND (id_a % 2 = 1 OR id_b % 2 = 1)
+    """,
+)
+def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash+LSH near-dup: the even docs' persisted index
+    (banded signatures + hashed shingle sets) stands for the corpus; the
+    odd docs arrive as a new batch. All verified pairs involving the
+    batch — new-vs-new AND new-vs-corpus — must equal the exact all-pairs
+    Jaccard answer restricted to odd-involving pairs, while the plan
+    never re-pairs the corpus against itself."""
+    from epic_pandas_spark.extensions.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    corpus_index = minhash_index(docs.filter(F.col("doc_id") % 2 == 0), "text", "doc_id")
+    newb = docs.filter(F.col("doc_id") % 2 == 1)
+    pairs, _updated = minhash_lsh_pairs_incremental(
+        newb, "text", "doc_id", threshold=0.8, index=corpus_index
+    )
+    return pairs.select(
+        F.least("id_a", "id_b").alias("id_a"),
+        F.greatest("id_a", "id_b").alias("id_b"),
+        F.round("jaccard", 6).alias("jaccard"),
+    )

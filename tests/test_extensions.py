@@ -269,3 +269,77 @@ def test_compression_ratio_bounds_and_monotonicity(spark):
     assert got[3] is None and got[4] is None
     assert 0 < got[1] < got[2] < 1.2
     assert got[1] < 0.1  # pure repetition collapses
+
+
+def test_exact_dedup_incremental_store_chaining(spark):
+    """Multi-batch chaining: batch2 re-sending batch1's texts (and the
+    original corpus texts) must produce zero survivors, and the store
+    grows by exactly the survivor count each round."""
+    from epic_pandas_spark.extensions.dedup import exact_dedup_incremental
+
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta"), (2, "gamma delta")], "doc_id long, text string"
+    )
+    from epic_pandas_spark.functions.text import fingerprint_expr
+
+    store = corpus.select(fingerprint_expr(F.col("text")).alias("fp")).distinct()
+    batch1 = spark.createDataFrame(
+        [
+            (10, "ALPHA   beta"),      # dup of corpus (normalization)
+            (11, "epsilon zeta"),      # new
+            (12, "epsilon zeta"),      # within-batch dup, larger id loses
+            (13, "eta theta"),         # new
+        ],
+        "doc_id long, text string",
+    )
+    surv1, store1 = exact_dedup_incremental(batch1, "text", "doc_id", store=store)
+    assert sorted(r["doc_id"] for r in surv1.collect()) == [11, 13]
+    assert store1.count() == store.count() + 2
+
+    batch2 = spark.createDataFrame(
+        [(20, "epsilon zeta"), (21, "gamma  delta")], "doc_id long, text string"
+    )
+    surv2, store2 = exact_dedup_incremental(batch2, "text", "doc_id", store=store1)
+    assert surv2.count() == 0
+    assert store2.count() == store1.count()
+
+    # no store: pure within-batch dedup
+    surv0, store0 = exact_dedup_incremental(batch1, "text", "doc_id", store=None)
+    assert sorted(r["doc_id"] for r in surv0.collect()) == [10, 11, 13]
+    assert store0.count() == 3
+
+
+def test_minhash_incremental_cross_batch_pairs(spark):
+    """A new-batch doc near-identical to a corpus doc must pair with it
+    through the stored index, and the updated index must catch a
+    LATER batch duplicating a batch-1 doc."""
+    from epic_pandas_spark.extensions.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "z y x w v u t s r q")],
+        "doc_id long, text string",
+    )
+    idx = minhash_index(corpus, "text", "doc_id")
+    batch1 = spark.createDataFrame(
+        [(10, "a b c d e f g h i j"), (11, "m n o p m n o p m n o p")],
+        "doc_id long, text string",
+    )
+    pairs1, idx1 = minhash_lsh_pairs_incremental(
+        batch1, "text", "doc_id", threshold=0.8, index=idx
+    )
+    got1 = {(r["id_a"], r["id_b"]) for r in pairs1.collect()}
+    assert (10, 1) in got1 or (1, 10) in got1
+    assert not any(11 in p for p in got1)
+
+    batch2 = spark.createDataFrame(
+        [(20, "m n o p m n o p m n o p")], "doc_id long, text string"
+    )
+    pairs2, _ = minhash_lsh_pairs_incremental(
+        batch2, "text", "doc_id", threshold=0.8, index=idx1
+    )
+    got2 = {(r["id_a"], r["id_b"]) for r in pairs2.collect()}
+    assert (20, 11) in got2 or (11, 20) in got2
+    assert not any(1 in p or 10 in p for p in got2)  # corpus never re-paired with itself

@@ -136,3 +136,13 @@ def test_pii_scrub_stays_in_codegen(spark):
     plan = physical_plan(fn(spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Project" in plan, "scrub chain must be a single projection over the scan"
+
+
+def test_dedup_incremental_no_cartesian_and_anti_join(spark):
+    fn, _ = REGISTRY["dedup_exact_incremental"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan, "store membership must be an anti-join"
+    fn2, _ = REGISTRY["dedup_minhash_incremental"]
+    plan2 = physical_plan(fn2(spark, SF_DIR))
+    assert "CartesianProduct" not in plan2 and "BroadcastNestedLoopJoin" not in plan2
