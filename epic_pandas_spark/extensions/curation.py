@@ -43,6 +43,8 @@ __all__ = [
     "resample_mixture",
     "shuffle_rows",
     "scrub_pii_expr",
+    "filter_by_blocklist",
+    "hashed_feature_scores",
 ]
 
 
@@ -288,3 +290,64 @@ def scrub_pii_expr(text: Column) -> Column:
     e = F.regexp_replace(e, r"\b\d{1,3}(\.\d{1,3}){3}\b", "<IP>")
     e = F.regexp_replace(e, r"\+\d[\d ().-]{6,}\d", "<PHONE>")
     return F.regexp_replace(e, r"\b\d{7,}\b", "<NUM>")
+
+
+def filter_by_blocklist(
+    df: DataFrame,
+    col: str,
+    blocklist: DataFrame,
+    block_col: str | None = None,
+) -> DataFrame:
+    """Blocklist filtering (C4/RefinedWeb drop-by-source step): remove
+    rows whose ``col`` appears in the blocklist. A broadcast anti-join —
+    blocklists (domains, URLs, source tags) are small next to the corpus,
+    so the corpus is scanned once and never shuffled."""
+    bl = blocklist.select(F.col(block_col or col).alias(col)).distinct()
+    return df.join(F.broadcast(bl), on=col, how="left_anti")
+
+
+def hashed_feature_scores(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: DataFrame,
+    n_buckets: int = 1 << 18,
+    bucket_col: str = "bucket",
+    weight_col: str = "w",
+    bias: float = 0.0,
+    bucket_expr=None,
+) -> DataFrame:
+    """fasttext-style linear quality classifier over hashed token
+    features: score = sigmoid(bias + mean(w[hash(token) % n_buckets])).
+    ``weights`` is the trained weight table (bucket -> w), broadcast to
+    the token stream — the standard shape for model-based quality
+    filtering (e.g. a CCNet/LLama-style wiki-vs-crawl classifier) where
+    the model is KBs and the corpus is TBs.
+
+    Plan: explode tokens (map-side), bucket via xxhash64 % n_buckets,
+    broadcast-join the weight table, one per-doc mean — a single keyed
+    aggregation over the corpus; missing buckets contribute weight 0.
+    ``bucket_expr`` (token Column -> bucket Column) overrides the default
+    ``xxhash64 % n_buckets`` — e.g. an arithmetic hash expressible in the
+    SQL oracle, or a trained model's own hashing scheme.
+    Returns ``(id_col, score)`` with score in (0, 1)."""
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    if bucket_expr is None:
+        bucket = F.pmod(F.xxhash64("__tok"), F.lit(n_buckets))
+    else:
+        bucket = bucket_expr(F.col("__tok"))
+    bucketed = toks.select(id_col, bucket.alias(bucket_col))
+    wtab = weights.select(F.col(bucket_col), F.col(weight_col).alias("__w"))
+    z = (
+        bucketed.join(F.broadcast(wtab), on=bucket_col, how="left")
+        .groupBy(id_col)
+        .agg((F.avg(F.coalesce(F.col("__w"), F.lit(0.0))) + F.lit(bias)).alias("__z"))
+    )
+    return z.select(
+        id_col, (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z")))).alias("score")
+    )

@@ -184,3 +184,46 @@ def compression_ratio_udf():
     # explicit returnType form: `from __future__ import annotations` makes
     # pd.Series hints unresolvable strings for pyspark's hint inference
     return F.pandas_udf(ratio, "double")
+
+
+def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 3):
+    """Per-document top-k TF-IDF terms (sklearn smooth-idf convention:
+    ``idf = ln((1+N)/(1+df)) + 1``, tf = raw in-doc count) — the standard
+    keyword/topic signal for corpus exploration and near-dup triage.
+
+    One token pass: per-doc term counts (map-side partial agg), document
+    frequencies derived FROM the tf table (|doc,term| rows, never the
+    token stream again), idf joined back via broadcast (the vocab table
+    is tiny next to the corpus), and a per-doc top-k window with a
+    deterministic (score desc, term asc) tie-break. Returns
+    ``(id_col, token, rank, score)``."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from pyspark.sql import Window
+
+    toks = df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("token"),
+    ).filter(F.col("token") != "")
+    tf = (
+        toks.groupBy(id_col, "token")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=False)  # feeds the df agg AND the score join
+    )
+    dfreq = tf.groupBy("token").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    idf = (
+        dfreq.crossJoin(F.broadcast(n_docs))
+        .select("token", (F.log((1.0 + F.col("n")) / (1.0 + F.col("df"))) + 1.0).alias("idf"))
+    )
+    scored = tf.join(F.broadcast(idf), on="token").select(
+        id_col, "token", (F.col("tf") * F.col("idf")).alias("score")
+    )
+    w = Window.partitionBy(id_col).orderBy(F.col("score").desc(), F.col("token").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(id_col, "token", "rank", "score")
+    )

@@ -2393,3 +2393,105 @@ def q_dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("id_a", "id_b").alias("id_b"),
         F.round("jaccard", 6).alias("jaccard"),
     )
+
+
+@register(
+    "tfidf_top_terms",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ), tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY doc_id, token),
+    dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+    scored AS (
+      SELECT doc_id, token,
+             tf * (LN((1 + (SELECT n FROM n)) / (1 + df)) + 1) AS score
+      FROM tf JOIN dfreq USING (token)
+    ),
+    ranked AS (
+      SELECT doc_id, token, score,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rank
+      FROM scored
+    )
+    SELECT doc_id, token, CAST(rank AS INT) AS rank, ROUND(score, 6) AS score
+    FROM ranked WHERE rank <= 3
+    """,
+)
+def q_tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document (functions.text.tfidf_top_terms):
+    ranking happens on the unrounded double on both sides (identical
+    IEEE ln/mul inputs), rounding only at output, so the deterministic
+    (score desc, token asc) tie-break agrees exactly with the oracle."""
+    from epic_pandas_spark.functions.text import tfidf_top_terms
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = tfidf_top_terms(docs, "text", "doc_id", k=3)
+    return out.select("doc_id", "token", "rank", F.round("score", 6).alias("score"))
+
+
+@register(
+    "blocklist_filter",
+    """
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n
+    FROM documents WHERE source NOT IN ('src3', 'src7', 'src11')
+    GROUP BY source
+    """,
+)
+def q_blocklist_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocklist filtering (C4/RefinedWeb drop-by-source): a broadcast
+    anti-join against the (tiny) blocklist — the corpus scans once and
+    never shuffles for the membership test."""
+    from epic_pandas_spark.extensions.curation import filter_by_blocklist
+
+    docs = load_table(spark, sf_dir, "documents")
+    bl = spark.createDataFrame([("src3",), ("src7",), ("src11",)], "source string")
+    kept = filter_by_blocklist(docs, "source", bl)
+    return kept.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+
+
+@register(
+    "quality_classifier",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ), tok AS (SELECT doc_id, token FROM toks WHERE token <> ''),
+    b AS (
+      SELECT doc_id,
+             (ascii(substr(token, 1, 1)) * 131 + length(token) * 17) % 64 AS bucket
+      FROM tok
+    ),
+    z AS (
+      SELECT doc_id, AVG(((bucket % 11) - 5) / 10.0) AS z FROM b GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(1.0 / (1.0 + EXP(-z)), 6) AS score FROM z
+    """,
+)
+def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filtering (CCNet/fasttext shape): a linear
+    classifier over hashed token features, weight table broadcast to the
+    token stream, one per-doc mean + sigmoid. The demo weight table is
+    synthesized deterministically from the bucket id (w = ((b % 11) - 5)
+    / 10) and the bucket hash is an arithmetic one so the DuckDB oracle
+    replays the identical model — the plumbing (hashed features,
+    broadcast weights, single keyed agg) is exactly what a trained
+    weight table would use."""
+    from epic_pandas_spark.extensions.curation import hashed_feature_scores
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_buckets = 64
+    weights = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        (((F.col("id") % 11) - 5) / 10.0).alias("w"),
+    )
+    bucket_expr = lambda tok: (
+        (F.ascii(F.substring(tok, 1, 1)) * 131 + F.length(tok) * 17) % 64
+    )
+    out = hashed_feature_scores(
+        docs, "text", "doc_id", weights, n_buckets=n_buckets, bucket_expr=bucket_expr
+    )
+    return out.select("doc_id", F.round("score", 6).alias("score"))

@@ -7,6 +7,8 @@ import pytest
 from pyspark.sql import functions as F
 
 from epic_pandas_spark.extensions.curation import (
+    filter_by_blocklist,
+    hashed_feature_scores,
     decontaminate,
     repetition_stats,
     resample_mixture,
@@ -122,3 +124,47 @@ def test_scrub_pii_goldens(spark):
     got = {r["i"]: r["s"] for r in df.select("i", scrub_pii_expr(F.col("t")).alias("s")).collect()}
     for i, (_, want) in enumerate(cases):
         assert got[i] == want, f"case {i}: {got[i]!r} != {want!r}"
+
+
+def test_filter_by_blocklist(spark):
+    df = spark.createDataFrame(
+        [(1, "a.com"), (2, "b.com"), (3, "c.com"), (4, "b.com")], "id long, domain string"
+    )
+    bl = spark.createDataFrame([("b.com",), ("z.com",)], "domain string")
+    kept = filter_by_blocklist(df, "domain", bl)
+    assert sorted(r["id"] for r in kept.collect()) == [1, 3]
+    # blocklist with a differently-named column
+    bl2 = spark.createDataFrame([("c.com",)], "bad string")
+    kept2 = filter_by_blocklist(df, "domain", bl2, block_col="bad")
+    assert sorted(r["id"] for r in kept2.collect()) == [1, 2, 4]
+
+
+def test_hashed_feature_scores_bounds_and_missing_buckets(spark):
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "delta"), (3, "alpha alpha alpha")],
+        "doc_id long, text string",
+    )
+    # empty weight table: every bucket missing -> z = bias -> sigmoid(bias)
+    empty = spark.createDataFrame([], "bucket long, w double")
+    out = {
+        r["doc_id"]: r["score"]
+        for r in hashed_feature_scores(docs, "text", "doc_id", empty, bias=0.0).collect()
+    }
+    assert all(abs(v - 0.5) < 1e-12 for v in out.values())
+    # real weights: scores stay in (0, 1) and repeated-token doc gets the
+    # same score as its single token would
+    w = spark.range(1 << 10).select(
+        F.col("id").alias("bucket"), ((F.col("id") % 3) - 1.0).alias("w")
+    )
+    out2 = {
+        r["doc_id"]: r["score"]
+        for r in hashed_feature_scores(
+            docs, "text", "doc_id", w, n_buckets=1 << 10
+        ).collect()
+    }
+    assert all(0.0 < v < 1.0 for v in out2.values())
+    single = spark.createDataFrame([(9, "alpha")], "doc_id long, text string")
+    s9 = hashed_feature_scores(single, "text", "doc_id", w, n_buckets=1 << 10).collect()[0]["score"]
+    assert abs(out2[3] - s9) < 1e-12  # mean over identical tokens == single token

@@ -137,3 +137,104 @@ def test_pack_sequences_bins_are_contiguous_and_bounded(spark, tokens, budget):
     for r in rows:
         assert r["bin_id"] == total // budget
         total += r["n"]
+
+
+def test_scrub_pii_idempotent_and_clean(spark):
+    """Scrubbing twice equals scrubbing once (placeholders contain no
+    digits/@, so nothing re-matches), and a Python re reference finds no
+    surviving email/IP/long-number in the output — over a grid of
+    generated PII-laced texts in one Spark job."""
+    import random
+    import re
+
+    from pyspark.sql import functions as F
+
+    from epic_pandas_spark.extensions.curation import scrub_pii_expr
+
+    rng = random.Random(7)
+    frags = [
+        "plain words here",
+        "a.b+tag@ex-mail.org",
+        "10.0.0.1",
+        "255.255.255.255",
+        "+1 (415) 555-0142",
+        "+44 20-7946-0958",
+        "123456789012",
+        "short 12345",
+        "v2.0 release",
+        "a@b.co",
+    ]
+    cases = [" ".join(rng.choices(frags, k=rng.randint(1, 6))) for _ in range(40)]
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(cases)], "i long, t string")
+    once = scrub_pii_expr(F.col("t"))
+    got = df.select(
+        "i", once.alias("s1"), scrub_pii_expr(once).alias("s2")
+    ).collect()
+    email = re.compile(r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}")
+    ip = re.compile(r"\b\d{1,3}(\.\d{1,3}){3}\b")
+    longnum = re.compile(r"\b\d{7,}\b")
+    for r in got:
+        assert r["s1"] == r["s2"], ("not idempotent", cases[r["i"]], r["s1"], r["s2"])
+        for pat in (email, ip, longnum):
+            assert not pat.search(r["s1"]), (cases[r["i"]], r["s1"], pat.pattern)
+
+
+def test_decontaminate_matches_python_reference(spark):
+    """Distinct-overlap counts vs a set-based Python reference over random
+    word-salad docs (one Spark job)."""
+    import random
+
+    from epic_pandas_spark.extensions.curation import decontaminate
+
+    rng = random.Random(13)
+    vocab = [f"w{i}" for i in range(12)]
+    train = [(i, " ".join(rng.choices(vocab, k=rng.randint(3, 15)))) for i in range(25)]
+    evald = [(100 + i, " ".join(rng.choices(vocab, k=rng.randint(3, 15)))) for i in range(5)]
+    n = 3
+
+    def grams(t):
+        w = t.split()
+        return {" ".join(w[i : i + n]) for i in range(len(w) - n + 1)}
+
+    eval_grams = set().union(*(grams(t) for _, t in evald)) if evald else set()
+    want = {i: len(grams(t) & eval_grams) for i, t in train}
+
+    tdf = spark.createDataFrame(train, "doc_id long, text string")
+    edf = spark.createDataFrame(evald, "doc_id long, text string")
+    out = decontaminate(tdf, edf, "text", "doc_id", n=n, min_hits=1)
+    got = {r["doc_id"]: r["n_eval_hits"] for r in out.collect()}
+    assert got == want
+
+
+def test_repetition_stats_match_python_reference(spark):
+    """top/dup char fractions vs a Counter-based Python reference over
+    random word lists (one Spark job)."""
+    import random
+    from collections import Counter
+
+    from epic_pandas_spark.extensions.curation import repetition_stats
+
+    rng = random.Random(99)
+    vocab = ["a", "bb", "ccc", "dddd"]
+    docs = [(i, " ".join(rng.choices(vocab, k=rng.randint(2, 20)))) for i in range(30)]
+
+    def py_stats(t, n):
+        w = t.split()
+        grams = [" ".join(w[i : i + n]) for i in range(len(w) - n + 1)]
+        c = Counter(grams)
+        total = sum(cnt * len(g) for g, cnt in c.items())
+        top = max(cnt * len(g) for g, cnt in c.items())
+        dup = sum(cnt * len(g) for g, cnt in c.items() if cnt > 1)
+        return round(top / total, 6), round(dup / total, 6)
+
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = {
+        r["doc_id"]: r for r in repetition_stats(df, "text", "doc_id", ns=(1, 2)).collect()
+    }
+    for i, t in docs:
+        for n in (1, 2):
+            if len(t.split()) < n:
+                continue
+            top, dup = py_stats(t, n)
+            assert abs(got[i][f"top{n}_frac"] - top) < 1e-6, (t, n)
+            assert abs(got[i][f"dup{n}_frac"] - dup) < 1e-6, (t, n)
