@@ -45,6 +45,7 @@ __all__ = [
     "scrub_pii_expr",
     "filter_by_blocklist",
     "hashed_feature_scores",
+    "write_training_shards",
 ]
 
 
@@ -350,4 +351,38 @@ def hashed_feature_scores(
     )
     return z.select(
         id_col, (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z")))).alias("score")
+    )
+
+
+def write_training_shards(
+    df: DataFrame,
+    path: str,
+    shard_rows: int,
+    seed: int = 42,
+    by: list[str] | None = None,
+) -> DataFrame:
+    """Training-data sink: globally shuffle (deterministic, see
+    `shuffle_rows`) and write parquet shards of at most ``shard_rows``
+    rows each, then return a manifest DataFrame ``(shard, n_rows)`` read
+    back from the written files.
+
+    ``maxRecordsPerFile`` makes each writer task roll files at the bound
+    without a pre-count pass, so shard sizing is O(0) extra work on top
+    of the sort's range exchange; the manifest is one scan of the output
+    footers' worth of data. Readers stream shards in filename order and
+    get the seeded permutation back."""
+    if shard_rows < 1:
+        raise ValueError("shard_rows must be >= 1")
+    shuffled = shuffle_rows(df, seed=seed, by=by)
+    (
+        shuffled.write.option("maxRecordsPerFile", shard_rows)
+        .mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    return (
+        spark.read.parquet(path)
+        .select(F.input_file_name().alias("shard"))
+        .groupBy("shard")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
     )

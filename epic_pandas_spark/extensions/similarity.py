@@ -257,3 +257,44 @@ def ivf_knn(
         .filter(F.col("__rn") <= k)
         .select("query_id", id_col, "cosine")
     )
+
+
+def semantic_decontaminate(
+    corpus: DataFrame,
+    eval_df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Embedding-space decontamination (the semantic complement of the
+    n-gram recipe): flag every corpus vector whose cosine to ANY eval-set
+    vector reaches ``threshold`` — catches paraphrased/reformatted
+    benchmark leakage that exact n-gram overlap misses.
+
+    Returns ``(id_col, max_cosine, n_eval_matches)`` for flagged rows.
+
+    Plan: the eval set is broadcast (benchmark suites are thousands of
+    vectors; the corpus is not) and the corpus scans ONCE, scoring each
+    row against all eval vectors with a codegen'd zip_with dot product,
+    then one keyed max/count agg — no shuffle of the corpus, no pairwise
+    corpus join. For eval sets too big to broadcast, pre-block both
+    sides (IVF lists / LSH buckets) and reuse this per block."""
+    from epic_pandas_spark.functions.vectors import cosine_similarity_expr
+
+    ev = eval_df.select(
+        F.col(id_col).alias("__eid"), F.col(vec_col).alias("__ev")
+    )
+    scored = corpus.select(id_col, vec_col).crossJoin(F.broadcast(ev)).select(
+        id_col,
+        cosine_similarity_expr(F.col(vec_col), F.col("__ev")).alias("__cos"),
+    )
+    return (
+        scored.groupBy(id_col)
+        .agg(
+            F.max("__cos").alias("max_cosine"),
+            F.sum(
+                F.when(F.col("__cos") >= F.lit(threshold), 1).otherwise(0)
+            ).alias("n_eval_matches"),
+        )
+        .filter(F.col("max_cosine") >= F.lit(threshold))
+    )

@@ -2495,3 +2495,68 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs, "text", "doc_id", weights, n_buckets=n_buckets, bucket_expr=bucket_expr
     )
     return out.select("doc_id", F.round("score", 6).alias("score"))
+
+
+@register(
+    "semantic_decontamination",
+    """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    ev AS (SELECT vec_id AS eid, e AS ee FROM c WHERE vec_id % 100 = 1),
+    scored AS (
+      SELECT c.vec_id,
+             list_sum(list_transform(list_zip(c.e, ev.ee), x -> x[1]*x[2]))
+               / (sqrt(list_sum(list_transform(c.e, x -> x*x)))
+                  * sqrt(list_sum(list_transform(ev.ee, x -> x*x)))) AS cos
+      FROM c, ev
+    )
+    SELECT vec_id, ROUND(MAX(cos), 6) AS max_cosine,
+           CAST(SUM(CASE WHEN cos >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_eval_matches
+    FROM scored GROUP BY vec_id HAVING MAX(cos) >= 0.8
+    """,
+)
+def q_semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-space decontamination: eval vectors (every 100th id + 1,
+    simulating benchmark embeddings leaked verbatim) are broadcast; any
+    corpus vector at cosine >= 0.8 to one of them is flagged with its max
+    cosine and match count. Exact — so the DuckDB oracle replays it
+    verbatim (the corpus's only >= 0.8 matches are the leaked vectors
+    themselves at cosine 1.0; natural cross-pairs top out at ~0.45)."""
+    from epic_pandas_spark.extensions.similarity import semantic_decontaminate
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    eval_df = emb.filter(F.col("vec_id") % 100 == 1)
+    out = semantic_decontaminate(emb, eval_df, threshold=0.8)
+    return out.select(
+        "vec_id", F.round("max_cosine", 6).alias("max_cosine"), "n_eval_matches"
+    )
+
+
+@register(
+    "corpus_report",
+    """
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split(trim(text), ' '))) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_chars), 6) AS avg_chars,
+           ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+           ROUND(quantile_cont(n_chars, 0.95), 6) AS p95_chars
+    FROM documents GROUP BY lang
+    """,
+)
+def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus report card per language: doc counts, token totals, and
+    exact length percentiles in ONE aggregation pass over the corpus —
+    the summary a curation run emits before/after each filter stage.
+    (The synthetic corpus is single-space separated, so the whitespace
+    token count is a plain split on ' ' in both engines.)"""
+    from epic_pandas_spark.functions.text import token_count_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    p = F.percentile("n_chars", F.lit([0.5, 0.95]))
+    return docs.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(token_count_expr(F.col("text"))).alias("total_tokens"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.round(p[0], 6).alias("p50_chars"),
+        F.round(p[1], 6).alias("p95_chars"),
+    )

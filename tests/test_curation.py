@@ -14,6 +14,7 @@ from epic_pandas_spark.extensions.curation import (
     resample_mixture,
     scrub_pii_expr,
     shuffle_rows,
+    write_training_shards,
 )
 
 
@@ -168,3 +169,17 @@ def test_hashed_feature_scores_bounds_and_missing_buckets(spark):
     single = spark.createDataFrame([(9, "alpha")], "doc_id long, text string")
     s9 = hashed_feature_scores(single, "text", "doc_id", w, n_buckets=1 << 10).collect()[0]["score"]
     assert abs(out2[3] - s9) < 1e-12  # mean over identical tokens == single token
+
+
+def test_write_training_shards_manifest_and_bounds(spark, tmp_path):
+    df = spark.range(500).select(F.col("id"), (F.col("id") % 5).alias("k"))
+    out = str(tmp_path / "shards")
+    manifest = write_training_shards(df, out, shard_rows=100, seed=3)
+    rows = manifest.collect()
+    assert sum(r["n_rows"] for r in rows) == 500      # nothing lost
+    assert all(r["n_rows"] <= 100 for r in rows)      # bound respected
+    assert len(rows) >= 5
+    back = spark.read.parquet(out)
+    assert sorted(r["id"] for r in back.collect()) == list(range(500))
+    with pytest.raises(ValueError):
+        write_training_shards(df, out, shard_rows=0)

@@ -343,3 +343,28 @@ def test_minhash_incremental_cross_batch_pairs(spark):
     got2 = {(r["id_a"], r["id_b"]) for r in pairs2.collect()}
     assert (20, 11) in got2 or (11, 20) in got2
     assert not any(1 in p or 10 in p for p in got2)  # corpus never re-paired with itself
+
+
+def test_semantic_decontaminate_flags_near_vectors(spark):
+    from epic_pandas_spark.extensions.similarity import semantic_decontaminate
+
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.0, 0.0, 0.0]),
+            (2, [0.9, 0.1, 0.0, 0.0]),   # near eval A
+            (3, [0.0, 0.0, 1.0, 0.0]),   # orthogonal to both
+            (4, [0.0, 1.0, 0.0, 0.0]),   # == eval B
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    eval_df = spark.createDataFrame(
+        [(100, [1.0, 0.0, 0.0, 0.0]), (101, [0.0, 1.0, 0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in semantic_decontaminate(corpus, eval_df, threshold=0.9).collect()}
+    assert set(out) == {1, 2, 4}
+    assert out[1]["max_cosine"] == pytest.approx(1.0)
+    assert out[4]["n_eval_matches"] == 1
+    # higher bar: only exact copies survive
+    strict = semantic_decontaminate(corpus, eval_df, threshold=0.999)
+    assert {r["vec_id"] for r in strict.collect()} == {1, 4}
