@@ -535,3 +535,49 @@ def minhash_lsh_pairs_incremental(
     else:
         updated = (new_bands, new_words)
     return pairs, updated
+
+
+def repeated_passage_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 50,
+    max_gram_freq: int | None = None,
+) -> DataFrame:
+    """Exact repeated-passage detection (the signal behind Lee et al.
+    2022's substring dedup): all doc pairs sharing at least one VERBATIM
+    character run of >= ``min_len`` in the whitespace/case-normalized
+    text. Two docs share a ``min_len``-char gram IFF they share an exact
+    substring of that length, so the char-gram inverted index finds
+    every pair with no verification step. Returns
+    ``(id_a, id_b, n_shared)`` where n_shared counts distinct shared
+    grams (a proxy for overlap extent: a shared run of L chars yields
+    L - min_len + 1 grams).
+
+    Plan: grams hash to 8 bytes BEFORE the per-doc distinct and the
+    self-join (the shuffle never carries 50-char strings);
+    ``max_gram_freq`` drops boilerplate grams present in more than that
+    many docs — the hot-key guard that keeps the join linear when a
+    site template repeats across millions of pages."""
+    from epic_pandas_spark.functions.text import ngrams_expr
+
+    grams = ngrams_expr(F.col(text_col), n=min_len)
+    inv = (
+        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("__g"))
+        .select("id", F.xxhash64("__g").alias("gh"))
+        .dropDuplicates(["id", "gh"])
+        .localCheckpoint(eager=False)  # both sides of the self-join
+    )
+    if max_gram_freq is not None:
+        freq = inv.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(
+            F.broadcast(freq.filter(F.col("df") <= max_gram_freq)), "gh", "left_semi"
+        )
+    a = inv.select(F.col("id").alias("id_a"), "gh")
+    b = inv.select(F.col("id").alias("id_b"), "gh")
+    return (
+        a.join(b, on="gh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )

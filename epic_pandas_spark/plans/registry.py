@@ -2560,3 +2560,45 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(p[0], 6).alias("p50_chars"),
         F.round(p[1], 6).alias("p95_chars"),
     )
+
+
+@register(
+    "repeated_passages",
+    """
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 5 = 0
+    ),
+    t AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS s FROM unioned),
+    g AS (
+      SELECT doc_id,
+             CASE WHEN length(s) >= 50
+               THEN list_distinct(list_transform(generate_series(1, length(s) - 49),
+                                                 i -> substr(s, i, 50)))
+               ELSE [s] END AS gs
+      FROM t
+    ),
+    inv AS (SELECT doc_id, unnest(gs) AS g FROM g)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    """,
+)
+def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verbatim repeated-passage pairs (>= 50 normalized chars shared),
+    over the corpus with every 5th doc re-appended as an exact copy —
+    the injected copies must surface with their full gram counts, plus
+    any natural near-dups that share long runs. The char-gram inverted
+    index IS the answer (k-gram sharing == k-substring sharing); no
+    verification pass exists to hide recall loss."""
+    from epic_pandas_spark.extensions.dedup import repeated_passage_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    unioned = docs.unionByName(dups)
+    return repeated_passage_pairs(unioned, "text", "doc_id", min_len=50).select(
+        "id_a", "id_b", F.col("n_shared")
+    )

@@ -368,3 +368,34 @@ def test_semantic_decontaminate_flags_near_vectors(spark):
     # higher bar: only exact copies survive
     strict = semantic_decontaminate(corpus, eval_df, threshold=0.999)
     assert {r["vec_id"] for r in strict.collect()} == {1, 4}
+
+
+def test_repeated_passage_pairs_shared_run(spark):
+    from epic_pandas_spark.extensions.dedup import repeated_passage_pairs
+
+    run = "the quick brown fox jumps over the lazy dog 0123456789abcde"
+    texts = {
+        1: "aaa " + run + " bbb",
+        2: "ccc " + run + " ddd",
+        3: "totally different content with no long shared run at all",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    pairs = repeated_passage_pairs(df, "text", "doc_id", min_len=50).collect()
+    got = {(r["id_a"], r["id_b"]): r["n_shared"] for r in pairs}
+    assert set(got) == {(1, 2)}
+    # expectation from a python reference over the normalized texts
+    def grams(t, k=50):
+        t = " ".join(t.lower().split())
+        return {t[i : i + k] for i in range(len(t) - k + 1)} if len(t) >= k else {t}
+    want = len(grams(texts[1]) & grams(texts[2]))
+    assert want > 0 and got[(1, 2)] == want
+
+    # hot-gram guard: a gram present in all 3 docs is dropped at freq<=2
+    df2 = spark.createDataFrame(
+        [(i, "zzz " + run + " q" + str(i)) for i in range(1, 4)],
+        "doc_id long, text string",
+    )
+    guarded = repeated_passage_pairs(df2, "text", "doc_id", min_len=50, max_gram_freq=2)
+    assert guarded.count() == 0
