@@ -537,6 +537,110 @@ def minhash_lsh_pairs_incremental(
     return pairs, updated
 
 
+def _normalized_text_expr(text: Column) -> Column:
+    """Whitespace/case normalization for char-gram operators. Callers
+    MUST materialize this as its own projection (withColumn/select)
+    BEFORE feeding it to _gram_hashes_expr: an expression referenced
+    from inside a higher-order-function lambda is re-evaluated per
+    array element, so inlining the regex here costs O(len) regex passes
+    per doc (measured 7x wall-time on the sf0.1 corpus)."""
+    return F.regexp_replace(F.lower(text), r"\s+", " ")
+
+
+def _gram_hashes_expr(norm_text: Column, k: int) -> Column:
+    """Array of xxhash64 values of the character k-grams of an
+    ALREADY-normalized text column (see _normalized_text_expr), one per
+    start position (a short text hashes as a single whole-string gram).
+    The k-char gram strings exist only transiently inside expression
+    evaluation — the produced column is ``array<bigint>``."""
+    length = F.length(norm_text)
+    starts = F.sequence(F.lit(1), F.greatest(length - F.lit(k - 1), F.lit(1)))
+    return F.transform(starts, lambda i: F.xxhash64(F.substring(norm_text, i, k)))
+
+
+def winnowed_fingerprints(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int = 50,
+    window: int = 8,
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003): per doc, hash every character k-gram of the
+    normalized text, then keep the MINIMUM hash of each sliding window
+    of ``window`` consecutive gram positions. Selection is by hash
+    VALUE over window CONTENT, so it is alignment-independent:
+
+      guarantee — two docs sharing a verbatim normalized run of at
+      least ``k + window - 1`` characters share a full gram window,
+      whose min hash is the same value on both sides, hence both emit
+      that fingerprint. Shorter shared runs (>= k) MAY be detected.
+
+    Expected fingerprint density is 2/(window+1) of the gram count —
+    the ~4x (at window=8) index-size reduction that makes the
+    repeated-passage index practical at 100 TB. Returns (id, fp)
+    distinct.
+
+    Plan note: the sliding min is a row window over the posexploded
+    hash stream, NOT a nested array expression — slice(transform(...))
+    inside a second transform re-evaluates the whole inner array per
+    window element (Catalyst inlines the projection), which is
+    quadratic per doc. The explode→window form evaluates each gram
+    hash once and shuffles only (id, pos, hash) 8-byte payloads."""
+    if window < 1:
+        raise ValueError("window must be >= 1")
+    pos = df.select(
+        F.col(id_col).alias("id"),
+        _normalized_text_expr(F.col(text_col)).alias("__t"),
+    ).select(
+        "id", F.posexplode(_gram_hashes_expr(F.col("__t"), k)).alias("pos", "h")
+    )
+    w_min = Window.partitionBy("id").orderBy("pos").rowsBetween(0, window - 1)
+    w_all = Window.partitionBy("id")
+    return (
+        pos.withColumn("fp", F.min("h").over(w_min))
+        .withColumn("__n", F.count(F.lit(1)).over(w_all))
+        # winnowing windows are starts 1..P-w+1; keep the lone window when P < w
+        .filter(
+            (F.col("pos") <= F.col("__n") - F.lit(window)) | (F.col("pos") == 0)
+        )
+        .select("id", "fp")
+        .distinct()
+    )
+
+
+def repeated_passage_pairs_winnowed(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 50,
+    window: int = 8,
+    max_fp_freq: int | None = None,
+) -> DataFrame:
+    """Scale path of :func:`repeated_passage_pairs`: candidate doc pairs
+    sharing at least one winnowed fingerprint. Complete for pairs whose
+    shared verbatim run is >= ``min_len + window - 1`` normalized chars
+    (the winnowing guarantee); pairs sharing only shorter runs are
+    best-effort. The inverted index carries ~2/(window+1) of the
+    full-gram entries, same join shape, same ``max_fp_freq`` hot-key
+    guard. Returns (id_a, id_b, n_shared_fp)."""
+    inv = winnowed_fingerprints(df, text_col, id_col, k=min_len, window=window)
+    inv = inv.localCheckpoint(eager=False)  # both sides of the self-join
+    if max_fp_freq is not None:
+        freq = inv.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
+        inv = inv.join(
+            F.broadcast(freq.filter(F.col("df") <= max_fp_freq)), "fp", "left_semi"
+        )
+    a = inv.select(F.col("id").alias("id_a"), "fp")
+    b = inv.select(F.col("id").alias("id_b"), "fp")
+    return (
+        a.join(b, on="fp")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_shared_fp"))
+    )
+
+
 def repeated_passage_pairs(
     df: DataFrame,
     text_col: str,
@@ -554,18 +658,24 @@ def repeated_passage_pairs(
     grams (a proxy for overlap extent: a shared run of L chars yields
     L - min_len + 1 grams).
 
-    Plan: grams hash to 8 bytes BEFORE the per-doc distinct and the
-    self-join (the shuffle never carries 50-char strings);
+    Plan: grams are hashed to 8 bytes and made distinct INSIDE the
+    per-row array (transform + array_distinct) before the explode, so no
+    50-char string ever reaches an exchange and the per-doc dedup costs
+    zero shuffles (per-doc distinct == per-(id, gram) distinct);
     ``max_gram_freq`` drops boilerplate grams present in more than that
     many docs — the hot-key guard that keeps the join linear when a
     site template repeats across millions of pages."""
-    from epic_pandas_spark.functions.text import ngrams_expr
-
-    grams = ngrams_expr(F.col(text_col), n=min_len)
     inv = (
-        df.select(F.col(id_col).alias("id"), F.explode(grams).alias("__g"))
-        .select("id", F.xxhash64("__g").alias("gh"))
-        .dropDuplicates(["id", "gh"])
+        df.select(
+            F.col(id_col).alias("id"),
+            _normalized_text_expr(F.col(text_col)).alias("__t"),
+        )
+        .select(
+            "id",
+            F.explode(
+                F.array_distinct(_gram_hashes_expr(F.col("__t"), min_len))
+            ).alias("gh"),
+        )
         .localCheckpoint(eager=False)  # both sides of the self-join
     )
     if max_gram_freq is not None:

@@ -2602,3 +2602,30 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     return repeated_passage_pairs(unioned, "text", "doc_id", min_len=50).select(
         "id_a", "id_b", F.col("n_shared")
     )
+
+@register(
+    "repeated_passages_winnowed",
+    """
+    SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+    FROM documents WHERE doc_id % 5 = 0
+    """,
+)
+def q_repeated_passages_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed-fingerprint repeated-passage detection (the 100 TB path:
+    ~2/(window+1) of the full gram index), on the same injected-copy
+    corpus as `repeated_passages`. Output is restricted to the injected
+    self-copy pairs (id_b - id_a == 1_000_000) because exactly those are
+    GUARANTEED by the winnowing theorem — identical docs share their
+    whole fingerprint set — giving a closed-form oracle; natural near-dup
+    candidates are best-effort by design and covered by pytest."""
+    from epic_pandas_spark.extensions.dedup import repeated_passage_pairs_winnowed
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    unioned = docs.unionByName(dups)
+    pairs = repeated_passage_pairs_winnowed(
+        unioned, "text", "doc_id", min_len=50, window=8
+    )
+    return pairs.filter(F.col("id_b") - F.col("id_a") == 1000000).select("id_a", "id_b")

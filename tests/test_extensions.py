@@ -399,3 +399,57 @@ def test_repeated_passage_pairs_shared_run(spark):
     )
     guarded = repeated_passage_pairs(df2, "text", "doc_id", min_len=50, max_gram_freq=2)
     assert guarded.count() == 0
+
+
+def test_winnowed_fingerprints_guarantee_and_density(spark):
+    from epic_pandas_spark.extensions.dedup import (
+        repeated_passage_pairs_winnowed,
+        winnowed_fingerprints,
+    )
+
+    k, w = 20, 4
+    # shared run of k + w - 1 = 23 chars, embedded at different offsets
+    run = "abcdefghijklmnopqrstuvw"
+    assert len(run) == k + w - 1
+    texts = {
+        1: "xx " + run + " unrelated tail one",
+        2: "a very different prefix " + run + " zz",
+        3: "no shared content here at all whatsoever, none",
+    }
+    df = spark.createDataFrame(
+        [(i, t) for i, t in texts.items()], "doc_id long, text string"
+    )
+    pairs = repeated_passage_pairs_winnowed(df, "text", "doc_id", min_len=k, window=w)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (1, 2) in got  # the winnowing guarantee
+    assert not any(3 in p for p in got)
+
+    # density: winnowing keeps far fewer entries than the full gram index
+    long_doc = spark.createDataFrame(
+        [(1, " ".join(f"tok{i}" for i in range(400)))], "doc_id long, text string"
+    )
+    n_fp = winnowed_fingerprints(long_doc, "text", "doc_id", k=50, window=8).count()
+    n_grams = len(" ".join(f"tok{i}" for i in range(400))) - 50 + 1
+    assert 0 < n_fp < n_grams / 2  # expectation is ~2/(w+1) = 0.22
+
+    # identical short docs (below k chars) still fingerprint and pair up
+    short = spark.createDataFrame(
+        [(1, "tiny"), (2, "tiny"), (3, "other")], "doc_id long, text string"
+    )
+    sp = repeated_passage_pairs_winnowed(short, "text", "doc_id", min_len=50, window=8)
+    assert {(r["id_a"], r["id_b"]) for r in sp.collect()} == {(1, 2)}
+
+
+def test_winnowed_subset_of_full_gram_pairs(spark):
+    from epic_pandas_spark.extensions.dedup import (
+        repeated_passage_pairs,
+        repeated_passage_pairs_winnowed,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog again and again 012345"
+    rows = [(1, base + " alpha"), (2, base + " beta"), (3, "distinct " + base[::-1]), (4, base + " alpha")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    full = {(r["id_a"], r["id_b"]) for r in repeated_passage_pairs(df, "text", "doc_id", min_len=50).collect()}
+    winn = {(r["id_a"], r["id_b"]) for r in repeated_passage_pairs_winnowed(df, "text", "doc_id", min_len=50, window=8).collect()}
+    assert winn <= full  # winnowed candidates never invent pairs
+    assert (1, 4) in winn  # exact copies always detected
