@@ -53,3 +53,39 @@ def salted_agg(
             raise ValueError(f"unsupported agg {fn!r} (not algebraic)")
     partial = df.withColumn("__salt", salt).groupBy(*keys, "__salt").agg(*phase1_exprs)
     return partial.groupBy(*keys).agg(*phase2_exprs)
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: str | Sequence[str],
+    how: str = "inner",
+    n_salts: int = 16,
+) -> DataFrame:
+    """Salted equi-join for skewed keys: every left row gets a
+    deterministic salt in [0, n_salts); the (small-ish) right side is
+    replicated once per salt value. The shuffle then partitions on
+    (key, salt), so a hot key's rows spread over ``n_salts`` reducers
+    instead of landing on one.
+
+    Use when AQE's skew-join split can't help — e.g. the skewed side
+    feeds a same-keyed aggregation afterwards and you want one
+    partitioning for both, or the planner lacks runtime stats. The right
+    side's shuffle volume multiplies by ``n_salts``; keep it the smaller
+    input.
+
+    Only join types that don't duplicate unmatched RIGHT rows are legal
+    (an unmatched right row exists ``n_salts`` times): inner, left/
+    left_outer, left_semi, left_anti.
+    """
+    allowed = {"inner", "left", "left_outer", "left_semi", "left_anti"}
+    if how not in allowed:
+        raise ValueError(f"how={how!r} not supported with salting (use one of {sorted(allowed)})")
+    on = [on] if isinstance(on, str) else list(on)
+    salt = F.pmod(F.xxhash64(*[F.col(c) for c in left.columns]), F.lit(n_salts))
+    l = left.withColumn("__salt", salt)
+    r = right.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)))
+    )
+    out = l.join(r, on + ["__salt"], how)
+    return out.drop("__salt")

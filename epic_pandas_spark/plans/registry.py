@@ -2629,3 +2629,108 @@ def q_repeated_passages_winnowed(spark: SparkSession, sf_dir: str) -> DataFrame:
         unioned, "text", "doc_id", min_len=50, window=8
     )
     return pairs.filter(F.col("id_b") - F.col("id_a") == 1000000).select("id_a", "id_b")
+
+@register(
+    "salted_join_revenue",
+    """
+    SELECT n.n_name,
+           ROUND(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(30,4))
+                          * (CAST(1 AS DECIMAL(30,4)) - CAST(l.l_discount AS DECIMAL(30,4))))
+                      AS DOUBLE), 6) AS revenue
+    FROM lineitem l
+    JOIN supplier s ON l.l_suppkey = s.s_suppkey
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    GROUP BY n.n_name
+    """,
+)
+def q_salted_join_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Supplier-nation revenue through operators.skew.salted_join: the
+    fact side joins the (replicated) supplier dim on (suppkey, salt), so
+    a hot supplier's rows spread over 8 reducers — the manual skew guard
+    for when AQE can't see the skew (first shuffle of a stage, or a
+    same-keyed downstream agg wants the partitioning). Oracle is the
+    plain unsalted join: salting must be invisible in the result."""
+    from epic_pandas_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    sup = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    joined = salted_join(
+        li, sup.withColumnRenamed("s_suppkey", "l_suppkey"), "l_suppkey", n_salts=8
+    )
+    return (
+        joined.join(F.broadcast(nat), joined.s_nationkey == nat.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(
+                    F.col("l_extendedprice").cast("decimal(30,4)")
+                    * (F.lit(1).cast("decimal(30,4)") - F.col("l_discount").cast("decimal(30,4)"))
+                ).cast("double"),
+                6,
+            ).alias("revenue")
+        )
+    )
+
+
+@register(
+    "grouped_quantiles",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS q50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS q95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group exact quantiles (F.percentile == DuckDB quantile_cont
+    per group): one hash-aggregate keyed on the group column — no global
+    sort, no window. The grouped twin of `quantiles`; swap to
+    percentile_approx for the mergeable constant-memory form at scale."""
+    li = load_table(spark, sf_dir, "lineitem")
+    p = F.percentile("l_extendedprice", F.lit([0.5, 0.95]))
+    return li.groupBy("l_returnflag").agg(
+        F.round(p[0], 6).alias("q50"), F.round(p[1], 6).alias("q95")
+    )
+
+
+@register("hll_distinct_rollup", None)  # estimate is engine-specific → rows-only
+def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable-HLL distinct counting (operators.sketches): build one
+    user_id sketch per event_type, union the STORED sketches to a global
+    estimate — the sketch-store pattern that answers rollup distincts
+    without re-reading raw data. Self-witnessing like n_distinct_approx:
+    computes the exact global distinct alongside and emits the relative
+    error plus `within_bound` (5% — ~3 sigma at lg_k=12), so every run
+    verifies the estimate."""
+    from epic_pandas_spark.operators.sketches import (
+        distinct_sketches,
+        rollup_distinct_sketches,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    sk = distinct_sketches(ev, ["event_type"], "user_id", lg_k=12)
+    n_groups = sk.agg(F.count(F.lit(1)).alias("n_sketches"))
+    glob = rollup_distinct_sketches(sk, [])
+    exact = ev.agg(F.count_distinct("user_id").alias("exact_distinct"))
+    return (
+        glob.crossJoin(exact)
+        .crossJoin(n_groups)
+        .select(
+            "n_sketches",
+            "exact_distinct",
+            "approx_distinct",
+            F.round(
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                / F.col("exact_distinct"),
+                6,
+            ).alias("rel_err"),
+            (
+                F.abs(F.col("approx_distinct") - F.col("exact_distinct"))
+                <= 0.05 * F.col("exact_distinct")
+            ).alias("within_bound"),
+        )
+    )

@@ -798,3 +798,53 @@ def test_coo_frame_operator_surface(spark):
     assert diag == {0: 1.0, 1: 3.0, 2: 5.0}
     with pytest.raises(ValueError, match="missing columns"):
         CooFrame(spark.createDataFrame([(1,)], "x long"))
+
+
+def test_salted_join_matches_plain_join(spark):
+    from epic_pandas_spark.operators.skew import salted_join
+
+    left = spark.createDataFrame(
+        [(k, v) for k in ["hot"] * 50 + ["a", "b", "c"] for v in [1.0]]
+        + [("nokey", 2.0)],
+        "k string, v double",
+    )
+    right = spark.createDataFrame(
+        [("hot", 10), ("a", 1), ("b", 2), ("z", 9)], "k string, w int"
+    )
+    for how in ["inner", "left", "left_semi", "left_anti"]:
+        got = salted_join(left, right, "k", how=how, n_salts=4)
+        want = left.join(right, "k", how)
+        assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect())), how
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        salted_join(left, right, "k", how="right")
+
+
+def test_hll_sketches_merge_and_bound(spark):
+    from pyspark.sql import functions as F
+    from epic_pandas_spark.operators.sketches import (
+        distinct_sketches,
+        rollup_distinct_sketches,
+    )
+
+    df = spark.range(20000).select(
+        (F.col("id") % 4).alias("g"), (F.col("id") % 7919).alias("v")
+    )
+    # merged per-group sketches vs one global sketch: same estimate
+    per_g = distinct_sketches(df, ["g"], "v")
+    merged = rollup_distinct_sketches(per_g, []).collect()[0][0]
+    direct = rollup_distinct_sketches(
+        distinct_sketches(df.select(F.lit(0).alias("all"), "v"), ["all"], "v"), []
+    ).collect()[0][0]
+    assert merged == direct
+    # and within the HLL error envelope of the truth
+    assert abs(merged - 7919) / 7919 < 0.05
+    # low cardinality -> sparse mode is exact
+    small = distinct_sketches(df.filter(F.col("v") < 100), ["g"], "v")
+    est = {r["g"]: r["d"] for r in rollup_distinct_sketches(small, ["g"], out_col="d").collect()}
+    truth = {
+        r["g"]: r["d"]
+        for r in df.filter(F.col("v") < 100).groupBy("g").agg(F.count_distinct("v").alias("d")).collect()
+    }
+    assert est == truth
