@@ -115,19 +115,29 @@ def word_ngrams_expr(text: Column, n: int = 3, distinct: bool = True) -> Column:
     transform(sequence, i -> slice(w, i, n)) formulation pays per-index
     array allocation — ~10× slower than this linear zip (measured 5.8s vs
     0.6s over 5k docs). zip_with pads the shorter side with nulls; the
-    trailing partial grams become null and are filtered."""
+    trailing partial grams become null and are filtered.
+
+    The split/normalize result is LET-BOUND via a one-element transform
+    (lambda variables are evaluated once), because interpreted HOF trees
+    do no common-subexpression elimination: referencing the split
+    expression from each of the n shifted copies re-runs the regex n
+    times per doc (measured 3× wall time at n=13 on the sf0.1 corpus)."""
     w = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
     big = 1 << 30
-    acc = w
-    for k in range(1, n):
-        shifted = F.slice(w, k + 1, big)
-        acc = F.zip_with(
-            acc,
-            shifted,
-            lambda p, c: F.when(p.isNotNull() & c.isNotNull(), F.concat_ws(" ", p, c)),
-        )
-    out = F.filter(acc, lambda x: x.isNotNull())
-    return F.array_distinct(out) if distinct else out
+
+    def _body(w0: Column) -> Column:
+        acc = w0
+        for k in range(1, n):
+            shifted = F.slice(w0, k + 1, big)
+            acc = F.zip_with(
+                acc,
+                shifted,
+                lambda p, c: F.when(p.isNotNull() & c.isNotNull(), F.concat_ws(" ", p, c)),
+            )
+        out = F.filter(acc, lambda x: x.isNotNull())
+        return F.array_distinct(out) if distinct else out
+
+    return F.get(F.transform(F.array(w), _body), 0)
 
 
 def build_vocab(
