@@ -2734,3 +2734,39 @@ def q_hll_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("within_bound"),
         )
     )
+
+@register(
+    "zorder_key_events",
+    """
+    WITH s AS (
+      SELECT CAST(MIN(user_id) AS DOUBLE) mnu, CAST(MAX(user_id) AS DOUBLE) mxu,
+             CAST(MIN(value) AS DOUBLE) mnv, CAST(MAX(value) AS DOUBLE) mxv
+      FROM events
+    ),
+    sc AS (
+      SELECT event_id,
+             CAST(LEAST(15, FLOOR((CAST(user_id AS DOUBLE) - mnu) / (mxu - mnu) * 15)) AS BIGINT) AS c0,
+             CAST(LEAST(15, FLOOR((CAST(value  AS DOUBLE) - mnv) / (mxv - mnv) * 15)) AS BIGINT) AS c1
+      FROM events, s
+    )
+    SELECT event_id,
+           (((c0 >> 0) & 1) << 0) | (((c1 >> 0) & 1) << 1)
+         | (((c0 >> 1) & 1) << 2) | (((c1 >> 1) & 1) << 3)
+         | (((c0 >> 2) & 1) << 4) | (((c1 >> 2) & 1) << 5)
+         | (((c0 >> 3) & 1) << 6) | (((c1 >> 3) & 1) << 7) AS z
+    FROM sc
+    """,
+)
+def q_zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton) key over (user_id, value) — the layout key
+    behind operators.layout.write_zordered, oracle-checked bit-for-bit:
+    min/max scaling to [0,16) then bit interleaving are plain IEEE
+    double and integer bit ops, identical in both engines. The writer
+    itself (range partition + within-file sort + min/max pruning) is
+    exercised by the file-skipping pytest."""
+    from epic_pandas_spark.operators.layout import zorder_key
+
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    return zorder_key(ev, ["user_id", "value"], bits=4, key_col="z").select(
+        "event_id", "z"
+    )

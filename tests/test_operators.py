@@ -848,3 +848,57 @@ def test_hll_sketches_merge_and_bound(spark):
         for r in df.filter(F.col("v") < 100).groupBy("g").agg(F.count_distinct("v").alias("d")).collect()
     }
     assert est == truth
+
+
+def test_morton_interleave_known_values(spark):
+    from pyspark.sql import functions as F
+    from epic_pandas_spark.operators.layout import morton_interleave_expr
+
+    df = spark.createDataFrame([(0, 0), (3, 0), (0, 3), (3, 3), (2, 1)], "x int, y int")
+    z = df.select(
+        "x", "y", morton_interleave_expr([F.col("x"), F.col("y")], bits=2).alias("z")
+    ).collect()
+    got = {(r["x"], r["y"]): r["z"] for r in z}
+    # x bits land at even positions, y at odd: (3,0)->0b0101, (0,3)->0b1010
+    assert got == {(0, 0): 0, (3, 0): 5, (0, 3): 10, (3, 3): 15, (2, 1): 6}
+
+
+def test_zorder_layout_prunes_both_columns(spark, tmp_path):
+    from pyspark.sql import functions as F
+    from epic_pandas_spark.operators.layout import write_zordered
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet").select(
+        "event_id", "user_id"
+    )
+    zpath, spath = str(tmp_path / "z"), str(tmp_path / "s")
+    write_zordered(ev, zpath, ["user_id", "event_id"], bits=8, n_files=8)
+    # baseline: single-column layout, same file count
+    (
+        ev.repartitionByRange(8, "user_id")
+        .sortWithinPartitions("user_id")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def files_hit(path, col, lo, hi):
+        stats = (
+            spark.read.parquet(path)
+            .groupBy(F.input_file_name().alias("f"))
+            .agg(F.min(col).alias("mn"), F.max(col).alias("mx"))
+            .collect()
+        )
+        assert len(stats) == 8
+        return sum(1 for r in stats if r["mx"] >= lo and r["mn"] <= hi)
+
+    # slabs at the 15-30% percentile band: inside the low half of each
+    # dimension, so they don't straddle the curve's top-bit boundary (a
+    # mid-range slab touches both halves by construction — the known
+    # z-order worst case). The single-column layout can't prune the
+    # non-sorted dimension at all; the z layout prunes BOTH.
+    lo, hi = ev.agg(
+        F.expr("percentile(event_id, array(0.15, 0.3))").alias("p")
+    ).first()["p"]
+    assert files_hit(spath, "event_id", lo, hi) == 8
+    assert files_hit(zpath, "event_id", lo, hi) <= 6
+    u = ev.agg(F.expr("percentile(user_id, array(0.15, 0.3))").alias("p")).first()["p"]
+    assert files_hit(zpath, "user_id", u[0], u[1]) <= 6
