@@ -386,3 +386,70 @@ def write_training_shards(
         .groupBy("shard")
         .agg(F.count(F.lit(1)).alias("n_rows"))
     )
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_line_freq: int = 1,
+    min_line_chars: int = 1,
+    out_col: str | None = None,
+) -> DataFrame:
+    """Corpus-level line deduplication (the C4/RefinedWeb recipe): drop
+    every line whose trimmed form appears in more than ``max_line_freq``
+    documents — boilerplate headers, cookie banners, navigation chrome —
+    and reassemble each document from its surviving lines in order.
+    Lines shorter than ``min_line_chars`` after trimming are kept as-is
+    (blank separators are not evidence of duplication, and counting them
+    would create a monster hot key).
+
+    Plan: posexplode lines, count DISTINCT docs per 8-byte line
+    fingerprint (hash-first — the global frequency shuffle never carries
+    line text), anti-join hot fingerprints back onto the line stream,
+    then one window per doc ordered by line position re-concatenates.
+    Shuffle payloads are (id, pos, hash) plus each doc's surviving text
+    once for the reassembly."""
+    out_col = out_col or text_col
+    lines = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("__pos", "__line"),
+    ).withColumn("__t", F.trim(F.col("__line")))
+    countable = F.length("__t") >= min_line_chars
+    keyed = lines.withColumn(
+        "__lh", F.when(countable, F.xxhash64("__t")).otherwise(F.lit(None)))
+    hot = (
+        keyed.filter(F.col("__lh").isNotNull())
+        .groupBy("__lh")
+        .agg(F.count_distinct("__id").alias("__docs"))
+        .filter(F.col("__docs") > max_line_freq)
+        .select("__lh")
+    )
+    kept = keyed.join(F.broadcast(hot), "__lh", "left_anti")
+    rebuilt = kept.groupBy("__id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__line"))),
+                lambda s: s["__line"],
+            ),
+            "\n",
+        ).alias(out_col)
+    )
+    base_cols = [
+        c
+        for c in df.columns
+        if c != id_col and not (c == text_col and out_col == text_col)
+    ]
+    base = df.select(F.col(id_col).alias("__id"), *[F.col(c) for c in base_cols])
+    joined = base.join(rebuilt, "__id", "left")
+    projection = [F.col("__id").alias(id_col)]
+    for c in df.columns:
+        if c == id_col:
+            continue
+        if c == text_col and out_col == text_col:
+            projection.append(F.coalesce(F.col(out_col), F.lit("")).alias(text_col))
+        else:
+            projection.append(F.col(c))
+    if out_col != text_col:
+        projection.append(F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
+    return joined.select(*projection)

@@ -298,3 +298,45 @@ def semantic_decontaminate(
         )
         .filter(F.col("max_cosine") >= F.lit(threshold))
     )
+
+
+def random_projection(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    out_dim: int = 16,
+    seed: int = 42,
+    in_dim: int | None = None,
+    out_col: str = "projected",
+) -> DataFrame:
+    """Johnson-Lindenstrauss random projection: multiply every vector by
+    a seeded Gaussian matrix scaled 1/sqrt(out_dim), shrinking embedding
+    width while approximately preserving pairwise Euclidean geometry
+    (distortion ~ sqrt(log n / out_dim) w.h.p.). The cheap first stage
+    before ANN / clustering / near-dup when the raw width is large.
+
+    The matrix is generated once on the driver from ``seed``
+    (deterministic across runs and engines using the same generator) and
+    broadcast inside an Arrow-batched pandas UDF; each batch is one BLAS
+    GEMM. in_dim is inferred from one row when not given."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F  # noqa: F811
+
+    if in_dim is None:
+        probe = df.select(F.size(vec_col).alias("d")).first()
+        if probe is None:
+            raise ValueError("cannot infer in_dim from an empty DataFrame")
+        in_dim = probe["d"]
+    mat = np.random.default_rng(seed).standard_normal((in_dim, out_dim)) / np.sqrt(
+        out_dim
+    )
+
+    @F.pandas_udf("array<double>")
+    def _project(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(vs.to_numpy())
+        y = x @ mat
+        return pd.Series(list(y))
+
+    return df.withColumn(out_col, _project(F.col(vec_col)))

@@ -2770,3 +2770,104 @@ def q_zorder_key_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return zorder_key(ev, ["user_id", "value"], bits=4, key_col="z").select(
         "event_id", "z"
     )
+
+@register(
+    "line_dedup",
+    """
+    WITH corpus AS (
+      SELECT doc_id,
+             'COOKIE BANNER' || chr(10) || text || chr(10)
+               || 'SECTION ' || CAST(doc_id % 7 AS VARCHAR) || chr(10)
+               || 'UNIQUE ' || CAST(doc_id AS VARCHAR) AS text
+      FROM documents
+    ),
+    split AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM corpus),
+    lines AS (
+      SELECT doc_id, unnest(ls) AS ln, unnest(generate_series(1, len(ls))) AS pos
+      FROM split
+    ),
+    hot AS (
+      SELECT trim(ln) AS tl FROM lines WHERE length(trim(ln)) >= 1
+      GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+    ),
+    kept AS (
+      SELECT doc_id, pos, ln FROM lines
+      WHERE NOT (length(trim(ln)) >= 1 AND trim(ln) IN (SELECT tl FROM hot))
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(ln, chr(10) ORDER BY pos) AS text
+      FROM kept GROUP BY doc_id
+    )
+    SELECT c.doc_id, COALESCE(r.text, '') AS text
+    FROM corpus c LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level line dedup (C4/RefinedWeb boilerplate removal,
+    extensions.curation.dedup_lines) over documents wrapped with an
+    injected cookie banner (every doc), a SECTION line (1/7 of docs
+    each) and a per-doc UNIQUE line: both classes of repeated line must
+    vanish from every document, unique lines must survive in order."""
+    from epic_pandas_spark.extensions.curation import dedup_lines
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("COOKIE BANNER\n"),
+            F.col("text"),
+            F.lit("\nSECTION "),
+            (F.col("doc_id") % 7).cast("string"),
+            F.lit("\nUNIQUE "),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+    return dedup_lines(docs, "text", "doc_id", max_line_freq=1)
+
+@register("random_projection_distortion", None)  # seeded-RNG output → rows-only
+def q_random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JL random projection (extensions.similarity.random_projection) of
+    the embeddings table to 16 dims, self-witnessing: for every
+    consecutive-id vector pair, compare Euclidean distance before and
+    after projection. Emits pair count, mean/min/max distance ratio and
+    `within_bound` — the projection is useless unless geometry survives,
+    so every bench run checks it. All distances are zip_with/aggregate
+    expressions; the only Python is the one GEMM pandas UDF."""
+    from epic_pandas_spark.extensions.similarity import random_projection
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    proj = random_projection(emb, "embedding", out_dim=16, seed=7)
+
+    def dist(a, b):
+        return F.sqrt(
+            F.aggregate(
+                F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            )
+        )
+
+    l = proj.select(
+        F.col("vec_id").alias("ida"),
+        F.col("embedding").alias("ea"),
+        F.col("projected").alias("pa"),
+    )
+    r = proj.select(
+        (F.col("vec_id") - 1).alias("ida"),
+        F.col("embedding").alias("eb"),
+        F.col("projected").alias("pb"),
+    )
+    pairs = l.join(r, "ida").select(
+        dist(F.col("ea"), F.col("eb")).alias("d0"),
+        dist(F.col("pa"), F.col("pb")).alias("d1"),
+    ).filter(F.col("d0") > 0)
+    return pairs.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(F.avg(F.col("d1") / F.col("d0")), 6).alias("mean_ratio"),
+        F.round(F.min(F.col("d1") / F.col("d0")), 6).alias("min_ratio"),
+        F.round(F.max(F.col("d1") / F.col("d0")), 6).alias("max_ratio"),
+        (
+            (F.avg(F.col("d1") / F.col("d0")).between(0.85, 1.15))
+            & (F.min(F.col("d1") / F.col("d0")) > 0.3)
+            & (F.max(F.col("d1") / F.col("d0")) < 2.0)
+        ).alias("within_bound"),
+    )

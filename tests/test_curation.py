@@ -183,3 +183,40 @@ def test_write_training_shards_manifest_and_bounds(spark, tmp_path):
     assert sorted(r["id"] for r in back.collect()) == list(range(500))
     with pytest.raises(ValueError):
         write_training_shards(df, out, shard_rows=0)
+
+
+def test_dedup_lines_drops_boilerplate_keeps_order(spark):
+    from epic_pandas_spark.extensions.curation import dedup_lines
+
+    rows = [
+        (1, "HEADER\nalpha body one\n\nfooter shared"),
+        (2, "HEADER\nbeta body two\nfooter shared"),
+        (3, "HEADER\ngamma body three\nonly mine"),
+        (4, "totally unique document"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {r["doc_id"]: r["text"] for r in dedup_lines(df, "text", "doc_id").collect()}
+    # HEADER (3 docs) and 'footer shared' (2 docs) vanish; blank line survives
+    assert out[1] == "alpha body one\n"
+    assert out[2] == "beta body two"
+    assert out[3] == "gamma body three\nonly mine"
+    assert out[4] == "totally unique document"
+
+    # threshold: allow up to 2 docs -> footer stays, HEADER still drops
+    out2 = {r["doc_id"]: r["text"] for r in dedup_lines(df, "text", "doc_id", max_line_freq=2).collect()}
+    assert out2[1] == "alpha body one\n\nfooter shared"
+    assert out2[2] == "beta body two\nfooter shared"
+
+    # whitespace-insensitive matching: '  HEADER ' counts as HEADER
+    df3 = spark.createDataFrame(
+        [(1, "  HEADER \nx"), (2, "HEADER\ny")], "doc_id long, text string"
+    )
+    out3 = {r["doc_id"]: r["text"] for r in dedup_lines(df3, "text", "doc_id").collect()}
+    assert out3 == {1: "x", 2: "y"}
+
+    # a doc that is ALL boilerplate comes back empty, not missing
+    df4 = spark.createDataFrame(
+        [(1, "same"), (2, "same"), (3, "other")], "doc_id long, text string"
+    )
+    out4 = {r["doc_id"]: r["text"] for r in dedup_lines(df4, "text", "doc_id").collect()}
+    assert out4 == {1: "", 2: "", 3: "other"}

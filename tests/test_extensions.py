@@ -453,3 +453,31 @@ def test_winnowed_subset_of_full_gram_pairs(spark):
     winn = {(r["id_a"], r["id_b"]) for r in repeated_passage_pairs_winnowed(df, "text", "doc_id", min_len=50, window=8).collect()}
     assert winn <= full  # winnowed candidates never invent pairs
     assert (1, 4) in winn  # exact copies always detected
+
+
+def test_random_projection_preserves_geometry(spark):
+    import numpy as np
+    from pyspark.sql import functions as F
+    from epic_pandas_spark.extensions.similarity import random_projection
+
+    rng = np.random.default_rng(0)
+    rows = [(i, [float(x) for x in rng.standard_normal(64)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = random_projection(df, "embedding", out_dim=32, seed=11).collect()
+    assert all(len(r["projected"]) == 32 for r in out)
+    # deterministic: same seed, same output
+    again = random_projection(df, "embedding", out_dim=32, seed=11).collect()
+    assert [r["projected"] for r in sorted(out, key=lambda r: r["vec_id"])] == [
+        r["projected"] for r in sorted(again, key=lambda r: r["vec_id"])
+    ]
+    # JL: mean pairwise-distance ratio near 1
+    vecs = {r["vec_id"]: (np.array(r["embedding"]), np.array(r["projected"])) for r in out}
+    ratios = []
+    for i in range(0, 199):
+        a0, a1 = vecs[i]
+        b0, b1 = vecs[i + 1]
+        d0 = np.linalg.norm(a0 - b0)
+        ratios.append(np.linalg.norm(a1 - b1) / d0)
+    ratios = np.array(ratios)
+    assert 0.9 < ratios.mean() < 1.1
+    assert ratios.min() > 0.4 and ratios.max() < 1.8
