@@ -2871,3 +2871,43 @@ def q_random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFram
             & (F.max(F.col("d1") / F.col("d0")) < 2.0)
         ).alias("within_bound"),
     )
+
+@register(
+    "bm25_topk",
+    """
+    WITH base AS (
+      SELECT doc_id,
+             string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS w
+      FROM documents
+    ),
+    b2 AS (SELECT doc_id, w, len(w) AS dl FROM base),
+    stats AS (SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM b2),
+    postings AS (SELECT doc_id, dl, unnest(w) AS term FROM b2),
+    tf AS (
+      SELECT doc_id, dl, term, COUNT(*) AS tf
+      FROM postings WHERE term IN ('spark', 'join', 'window')
+      GROUP BY 1, 2, 3
+    ),
+    dft AS (SELECT term, COUNT(DISTINCT doc_id) AS dfc FROM tf GROUP BY 1),
+    scored AS (
+      SELECT t.doc_id,
+             SUM(ln((s.n - d.dfc + 0.5) / (d.dfc + 0.5) + 1)
+                 * t.tf * (1.2 + 1)
+                 / (t.tf + 1.2 * (1 - 0.75 + 0.75 * t.dl / s.avgdl))) AS sc
+      FROM tf t JOIN dft d USING (term), stats s
+      GROUP BY 1
+    )
+    SELECT doc_id, ROUND(sc, 6) AS bm25
+    FROM scored ORDER BY bm25 DESC, doc_id ASC LIMIT 10
+    """,
+)
+def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 keyword retrieval (extensions.retrieval.bm25_topk) for the
+    query {spark, join, window} over the documents corpus — postings are
+    filtered to query terms before any shuffle, corpus stats and term
+    document-frequencies are broadcast, and the top-10 is a TakeOrdered.
+    Oracle recomputes the full formula in DuckDB."""
+    from epic_pandas_spark.extensions.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return bm25_topk(docs, "text", "doc_id", ["spark", "join", "window"], k=10)

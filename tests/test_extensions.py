@@ -481,3 +481,32 @@ def test_random_projection_preserves_geometry(spark):
     ratios = np.array(ratios)
     assert 0.9 < ratios.mean() < 1.1
     assert ratios.min() > 0.4 and ratios.max() < 1.8
+
+
+def test_bm25_ranks_denser_matches_higher(spark):
+    import math
+    import pytest as _pytest
+    from epic_pandas_spark.extensions.retrieval import bm25_topk
+
+    rows = [
+        (1, "spark spark spark join"),          # dense in query terms
+        (2, "spark alpha beta gamma delta"),    # one hit, longer doc
+        (3, "alpha beta gamma delta epsilon"),  # no hits
+        (4, "spark join"),                      # short, all-hits
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = bm25_topk(df, "text", "doc_id", ["spark", "join"], k=10).collect()
+    ids = [r["doc_id"] for r in out]
+    assert 3 not in ids  # zero-hit docs never appear
+    assert set(ids) == {1, 2, 4}
+    scores = {r["doc_id"]: r["bm25"] for r in out}
+    assert scores[4] > scores[2]  # same tf, shorter doc wins (length norm)
+    assert scores[1] > scores[2]  # more matched mass wins
+
+    # hand-check doc 2's score: tf=1, df(spark)=3, N=4, dl=5, avgdl=16/4
+    idf = math.log((4 - 3 + 0.5) / (3 + 0.5) + 1)
+    norm = 1 * 2.2 / (1 + 1.2 * (1 - 0.75 + 0.75 * 5 / (16 / 4)))
+    assert scores[2] == _pytest.approx(round(idf * norm, 6), abs=1e-6)
+
+    with _pytest.raises(ValueError):
+        bm25_topk(df, "text", "doc_id", [])
