@@ -105,6 +105,79 @@ def jaccard_pairs(
     )
 
 
+def jaccard_pairs_prefix(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_words: int = 3,
+) -> DataFrame:
+    """EXACT Jaccard ≥ threshold pairs via prefix filtering (AllPairs /
+    PPJoin, Bayardo et al. WWW'07) — same output as :func:`jaccard_pairs`,
+    different candidate plan: under a global rarest-first shingle order,
+    a set with |s| shingles only needs its first |s| − ceil(t·|s|) + 1
+    shingles indexed; any pair with J ≥ t must share a prefix shingle
+    (pigeonhole on the required overlap ceil(t·max(|a|,|b|))). Candidates
+    are then verified with exact set intersection on the full arrays.
+
+    Why it wins at scale: the self-join index shrinks by ~t of its
+    entries, and — because prefixes hold each doc's RAREST shingles —
+    hot-key join blowup collapses without the lossy ``max_doc_freq``
+    guard. Costs one extra shuffle (df-rank window keyed on id).
+    Everything downstream of the shingle projection handles 8-byte
+    hashes only — shingle STRINGS never reach a shuffle, and candidate
+    verification intersects long arrays, not string arrays."""
+    words = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.array_distinct(
+                F.transform(
+                    word_ngrams_expr(F.col(text_col), n=shingle_words),
+                    lambda g: F.xxhash64(g),
+                )
+            ).alias("wh"),
+        )
+        .filter(F.size("wh") > 0)
+        .localCheckpoint(eager=False)  # reused by ranking AND verification
+    )
+    inv = words.select("id", F.size("wh").alias("n"), F.explode("wh").alias("w"))
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    dfreq = inv.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
+    rn = F.row_number().over(
+        Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("w").asc())
+    )
+    prefixes = (
+        inv.join(dfreq, "w")
+        .withColumn("rn", rn)
+        .filter(F.col("rn") <= prefix_len)
+        .select("id", "n", "w")
+        .localCheckpoint(eager=False)  # both sides of the candidate join
+    )
+    lhs = prefixes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "w")
+    rhs = prefixes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "w")
+    cand = (
+        lhs.join(rhs, "w")
+        .filter(
+            (F.col("id_a") < F.col("id_b"))
+            # PPJoin length filter: J >= t forces t·|a| <= |b| <= |a|/t
+            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
+            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+        )
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    wa = words.select(F.col("id").alias("id_a"), F.col("wh").alias("wh_a"))
+    wb = words.select(F.col("id").alias("id_b"), F.col("wh").alias("wh_b"))
+    verified = cand.join(wa, "id_a").join(wb, "id_b")
+    inter = F.size(F.array_intersect("wh_a", "wh_b"))
+    jac = inter.cast("double") / (F.size("wh_a") + F.size("wh_b") - inter)
+    return (
+        verified.withColumn("jaccard", jac)
+        .filter(F.col("jaccard") >= F.lit(threshold))
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
 def minhash_signatures(words: DataFrame, n_hashes: int = 32, seed: int = 7) -> DataFrame:
     """Compute per-id min-hash signature columns s0..s{n-1} over the ``ws``
     shingle array via explode -> one hash-aggregate of n_hashes MINs.

@@ -2911,3 +2911,17 @@ def q_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     return bm25_topk(docs, "text", "doc_id", ["spark", "join", "window"], k=10)
+
+@register("dedup_jaccard_prefix", _JACCARD_PAIRS_SQL)
+def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Prefix-filtered (AllPairs/PPJoin) exact Jaccard pairs — THIRD
+    physical plan against the same oracle as dedup_jaccard and
+    dedup_minhash_lsh: rarest-first prefixes shrink the candidate join
+    to ~(1-τ) of the index with zero recall loss, then exact-set
+    verification. The plan of record for exact near-dup at 100 TB (no
+    lossy max_doc_freq guard needed)."""
+    from epic_pandas_spark.extensions.dedup import jaccard_pairs_prefix
+
+    docs = load_table(spark, sf_dir, "documents")
+    out = jaccard_pairs_prefix(docs, "text", "doc_id", threshold=0.8)
+    return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))

@@ -510,3 +510,21 @@ def test_bm25_ranks_denser_matches_higher(spark):
 
     with _pytest.raises(ValueError):
         bm25_topk(df, "text", "doc_id", [])
+
+
+def test_jaccard_prefix_equals_allpairs(spark):
+    from epic_pandas_spark.extensions.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    for t in (0.5, 0.8):
+        full = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_pairs(docs, "text", "doc_id", threshold=t).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_pairs_prefix(docs, "text", "doc_id", threshold=t).collect()
+        }
+        assert pref == full, f"threshold {t}"
