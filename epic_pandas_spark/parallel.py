@@ -52,3 +52,33 @@ def papply_series(func: Callable[[pd.Series], pd.Series], return_type: str):
     from pyspark.sql.functions import pandas_udf
 
     return pandas_udf(func, returnType=return_type)
+
+
+def sentence_split_udtf():
+    """One-row→many-rows via a real Python UDTF (Spark 3.5+/4 `@udtf`) —
+    the general 1→N surface of §2.11, beyond what explode/posexplode
+    compositions express (a UDTF can hold state across emitted rows and
+    emit a variable number of typed columns). This instance splits text
+    into trimmed, non-empty sentences with their ordinal; semantics are
+    deliberately SQL-expressible so the registry query carries a full
+    DuckDB oracle proving the surface value-faithful.
+
+    Returns the UDTF class; register with
+    ``spark.udtf.register("sentence_split", sentence_split_udtf())`` or
+    call directly over a lateral join. Arrow-optimized when
+    spark.sql.execution.pythonUDTF.arrow.enabled is set."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="sent_idx int, sentence string")
+    class SentenceSplit:
+        def eval(self, text: str):
+            if text is None:
+                return
+            idx = 0
+            for raw in text.replace("!", ".").replace("?", ".").split("."):
+                s = raw.strip()
+                if s:
+                    yield idx, s
+                    idx += 1
+
+    return SentenceSplit

@@ -2925,3 +2925,41 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     out = jaccard_pairs_prefix(docs, "text", "doc_id", threshold=0.8)
     return out.select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+
+@register(
+    "sentence_split_udtf",
+    """
+    WITH sents AS (
+      SELECT doc_id, unnest(string_split(replace(replace(text, '!', '.'), '?', '.'), '.')) AS raw
+      FROM documents WHERE doc_id < 100
+    ),
+    trimmed AS (
+      SELECT doc_id, trim(raw) AS sentence FROM sents
+    ),
+    numbered AS (
+      SELECT doc_id, sentence,
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id) - 1 AS INT) AS sent_idx
+      FROM trimmed WHERE length(sentence) > 0
+    )
+    SELECT doc_id, sent_idx, sentence FROM numbered
+    """,
+)
+def q_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Python-UDTF surface (parallel.sentence_split_udtf), lateral-
+    joined against documents: each doc yields (sent_idx, sentence) rows
+    from imperative generator code — the 1→N shape explode can't cover in
+    general. The DuckDB oracle re-derives the same split relationally.
+    NOTE: sent_idx within a doc is order-defined on both sides (input
+    order / row_number), so the comparison is exact."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 100)
+    from epic_pandas_spark.parallel import sentence_split_udtf
+
+    SentenceSplit = sentence_split_udtf()
+    spark.udtf.register("sentence_split", SentenceSplit)
+    docs.select("doc_id", "text").createOrReplaceTempView("__udtf_docs")
+    return spark.sql(
+        """
+        SELECT d.doc_id, s.sent_idx, s.sentence
+        FROM __udtf_docs d, LATERAL sentence_split(d.text) s
+        """
+    )

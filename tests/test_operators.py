@@ -902,3 +902,22 @@ def test_zorder_layout_prunes_both_columns(spark, tmp_path):
     assert files_hit(zpath, "event_id", lo, hi) <= 6
     u = ev.agg(F.expr("percentile(user_id, array(0.15, 0.3))").alias("p")).first()["p"]
     assert files_hit(zpath, "user_id", u[0], u[1]) <= 6
+
+
+def test_sentence_split_udtf(spark):
+    from epic_pandas_spark.parallel import sentence_split_udtf
+
+    spark.udtf.register("sentence_split_t", sentence_split_udtf())
+    spark.createDataFrame(
+        [(1, "Hello there! How are you? Fine."), (2, "  "), (3, None)],
+        "id long, text string",
+    ).createOrReplaceTempView("__t")
+    rows = spark.sql(
+        "SELECT id, s.sent_idx, s.sentence FROM __t, LATERAL sentence_split_t(text) s"
+    ).collect()
+    got = {(r["id"], r["sent_idx"]): r["sentence"] for r in rows}
+    assert got == {
+        (1, 0): "Hello there",
+        (1, 1): "How are you",
+        (1, 2): "Fine",
+    }  # blank and NULL docs emit nothing
