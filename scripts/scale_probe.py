@@ -27,6 +27,10 @@ PROBE_QUERIES = [
     # curation tier over the replicated documents table
     "decontamination", "gopher_repetition", "pii_scrub",
     "global_shuffle", "mixture_resample",
+    # round-2 additions: near-dup scale paths, retrieval, layout, sketches
+    "repeated_passages_winnowed", "dedup_jaccard_prefix", "line_dedup",
+    "bm25_topk", "salted_join_revenue", "hll_distinct_rollup",
+    "zorder_key_events", "grouped_quantiles",
 ]
 
 

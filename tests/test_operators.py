@@ -921,3 +921,25 @@ def test_sentence_split_udtf(spark):
         (1, 1): "How are you",
         (1, 2): "Fine",
     }  # blank and NULL docs emit nothing
+
+
+def test_hll_sketch_store_roundtrip(spark, tmp_path):
+    """The sketch-store pattern: persist per-group sketches to parquet,
+    read them back in a later 'batch', union with new-batch sketches and
+    estimate — without touching the first batch's raw data again."""
+    from pyspark.sql import functions as F
+    from epic_pandas_spark.operators.sketches import (
+        distinct_sketches,
+        rollup_distinct_sketches,
+    )
+
+    batch1 = spark.range(0, 5000).select((F.col("id") % 997).alias("v"), F.lit("d1").alias("g"))
+    batch2 = spark.range(0, 5000).select(((F.col("id") % 997) + 500).alias("v"), F.lit("d1").alias("g"))
+    store = str(tmp_path / "sketches")
+    distinct_sketches(batch1, ["g"], "v").write.mode("overwrite").parquet(store)
+    merged = rollup_distinct_sketches(
+        spark.read.parquet(store).unionByName(distinct_sketches(batch2, ["g"], "v")),
+        ["g"],
+    ).first()
+    truth = batch1.select("v").union(batch2.select("v")).distinct().count()  # 1497
+    assert abs(merged["approx_distinct"] - truth) / truth < 0.05
