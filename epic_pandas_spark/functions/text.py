@@ -237,3 +237,48 @@ def tfidf_top_terms(df, text_col: str, id_col: str, k: int = 3):
         .filter(F.col("rank") <= k)
         .select(id_col, "token", "rank", "score")
     )
+
+
+def encode_tokens(
+    df,
+    text_col: str,
+    id_col: str,
+    vocab,
+    unk_id: int = -1,
+    out_col: str = "token_ids",
+):
+    """Tokenize-and-encode: map each whitespace token of the normalized
+    text to its id in ``vocab`` (a (token, token_id) frame from
+    build_vocab), out-of-vocabulary tokens to ``unk_id``, preserving
+    token order — the step between vocabulary construction and
+    chunking/packing in a training-data pipeline.
+
+    Plan: posexplode tokens, BROADCAST-join the vocab (real vocabularies
+    are ≤ a few hundred k rows — the canonical broadcast dim), reassemble
+    per doc with one hash-aggregate over (pos, id) structs sorted
+    in-memory per row. The corpus text crosses the wire once, as ids."""
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(
+            F.filter(
+                F.split(
+                    F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "),
+                    " ",
+                ),
+                lambda t: t != "",
+            )
+        ).alias("__pos", "token"),
+    )
+    mapped = toks.join(F.broadcast(vocab.select("token", "token_id")), "token", "left")
+    tid = F.coalesce(F.col("token_id"), F.lit(unk_id)).cast("int")
+    return (
+        mapped.select("__id", "__pos", tid.alias("__tid"))
+        .groupBy("__id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("__pos", "__tid"))),
+                lambda s: s["__tid"],
+            ).alias(out_col)
+        )
+        .select(F.col("__id").alias(id_col), out_col)
+    )

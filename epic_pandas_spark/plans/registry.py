@@ -2963,3 +2963,46 @@ def q_sentence_split_udtf(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM __udtf_docs d, LATERAL sentence_split(d.text) s
         """
     )
+
+@register(
+    "token_encoding",
+    """
+    WITH toks AS (
+      SELECT unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS token
+      FROM documents
+    ), counted AS (
+      SELECT token, COUNT(*) AS count FROM toks WHERE token <> '' GROUP BY token
+    ), vocab AS (
+      SELECT token,
+             CAST(ROW_NUMBER() OVER (ORDER BY count DESC, token ASC) - 1 AS INT) AS token_id
+      FROM counted QUALIFY token_id < 30
+    ), stream AS (
+      SELECT doc_id, unnest(ts) AS token, unnest(generate_series(1, len(ts))) AS pos
+      FROM (
+        SELECT doc_id,
+               list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '),
+                           t -> t <> '') AS ts
+        FROM documents WHERE doc_id < 50
+      )
+    )
+    SELECT s.doc_id,
+           string_agg(CAST(COALESCE(v.token_id, -1) AS VARCHAR), ' ' ORDER BY s.pos) AS ids
+    FROM stream s LEFT JOIN vocab v USING (token)
+    GROUP BY s.doc_id
+    """,
+)
+def q_token_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenize-and-encode (functions.text.encode_tokens): corpus-built
+    top-30 vocabulary broadcast against the token stream of the first 50
+    docs, OOV → -1, order preserved — serialized as a space-joined id
+    string so the oracle compares exact sequences."""
+    from epic_pandas_spark.functions.text import build_vocab, encode_tokens
+
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = build_vocab(docs, "text", top_k=30)
+    enc = encode_tokens(
+        docs.filter(F.col("doc_id") < 50), "text", "doc_id", vocab, unk_id=-1
+    )
+    return enc.select(
+        "doc_id", F.array_join(F.transform("token_ids", lambda t: t.cast("string")), " ").alias("ids")
+    )

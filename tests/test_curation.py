@@ -220,3 +220,23 @@ def test_dedup_lines_drops_boilerplate_keeps_order(spark):
     )
     out4 = {r["doc_id"]: r["text"] for r in dedup_lines(df4, "text", "doc_id").collect()}
     assert out4 == {1: "", 2: "", 3: "other"}
+
+
+def test_encode_tokens_order_oov_and_empty(spark):
+    from epic_pandas_spark.functions.text import encode_tokens
+
+    vocab = spark.createDataFrame(
+        [("alpha", 0), ("beta", 1), ("gamma", 2)], "token string, token_id int"
+    )
+    docs = spark.createDataFrame(
+        [
+            (1, "beta ALPHA beta unknown gamma"),
+            (2, "   "),
+            (3, "zzz"),
+        ],
+        "doc_id long, text string",
+    )
+    out = {r["doc_id"]: r["token_ids"] for r in encode_tokens(docs, "text", "doc_id", vocab, unk_id=-1).collect()}
+    assert out[1] == [1, 0, 1, -1, 2]  # case-normalized, order preserved
+    assert out[3] == [-1]
+    assert 2 not in out or out[2] == []  # blank doc yields no tokens
