@@ -19,7 +19,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window, functions as F
+from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
 def _rand_col(df: DataFrame, seed: int, salt: Sequence[str] | None = None) -> F.Column:
@@ -284,4 +284,98 @@ def split_train_val(
     u = (F.xxhash64(*cols, F.lit(seed)).cast("double") / F.lit(float(2**64))) + F.lit(0.5)
     return df.withColumn(
         out_col, F.when(u < F.lit(val_frac), F.lit("val")).otherwise(F.lit("train"))
+    )
+
+
+def cap_per_group(
+    df: DataFrame,
+    group_cols: list[str],
+    k: int,
+    seed: int = 42,
+    order_by: Column | None = None,
+) -> DataFrame:
+    """Cap each group's contribution at ``k`` rows — the per-domain/
+    per-source quota guard of corpus curation (a handful of giant crawl
+    domains must not dominate the mixture). Selection order is a
+    deterministic whole-row hash by default (partitioning-invariant,
+    reproducible across runs), or pass ``order_by`` to keep e.g. the
+    highest-quality rows instead of a random subset.
+
+    One window keyed on the group: hot groups land on one reducer ONLY
+    up to the sort — at extreme skew pre-filter with a salted two-phase
+    count or feed a quality ``order_by`` so the cap is meaningful
+    anyway."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    order = (
+        order_by
+        if order_by is not None
+        else F.xxhash64(*[F.col(c) for c in df.columns], F.lit(seed))
+    )
+    w = Window.partitionBy(*group_cols).orderBy(order)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def negative_samples(
+    df: DataFrame,
+    id_col: str,
+    label_col: str,
+    k: int = 5,
+    pool_size: int = 256,
+    oversample: int = 3,
+    seed: int = 42,
+) -> DataFrame:
+    """k negatives per anchor for contrastive training: rows whose
+    ``label_col`` differs from the anchor's, drawn deterministically.
+
+    Scale shape: a bounded candidate pool (``pool_size`` rows via
+    hash-random sample) is indexed 0..P-1 and broadcast; each anchor
+    derives ``k*oversample`` pseudo-random pool indices from
+    xxhash64(anchor, draw, seed) and equi-joins them — so the work is
+    |anchors| x k*oversample rows against a broadcast dim, never an
+    anchors x pool nested-loop join, and results are partitioning-
+    invariant. Same-label collisions are filtered and the per-anchor
+    window keeps the first k distinct negatives; anchors whose label
+    saturates the pool may return fewer (oversample bounds that
+    probability)."""
+    if k < 1 or oversample < 1:
+        raise ValueError("k and oversample must be >= 1")
+    pool = sample_at_most(
+        df.select(F.col(id_col).alias("neg_id"), F.col(label_col).alias("neg_label")),
+        n=pool_size,
+        seed=seed,
+    )
+    pool = pool.withColumn(
+        "__idx", F.row_number().over(Window.orderBy(F.col("neg_id"))) - 1
+    )
+    p = pool.count()  # bounded by pool_size; one tiny job
+    if p == 0:
+        raise ValueError("cannot sample negatives from an empty frame")
+    m = k * oversample
+    draws = (
+        df.select(
+            F.col(id_col).alias("anchor_id"), F.col(label_col).alias("anchor_label")
+        )
+        .withColumn("__j", F.explode(F.sequence(F.lit(0), F.lit(m - 1))))
+        .withColumn(
+            "__idx",
+            F.pmod(F.xxhash64("anchor_id", "__j", F.lit(seed)), F.lit(p)),
+        )
+    )
+    cand = (
+        draws.join(F.broadcast(pool), "__idx")
+        .filter(F.col("anchor_label") != F.col("neg_label"))
+        .dropDuplicates(["anchor_id", "neg_id"])
+    )
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.xxhash64("anchor_id", "neg_id", F.lit(seed)).asc()
+    )
+    return (
+        cand.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("anchor_id", "neg_id", "neg_label")
     )

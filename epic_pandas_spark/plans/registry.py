@@ -3006,3 +3006,57 @@ def q_token_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
     return enc.select(
         "doc_id", F.array_join(F.transform("token_ids", lambda t: t.cast("string")), " ").alias("ids")
     )
+
+@register(
+    "cap_per_source",
+    """
+    WITH capped AS (SELECT source, LEAST(COUNT(*), 30) AS n_kept FROM documents GROUP BY source)
+    SELECT source, CAST(n_kept AS BIGINT) AS n_kept FROM capped
+    """,
+)
+def q_cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota cap (operators.sampling.cap_per_group, k=30) —
+    giant crawl sources must not dominate the mixture. The kept SUBSET is
+    hash-random (engine-specific), so the oracle checks the count
+    contract per source: min(count, k) rows survive; subset determinism
+    is pytest-proven."""
+    from epic_pandas_spark.operators.sampling import cap_per_group
+
+    docs = load_table(spark, sf_dir, "documents")
+    capped = cap_per_group(docs, ["source"], k=30, seed=13)
+    return capped.groupBy("source").agg(F.count(F.lit(1)).alias("n_kept"))
+
+@register(
+    "negative_sampling",
+    """
+    SELECT CAST((SELECT COUNT(*) FROM embeddings) AS BIGINT) AS n_anchors,
+           CAST((SELECT COUNT(*) FROM embeddings) * 4 AS BIGINT) AS n_pairs,
+           CAST(0 AS BIGINT) AS n_label_violations,
+           CAST(0 AS BIGINT) AS n_self_pairs
+    """,
+)
+def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive negative sampling (operators.sampling.negative_samples,
+    k=4) over the embeddings table — contract oracle: every anchor gets
+    exactly k negatives (the label distribution here is far from pool-
+    saturating), no negative shares the anchor's label, no anchor is its
+    own negative. The Spark side recomputes those facts from its actual
+    output (self-witnessing), the oracle states the expected contract."""
+    from epic_pandas_spark.operators.sampling import negative_samples
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "label")
+    negs = negative_samples(emb, "vec_id", "label", k=4, pool_size=128, seed=9)
+    labeled = negs.join(
+        emb.select(F.col("vec_id").alias("anchor_id"), F.col("label").alias("a_label")),
+        "anchor_id",
+    )
+    return labeled.agg(
+        F.count_distinct("anchor_id").alias("n_anchors"),
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.sum((F.col("a_label") == F.col("neg_label")).cast("long")).alias(
+            "n_label_violations"
+        ),
+        F.sum((F.col("anchor_id") == F.col("neg_id")).cast("long")).alias(
+            "n_self_pairs"
+        ),
+    )

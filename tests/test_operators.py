@@ -943,3 +943,51 @@ def test_hll_sketch_store_roundtrip(spark, tmp_path):
     ).first()
     truth = batch1.select("v").union(batch2.select("v")).distinct().count()  # 1497
     assert abs(merged["approx_distinct"] - truth) / truth < 0.05
+
+
+def test_cap_per_group_quota_and_determinism(spark):
+    from pyspark.sql import functions as F
+    from epic_pandas_spark.operators.sampling import cap_per_group
+
+    df = spark.createDataFrame(
+        [(i, "big" if i < 80 else "small") for i in range(90)], "k long, g string"
+    )
+    out = cap_per_group(df, ["g"], k=15, seed=3)
+    counts = {r["g"]: r["n"] for r in out.groupBy("g").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"big": 15, "small": 10}  # small group untouched
+    # deterministic + partitioning-invariant subset
+    a = sorted(r["k"] for r in out.collect())
+    b = sorted(r["k"] for r in cap_per_group(df.repartition(7), ["g"], k=15, seed=3).collect())
+    assert a == b
+    # order_by keeps the TOP rows instead of a random subset
+    best = cap_per_group(df, ["g"], k=2, order_by=F.col("k").desc())
+    kept = sorted(r["k"] for r in best.filter(F.col("g") == "big").collect())
+    assert kept == [78, 79]
+
+
+def test_negative_samples_contract(spark):
+    from pyspark.sql import functions as F
+    from epic_pandas_spark.operators.sampling import negative_samples
+
+    df = spark.createDataFrame(
+        [(i, i % 5) for i in range(100)], "vec_id long, label int"
+    )
+    negs = negative_samples(df, "vec_id", "label", k=3, pool_size=64, seed=2)
+    rows = negs.collect()
+    per_anchor = {}
+    for r in rows:
+        per_anchor.setdefault(r["anchor_id"], []).append(r)
+    assert set(per_anchor) == set(range(100))
+    assert all(len(v) == 3 for v in per_anchor.values())
+    # no negative shares its anchor's label; no self-pairs
+    for r in rows:
+        assert r["neg_label"] != r["anchor_id"] % 5
+        assert r["neg_id"] != r["anchor_id"]
+    # deterministic and partitioning-invariant
+    again = sorted(
+        (r["anchor_id"], r["neg_id"])
+        for r in negative_samples(
+            df.repartition(7), "vec_id", "label", k=3, pool_size=64, seed=2
+        ).collect()
+    )
+    assert again == sorted((r["anchor_id"], r["neg_id"]) for r in rows)
