@@ -20,10 +20,11 @@ from epic_pandas_spark.plans import registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: value_counts on
-    lineitem.l_returnflag — scan → hash-agg → broadcast total → fraction →
-    sort (SURVEY.md §7.1 step 2)."""
-    fn, _sql = registry.REGISTRY["value_counts"]
+    """Flagship query on /root/testdata/sf0.001: the end-to-end fuzzy-dedup
+    curation pipeline — MinHash+LSH candidates → exact-Jaccard verify →
+    connected components → canonical-doc keep — one lazy plan over the
+    documents corpus (SURVEY.md §7.1 step 9)."""
+    fn, _sql = registry.REGISTRY["near_dedup_curation"]
     return fn(spark, "/root/testdata/sf0.001")
 
 

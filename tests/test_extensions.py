@@ -528,3 +528,37 @@ def test_jaccard_prefix_equals_allpairs(spark):
             for r in jaccard_pairs_prefix(docs, "text", "doc_id", threshold=t).collect()
         }
         assert pref == full, f"threshold {t}"
+
+
+def test_dedup_family_handles_empty_corpus(spark):
+    """Library robustness: every near-dup operator must return an empty,
+    correctly-typed frame on an empty corpus — not raise mid-plan."""
+    from epic_pandas_spark.extensions.dedup import (
+        exact_dedup,
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+        minhash_lsh_pairs,
+        repeated_passage_pairs,
+        repeated_passage_pairs_winnowed,
+        simhash_pairs,
+    )
+
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    assert exact_dedup(empty, "text", "doc_id").count() == 0
+    assert jaccard_pairs(empty, "text", "doc_id", threshold=0.8).count() == 0
+    assert jaccard_pairs_prefix(empty, "text", "doc_id", threshold=0.8).count() == 0
+    assert minhash_lsh_pairs(empty, "text", "doc_id", threshold=0.8).count() == 0
+    assert repeated_passage_pairs(empty, "text", "doc_id").count() == 0
+    assert repeated_passage_pairs_winnowed(empty, "text", "doc_id").count() == 0
+    assert simhash_pairs(empty, "text", "doc_id", max_hamming=3).count() == 0
+
+
+def test_curation_family_handles_empty_corpus(spark):
+    from epic_pandas_spark.extensions.curation import dedup_lines
+    from epic_pandas_spark.extensions.retrieval import bm25_topk
+    from epic_pandas_spark.operators.sampling import cap_per_group
+
+    empty = spark.createDataFrame([], "doc_id long, text string, source string")
+    assert dedup_lines(empty, "text", "doc_id").count() == 0
+    assert bm25_topk(empty, "text", "doc_id", ["anything"]).count() == 0
+    assert cap_per_group(empty, ["source"], k=3).count() == 0
