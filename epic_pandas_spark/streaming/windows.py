@@ -172,3 +172,30 @@ def stream_to_parquet_exactly_once(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def windowed_distinct_approx(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "user_id",
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+    lg_k: int = 12,
+) -> DataFrame:
+    """Approximate distinct values per event-time window via a mergeable
+    HLL sketch aggregate (operators.sketches family) — the streaming form
+    of exact count-distinct, which would otherwise hold every seen value
+    in state. Here each open window's state is ONE ~2^lg_k-byte sketch
+    regardless of stream cardinality, sketches merge associatively across
+    micro-batches, and the watermark drops closed-window state. Works
+    identically on a batch frame (the stream==batch equivalence test)."""
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window(ts_col, window_size).alias("win"))
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg(value_col, F.lit(lg_k))
+            ).alias("approx_distinct")
+        )
+        .select(F.col("win.start").alias("window_start"), "approx_distinct")
+    )

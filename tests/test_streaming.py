@@ -256,3 +256,37 @@ def test_streaming_decontamination_matches_batch(spark):
         assert got == want
     finally:
         q.stop()
+
+
+def test_windowed_distinct_approx_stream_matches_batch(spark, event_stream):
+    """Streaming HLL distinct-per-window: micro-batch sketch merges must
+    land on the SAME estimates as one batch pass (sketches are
+    associative), and both within 5% of exact distincts."""
+    from epic_pandas_spark.streaming.windows import windowed_distinct_approx
+
+    stream, batch = event_stream
+    out = windowed_distinct_approx(_normalize_events(stream), watermark="10 hours")
+    q = run_stream_to_memory(out, "wda_out", output_mode="complete")
+    try:
+        got = {
+            r["window_start"]: r["approx_distinct"]
+            for r in spark.sql("SELECT * FROM wda_out").collect()
+        }
+    finally:
+        q.stop()
+    want = {
+        r["window_start"]: r["approx_distinct"]
+        for r in windowed_distinct_approx(_normalize_events(batch)).collect()
+    }
+    assert got == want
+    exact = {
+        r["ws"]: r["d"]
+        for r in _normalize_events(batch)
+        .groupBy(F.window("ts", "1 hour").alias("win"))
+        .agg(F.count_distinct("user_id").alias("d"))
+        .select(F.col("win.start").alias("ws"), "d")
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for ws, est in got.items():
+        assert abs(est - exact[ws]) <= max(1, 0.05 * exact[ws])
