@@ -2930,15 +2930,17 @@ def q_dedup_jaccard_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sentence_split_udtf",
     """
     WITH sents AS (
-      SELECT doc_id, unnest(string_split(replace(replace(text, '!', '.'), '?', '.'), '.')) AS raw
+      SELECT doc_id,
+             unnest(string_split(replace(replace(text, '!', '.'), '?', '.'), '.')) AS raw,
+             unnest(generate_series(1, len(string_split(replace(replace(text, '!', '.'), '?', '.'), '.')))) AS pos
       FROM documents WHERE doc_id < 100
     ),
     trimmed AS (
-      SELECT doc_id, trim(raw) AS sentence FROM sents
+      SELECT doc_id, pos, trim(raw) AS sentence FROM sents
     ),
     numbered AS (
       SELECT doc_id, sentence,
-             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id) - 1 AS INT) AS sent_idx
+             CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) - 1 AS INT) AS sent_idx
       FROM trimmed WHERE length(sentence) > 0
     )
     SELECT doc_id, sent_idx, sentence FROM numbered
