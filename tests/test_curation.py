@@ -240,3 +240,49 @@ def test_encode_tokens_order_oov_and_empty(spark):
     assert out[1] == [1, 0, 1, -1, 2]  # case-normalized, order preserved
     assert out[3] == [-1]
     assert 2 not in out or out[2] == []  # blank doc yields no tokens
+
+
+def test_dedup_lines_matches_python_model_on_random_corpus(spark):
+    """Model-based check on a seeded random corpus: Spark's hashed
+    distinct-doc-frequency pipeline must agree line-for-line with a
+    direct Python implementation of the C4 rule."""
+    import random
+    from collections import Counter
+
+    from epic_pandas_spark.extensions.curation import dedup_lines
+
+    rng = random.Random(1234)
+    pool = [f"boilerplate line {i}" for i in range(12)]
+    docs = {}
+    for d in range(60):
+        lines = []
+        for _ in range(rng.randint(1, 8)):
+            if rng.random() < 0.5:
+                lines.append(rng.choice(pool))
+            else:
+                lines.append(f"unique {d} {rng.randint(0, 10**9)}")
+            if rng.random() < 0.2:
+                lines.append("   ")  # short/blank lines are never counted
+        docs[d] = "\n".join(lines)
+
+    max_freq = 3
+    freq = Counter()
+    for t in docs.values():
+        for s in {ln.strip() for ln in t.split("\n") if len(ln.strip()) >= 1}:
+            freq[s] += 1
+    hot = {s for s, n in freq.items() if n > max_freq}
+    want = {
+        d: "\n".join(
+            ln
+            for ln in t.split("\n")
+            if not (len(ln.strip()) >= 1 and ln.strip() in hot)
+        )
+        for d, t in docs.items()
+    }
+
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: r["text"]
+        for r in dedup_lines(df, "text", "doc_id", max_line_freq=max_freq).collect()
+    }
+    assert got == want

@@ -562,3 +562,40 @@ def test_curation_family_handles_empty_corpus(spark):
     assert dedup_lines(empty, "text", "doc_id").count() == 0
     assert bm25_topk(empty, "text", "doc_id", ["anything"]).count() == 0
     assert cap_per_group(empty, ["source"], k=3).count() == 0
+
+
+def test_winnowing_guarantee_on_random_planted_runs(spark):
+    """Every pair sharing a planted run of >= k + w - 1 chars must be
+    detected, across 40 random docs with varied offsets and noise."""
+    import random
+
+    from epic_pandas_spark.extensions.dedup import repeated_passage_pairs_winnowed
+
+    rng = random.Random(99)
+    k, w = 30, 6
+    run_len = k + w - 1
+    runs = ["".join(rng.choice("abcdefghij") for _ in range(run_len)) for _ in range(4)]
+    rows, expected = [], set()
+    holders = {i: [] for i in range(4)}
+    for d in range(40):
+        noise = "".join(rng.choice("qrstuvwxyz ") for _ in range(rng.randint(20, 120)))
+        if rng.random() < 0.5:
+            ri = rng.randrange(4)
+            cut = rng.randint(0, len(noise))
+            rows.append((d, noise[:cut] + runs[ri] + noise[cut:]))
+            holders[ri].append(d)
+        else:
+            rows.append((d, noise))
+    for ds in holders.values():
+        for i in range(len(ds)):
+            for j in range(i + 1, len(ds)):
+                expected.add((min(ds[i], ds[j]), max(ds[i], ds[j])))
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r["id_a"], r["id_b"])
+        for r in repeated_passage_pairs_winnowed(
+            df, "text", "doc_id", min_len=k, window=w
+        ).collect()
+    }
+    assert expected <= got  # zero misses on guaranteed pairs
