@@ -3,8 +3,12 @@
 JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is timed end-to-end including the action (count of the result —
-forces the full plan without collecting data to the driver).
+Each query is timed end-to-end including the action: a write to Spark's
+built-in `noop` sink, which materializes EVERY output column without
+collecting to the driver. A plain `df.count()` would let Catalyst prune
+projection-only queries down to a parquet row count (e.g. the regex/CASE
+chains of q_lang_id / q_pii_scrub would never execute); the noop sink
+forces the full plan.
 """
 
 from __future__ import annotations
@@ -32,7 +36,9 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             df = fn(spark, sf_dir)
-            n = df.count()
+            # noop sink: full evaluation of all output columns, zero I/O,
+            # nothing collected to the driver; immune to count-pruning
+            df.write.format("noop").mode("overwrite").save()
         except Exception as e:  # keep the bench line parseable even on a failure
             print(f"bench: query {name} failed: {e}", file=sys.stderr)
             failed.append(name)

@@ -174,12 +174,41 @@ def embedding_neardup_pairs(
     id_col: str = "vec_id",
     block_col: str | None = None,
     threshold: float = 0.9,
+    auto_block_planes: int = 0,
+    dim: int | None = None,
+    seed: int = 11,
+    allow_quadratic: bool = False,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
+
     ``block_col`` restricts comparison to equal-block pairs (label, LSH
-    bucket, shard...) — mandatory at scale; the all-pairs cross join is
-    quadratic."""
+    bucket, shard...). Without one, pass ``auto_block_planes > 0`` (+``dim``)
+    to derive an LSH sign-bucket block — ~1/2^planes candidate fraction at
+    some recall cost — or opt into the quadratic all-pairs cross join
+    explicitly with ``allow_quadratic=True`` (tiny frames only). A bare
+    unblocked call raises: at corpus scale the cartesian product is the
+    plan that never finishes.
+    """
     from epic_pandas_spark.functions.vectors import dot_expr, norm_expr
+
+    if block_col is None and auto_block_planes > 0:
+        if dim is None:
+            probe = df.select(F.size(vec_col).alias("d")).first()
+            if probe is None:
+                raise ValueError("cannot infer dim from an empty DataFrame")
+            dim = probe["d"]
+        planes = random_hyperplanes(dim, auto_block_planes, seed)
+        df = df.withColumn(
+            "__lsh_block", lsh_bucket_expr(_as_double(vec_col), planes)
+        )
+        block_col = "__lsh_block"
+    elif block_col is None and not allow_quadratic:
+        raise ValueError(
+            "embedding_neardup_pairs without block_col is an all-pairs cross "
+            "join (quadratic in the corpus). Pass block_col=, or "
+            "auto_block_planes= for LSH sign-bucket blocking, or "
+            "allow_quadratic=True for tiny frames."
+        )
 
     a = df.select(
         F.col(id_col).alias("id_a"), _as_double(vec_col).alias("va"),

@@ -79,11 +79,43 @@ def unique_row_ids(
     if strategy == "hash":
         return df.withColumn(out_col, F.xxhash64(*[F.col(c) for c in cols]))
     if strategy == "dense":
-        # rank the distinct combos (small) then broadcast-join back: the
-        # global sort touches only |distinct| rows, not the full table.
-        distinct = df.select(*cols).distinct()
-        w = Window.orderBy(*[F.col(c).asc_nulls_first() for c in cols])
-        ids = distinct.withColumn(out_col, F.dense_rank().over(w) - 1)
+        # rank the distinct combos then broadcast-join back. The ranking is
+        # TWO-PHASE (same trick as sampling._two_phase_positions): range-
+        # partition the distinct set on the ordering columns (global order
+        # preserved across partitions), row_number per partition (parallel
+        # windows), then add driver-collected partition offsets (n_parts
+        # rows — tiny) via a broadcast join. No unpartitioned window, so no
+        # single-reducer sort of the distinct set.
+        order_exprs = [F.col(c).asc_nulls_first() for c in cols]
+        n_parts = 32
+        parted = (
+            df.select(*cols)
+            .distinct()
+            .repartitionByRange(n_parts, *order_exprs)
+            .withColumn("__pid", F.spark_partition_id())
+            # checkpoint: the pid must be identical in the counts job and
+            # the ranking job (a recompute could re-partition differently)
+            .localCheckpoint(eager=False)
+        )
+        counts = {
+            int(r["__pid"]): int(r["n"])
+            for r in parted.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+        }
+        offs, cum = [], 0
+        for p in sorted(counts):
+            offs.append((p, cum))
+            cum += counts[p]
+        spark = df.sparkSession
+        off_df = F.broadcast(
+            spark.createDataFrame(offs or [(0, 0)], "__pid int, __off long")
+        )
+        w = Window.partitionBy("__pid").orderBy(*order_exprs)
+        ids = (
+            parted.withColumn("__rn", F.row_number().over(w))
+            .join(off_df, on="__pid", how="inner")
+            .withColumn(out_col, (F.col("__off") + F.col("__rn") - 1).cast("int"))
+            .drop("__pid", "__rn", "__off")
+        )
         # eqNullSafe join keys: a plain equi-join would never match combos
         # containing nulls, leaving those rows with a null id
         renamed = ids.select(

@@ -599,3 +599,40 @@ def test_winnowing_guarantee_on_random_planted_runs(spark):
         ).collect()
     }
     assert expected <= got  # zero misses on guaranteed pairs
+
+
+def test_embedding_neardup_unblocked_raises(spark):
+    """An unblocked call is the quadratic cross join — must refuse unless
+    the caller opts in explicitly (VERDICT r2 item 3)."""
+    from epic_pandas_spark.extensions.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    with pytest.raises(ValueError, match="quadratic"):
+        embedding_neardup_pairs(emb)
+
+
+def test_embedding_neardup_auto_lsh_blocking(spark):
+    """auto_block_planes derives LSH sign buckets: results are a subset of
+    the quadratic ground truth, and an identical clone (same vector ->
+    same bucket under every plane) is always recalled."""
+    from epic_pandas_spark.extensions.similarity import embedding_neardup_pairs
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(60)
+    clone = emb.filter(F.col("vec_id") == 0).withColumn(
+        "vec_id", F.lit(9999).cast("long")
+    )
+    corpus = emb.unionByName(clone)
+    full = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            corpus, threshold=0.4, allow_quadratic=True
+        ).collect()
+    }
+    auto = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_neardup_pairs(
+            corpus, threshold=0.4, auto_block_planes=4, dim=64
+        ).collect()
+    }
+    assert auto <= full
+    assert (0, 9999) in auto  # identical vectors share every sign bucket
