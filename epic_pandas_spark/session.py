@@ -64,9 +64,16 @@ def get_spark(
 def load_table(spark: SparkSession, sf_dir: str, name: str):
     """Read one driver-generated parquet table (TESTDATA.md).
 
-    events.ts is stored as timestamp[ns]; with nanosAsLong it surfaces as a
-    long which we convert to a microsecond timestamp (matching DuckDB's
-    ns→µs truncation)."""
+    events.ts has shipped as parquet timestamp[ns] in some driver testdata
+    generations and timestamp[us] (tz-naive) in others; normalize BOTH to a
+    plain UTC TIMESTAMP so downstream `unix_micros`/window arithmetic never
+    sees a LongType or TIMESTAMP_NTZ surprise:
+
+    - ns → read as long (nanosAsLong), integer-div to µs (float division
+      would corrupt the microsecond digit at ~1.7e18), timestamp_micros;
+    - tz-naive µs → Spark 4 infers TIMESTAMP_NTZ; cast to timestamp —
+      lossless because the session timezone is pinned UTC, and it matches
+      DuckDB's naive-UTC read of the same file."""
     from pyspark.sql import functions as F
     from pyspark.sql import types as T
 
@@ -76,8 +83,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str):
         # and the ns-timestamp parquet is unreadable without it
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-    if name == "events" and isinstance(df.schema["ts"].dataType, T.LongType):
-        # integer div: ns values (~1.7e18) exceed double precision, so a
-        # float division here would corrupt the microsecond digit
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if name == "events":
+        dt = df.schema["ts"].dataType
+        if isinstance(dt, T.LongType):
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(dt, T.TimestampNTZType):
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df

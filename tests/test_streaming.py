@@ -29,11 +29,18 @@ def event_stream(spark):
 
 
 def _normalize_events(df):
-    # events.ts arrives as long nanos under nanosAsLong; convert like load_table
+    # mirror load_table's ts normalization for the streaming source: long
+    # nanos (nanosAsLong generations) -> µs timestamp; TIMESTAMP_NTZ
+    # (tz-naive µs generations) -> timestamp, which watermarks require
+    # (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE otherwise); session tz is UTC
+    # so the cast is lossless
     from pyspark.sql import types as T
 
-    if isinstance(df.schema["ts"].dataType, T.LongType):
+    dt = df.schema["ts"].dataType
+    if isinstance(dt, T.LongType):
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(dt, T.TimestampNTZType):
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 
@@ -290,3 +297,99 @@ def test_windowed_distinct_approx_stream_matches_batch(spark, event_stream):
     assert set(got) == set(exact)
     for ws, est in got.items():
         assert abs(est - exact[ws]) <= max(1, 0.05 * exact[ws])
+
+
+def test_streaming_end_to_end_restart_resume_exactly_once(spark, tmp_path):
+    """The composed production pipeline, end to end (VERDICT r2 item 9):
+    file source → watermarked windowed HLL approx-distinct →
+    exactly-once parquet sink — run, STOPPED, and RESUMED from the same
+    checkpoint with new input files. Asserts (a) no window is emitted
+    twice across the restart (append-mode finalization + checkpoint =
+    exactly-once), and (b) the union of emissions equals the batch twin
+    over all real events once a watermark-flushing sentinel closes the
+    last windows."""
+    from epic_pandas_spark.streaming.windows import (
+        stream_to_parquet_exactly_once,
+        windowed_distinct_approx,
+    )
+
+    events = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id"
+    )
+    in_dir, out_dir, ckpt = (
+        str(tmp_path / "in"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    # three deterministic input chunks, split by TIME RANGE (files land in
+    # event-time order like a real ingest — an id-interleaved split would
+    # make every later file almost entirely late vs the watermark and the
+    # rows would be correctly-but-unhelpfully dropped)
+    lo_hi = events.agg(F.min("ts"), F.max("ts")).first()
+    span = lo_hi[1] - lo_hi[0]
+    t1, t2 = lo_hi[0] + span / 3, lo_hi[0] + 2 * span / 3
+    bounds = [(None, t1), (t1, t2), (t2, None)]
+    for chunk, (lo, hi) in enumerate(bounds):
+        part = events
+        if lo is not None:
+            part = part.filter(F.col("ts") >= F.lit(lo))
+        if hi is not None:
+            part = part.filter(F.col("ts") < F.lit(hi))
+        part.coalesce(1).write.mode("overwrite").parquet(f"{in_dir}/chunk={chunk}")
+
+    schema = spark.read.parquet(f"{in_dir}/chunk=0").schema
+
+    def run_pipeline(glob: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "*.parquet")
+            .option("maxFilesPerTrigger", 1)  # force multiple micro-batches
+            .parquet(glob)
+        )
+        q = stream_to_parquet_exactly_once(
+            windowed_distinct_approx(stream, watermark="2 hours"),
+            out_dir,
+            ckpt,
+        )
+        q.awaitTermination()
+
+    staged = tmp_path / "staged"
+    staged.mkdir()
+    import glob as globmod
+    import shutil
+
+    def land(src_dir: str, name: str) -> None:
+        # the file stream source lists one flat directory — land each
+        # chunk's data file under a unique name, like an ingest job would
+        (src,) = globmod.glob(f"{src_dir}/part-*.parquet")
+        shutil.copy(src, staged / f"{name}.parquet")
+
+    # phase 1: two chunks, then a clean stop (availableNow terminates)
+    for chunk in range(2):
+        land(f"{in_dir}/chunk={chunk}", f"c{chunk}")
+    run_pipeline(str(staged))
+
+    # phase 2: third chunk lands + a far-future sentinel row that pushes
+    # the watermark past every real window; resume from the checkpoint
+    land(f"{in_dir}/chunk=2", "c2")
+    max_ts = events.agg(F.max("ts")).first()[0]
+    import datetime
+
+    sentinel_ts = max_ts + datetime.timedelta(hours=6)
+    sentinel_dir = str(tmp_path / "sentinel")
+    spark.createDataFrame(
+        [(10**12, sentinel_ts, 10**12)], schema
+    ).coalesce(1).write.parquet(sentinel_dir)
+    land(sentinel_dir, "zz_sentinel")  # sorts last -> processed last
+    run_pipeline(str(staged))
+
+    emitted = spark.read.parquet(out_dir).select("window_start", "approx_distinct")
+    rows = emitted.collect()
+    starts = [r["window_start"] for r in rows]
+    # (a) exactly-once: no window finalized twice across the restart
+    assert len(starts) == len(set(starts)), "duplicate window emission after resume"
+    # (b) completeness+values: sentinel closed every real window; its own
+    # window stays open (end > watermark), so emissions == batch twin
+    want = {
+        (r["window_start"], r["approx_distinct"])
+        for r in windowed_distinct_approx(events).collect()
+    }
+    assert {(r["window_start"], r["approx_distinct"]) for r in rows} == want
