@@ -305,25 +305,25 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str, n_bits: int = 64) -
     return votes.select("id", sh.alias("sh"))
 
 
-def simhash_pairs(
-    df: DataFrame,
-    text_col: str,
-    id_col: str,
+def hamming_pairs(
+    hashes: DataFrame,
+    hash_col: str = "sh",
+    id_col: str = "id",
     max_hamming: int = 3,
     n_bands: int = 4,
 ) -> DataFrame:
-    """Near-dup pairs by simhash hamming distance — EXACT, via band
-    blocking: the 64-bit fingerprint splits into `n_bands` equal bands and
-    candidates are pairs agreeing on at least one whole band. Pigeonhole:
-    two fingerprints with hamming <= max_hamming < n_bands must share a
-    band with zero differing bits, so every qualifying pair is a
-    candidate — no recall gap. Exactness is pytest-proven against a
-    brute-force hamming join.
+    """Band-blocked hamming self-join over ANY 64-bit fingerprint column
+    (simhash, image dHash, audio chromaprint...) — EXACT: the fingerprint
+    splits into `n_bands` equal bands and candidates are pairs agreeing on
+    at least one whole band. Pigeonhole: two fingerprints with hamming <=
+    max_hamming < n_bands must share a band with zero differing bits, so
+    every qualifying pair is a candidate — no recall gap.
 
-    Per band only (band_idx, band_value, id, sh) rows shuffle (one
+    Per band only (band_idx, band_value, id, hash) rows shuffle (one
     posexplode, one equi-join on the band key); the hamming filter
     `bit_count(xor)` runs on candidates only. Multi-band duplicates are
-    dropped with one distinct before the filter."""
+    dropped with one distinct before the filter. Returns
+    (id_a, id_b, hamming) with id_a < id_b."""
     if not (0 < n_bands <= 64 and 64 % n_bands == 0):
         raise ValueError("n_bands must divide 64")
     if max_hamming >= n_bands:
@@ -333,7 +333,7 @@ def simhash_pairs(
         )
     band_bits = 64 // n_bands
     band_mask = F.lit((1 << band_bits) - 1) if band_bits < 64 else F.lit(-1)
-    sh = simhash_table(df, text_col, id_col).localCheckpoint(eager=False)
+    sh = hashes.select(F.col(id_col).alias("id"), F.col(hash_col).alias("sh"))
     bands = sh.select(
         "id",
         "sh",
@@ -360,32 +360,73 @@ def simhash_pairs(
     )
 
 
+def simhash_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_hamming: int = 3,
+    n_bands: int = 4,
+) -> DataFrame:
+    """Near-dup pairs by simhash hamming distance — EXACT, via the shared
+    band-blocked hamming join (`hamming_pairs`). Exactness is
+    pytest-proven against a brute-force hamming join."""
+    if not (0 < n_bands <= 64 and 64 % n_bands == 0):
+        raise ValueError("n_bands must divide 64")
+    if max_hamming >= n_bands:
+        raise ValueError(
+            f"band blocking is only exact for max_hamming < n_bands "
+            f"(got max_hamming={max_hamming}, n_bands={n_bands}); raise n_bands"
+        )
+    sh = simhash_table(df, text_col, id_col).localCheckpoint(eager=False)
+    return hamming_pairs(sh, "sh", "id", max_hamming=max_hamming, n_bands=n_bands)
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
     id_b: str = "id_b",
     max_iterations: int = 20,
     on_nonconverged: str = "raise",
+    algorithm: str = "minlabel",
 ) -> DataFrame:
     """Connected components over a near-dup pair graph → (id, cluster)
     with cluster = min id reachable. The dedup endgame: keep one doc per
     component.
 
-    Iterative min-label propagation with pointer doubling: each round
-    (1) takes the min label across edges and (2) replaces each node's
-    label with its label's label — the shortcut step that makes
-    convergence O(log diameter) rather than O(diameter), so a 20-round
-    cap covers path graphs of ~2^20 nodes. Each round shuffles on the
-    node id; `localCheckpoint` truncates the lineage so the plan doesn't
-    grow exponentially across rounds — the standard Spark
-    iterative-algorithm pattern.
+    Two algorithms, identical output:
 
-    If the loop still exits via `max_iterations` with labels changing,
-    the result would be wrong (unfinished propagation), so it raises by
-    default; pass ``on_nonconverged="warn"`` to get the partial labels
-    with a RuntimeWarning instead."""
+    - ``"minlabel"`` (default): min-label propagation with pointer
+      doubling — each round (1) takes the min label across edges and
+      (2) replaces each node's label with its label's label, the shortcut
+      step that makes convergence O(log diameter) rather than
+      O(diameter), so a 20-round cap covers path graphs of ~2^20 nodes.
+      Keeps the full edge list live every round.
+    - ``"star"``: alternating large-star/small-star edge rewriting
+      (Kiveris et al., "Connected Components in MapReduce and Beyond",
+      SOCC'14) — each round rewrites the edge set itself toward a star
+      per component, so the per-round shuffle SHRINKS as components
+      collapse; converges in O(log n) rounds unconditionally (the
+      paper's Theorem 11 bound is O(log² n) worst-case, O(log n) in
+      practice and on bounded-degeneracy graphs). The better choice when
+      the pair graph is huge but its components are small — the standard
+      near-dup shape.
+
+    Each round shuffles on the node id; `localCheckpoint` truncates the
+    lineage so the plan doesn't grow exponentially across rounds — the
+    standard Spark iterative-algorithm pattern.
+
+    If the loop still exits via `max_iterations` without reaching a
+    fixpoint, the result would be wrong (unfinished propagation), so it
+    raises by default; pass ``on_nonconverged="warn"`` to get the partial
+    labels with a RuntimeWarning instead."""
     if on_nonconverged not in ("raise", "warn"):
         raise ValueError("on_nonconverged must be 'raise' or 'warn'")
+    if algorithm not in ("minlabel", "star"):
+        raise ValueError("algorithm must be 'minlabel' or 'star'")
+    if algorithm == "star":
+        return _connected_components_star(
+            pairs, id_a, id_b, max_iterations, on_nonconverged
+        )
     edges = (
         pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
         .unionByName(pairs.select(F.col(id_b).alias("src"), F.col(id_a).alias("dst")))
@@ -445,6 +486,113 @@ def connected_components(
             raise RuntimeError(msg)
         warnings.warn(msg, RuntimeWarning)
     return labels
+
+
+def _connected_components_star(
+    pairs: DataFrame,
+    id_a: str,
+    id_b: str,
+    max_iterations: int,
+    on_nonconverged: str,
+) -> DataFrame:
+    """Alternating large-star/small-star connected components (Kiveris et
+    al. SOCC'14). Each round rewrites the edge set:
+
+    - large-star: every node u connects its strictly-larger neighbors to
+      m = min(Γ(u) ∪ {u});
+    - small-star: every node u connects its smaller-or-equal neighbors
+      (and itself) to m = min(Γ⁻(u) ∪ {u}).
+
+    Both operations preserve connectivity and monotonically drive every
+    component toward a single star rooted at its minimum id; the edge set
+    is a fixpoint exactly when it IS that union of stars, at which point
+    labels read off directly as (leaf → center) ∪ (center → center).
+
+    Scale shape: each round is two groupBy-min shuffles on the node id
+    over the CURRENT edge set — which shrinks as components collapse —
+    vs. minlabel's constant-size edge list every round. Fixpoint is
+    detected by an order-insensitive edge-set checksum (count +
+    sum(xxhash64)), one tiny agg per round."""
+    node_ids = pairs.select(F.col(id_a).alias("id")).unionByName(
+        pairs.select(F.col(id_b).alias("id"))
+    ).distinct().localCheckpoint(eager=False)
+    edges = (
+        pairs.select(F.col(id_a).alias("a"), F.col(id_b).alias("b"))
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+
+    def checksum(e: DataFrame) -> tuple:
+        # decimal(38,0) accumulator: a long SUM of 64-bit hashes overflows
+        # (ANSI mode throws) after a few dozen terms
+        row = e.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.xxhash64(F.least("a", "b"), F.greatest("a", "b")).cast("decimal(38,0)")
+            ).alias("h"),
+        ).first()
+        return (row["n"], row["h"])
+
+    def large_star(e: DataFrame) -> DataFrame:
+        nbrs = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionByName(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = nbrs.groupBy("u").agg(
+            F.least(F.min("v"), F.first("u")).alias("m")
+        )
+        return (
+            nbrs.filter(F.col("v") > F.col("u"))
+            .join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    def small_star(e: DataFrame) -> DataFrame:
+        # orient each edge once, larger endpoint as center u
+        nbrs = e.select(
+            F.greatest("a", "b").alias("u"), F.least("a", "b").alias("v")
+        )
+        mins = nbrs.groupBy("u").agg(F.min("v").alias("m"))
+        leaf_edges = (
+            nbrs.join(mins, "u")
+            .select(F.col("v").alias("a"), F.col("m").alias("b"))
+        )
+        center_edges = mins.select(F.col("u").alias("a"), F.col("m").alias("b"))
+        return (
+            leaf_edges.unionByName(center_edges)
+            .filter(F.col("a") != F.col("b"))
+            .distinct()
+        )
+
+    prev = checksum(edges)
+    converged = False
+    for _ in range(max_iterations):
+        edges = small_star(large_star(edges)).localCheckpoint(eager=True)
+        cur = checksum(edges)
+        if cur == prev:
+            converged = True
+            break
+        prev = cur
+    if not converged:
+        msg = (
+            f"connected_components(algorithm='star') did not reach an edge-set "
+            f"fixpoint within {max_iterations} iterations; labels are "
+            "incomplete. Increase max_iterations."
+        )
+        if on_nonconverged == "raise":
+            raise RuntimeError(msg)
+        warnings.warn(msg, RuntimeWarning)
+    # fixpoint edge set is a union of min-rooted stars: (leaf a → center b)
+    leaf_labels = edges.select(
+        F.col("a").alias("id"), F.col("b").alias("cluster")
+    )
+    labeled_ids = leaf_labels.select("id")
+    center_labels = node_ids.join(labeled_ids, "id", "left_anti").select(
+        "id", F.col("id").alias("cluster")
+    )
+    return leaf_labels.unionByName(center_labels)
 
 
 # ---------------------------------------------------------------------------
