@@ -605,6 +605,7 @@ def exact_dedup_incremental(
     id_col: str,
     store: DataFrame | None = None,
     reuse: bool = True,
+    bloom_fpp: float | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """Incremental exact dedup — the production shape at 100 TB: dedup a
     NEW batch against the existing corpus's persisted fingerprint store
@@ -619,6 +620,14 @@ def exact_dedup_incremental(
     ``updated_store`` (parquet, optionally bucketed by ``fp`` for a
     co-located anti-join) between batches.
 
+    ``bloom_fpp`` (e.g. 0.01) additionally builds a Bloom filter of the
+    store's fingerprints (operators.sketches.bloom_filter_build — a few
+    KB broadcast) and splits the batch BEFORE the anti-join: rows the
+    filter rules out are definitely new (no false negatives) and skip the
+    join entirely; only the ~store-hit + fpp fraction exchanges against
+    the store. When daily increments are mostly-new data, the anti-join
+    input shrinks from |increment| to ~|duplicates|.
+
     ``reuse=True`` lazily checkpoints the deduped batch so materializing
     BOTH outputs computes the window + anti-join once; pass False when
     only one output is consumed (keeps the full plan visible too)."""
@@ -630,7 +639,26 @@ def exact_dedup_incremental(
         .filter(F.col("__rn") == 1)
         .drop("__rn")
     )
-    if store is not None:
+    if store is not None and bloom_fpp is not None:
+        from epic_pandas_spark.operators.sketches import (
+            bloom_filter_build,
+            bloom_might_contain_expr,
+        )
+
+        n_store = store.count()
+        if n_store > 0:
+            words, m, k = bloom_filter_build(
+                store, "fp", expected_items=n_store, fpp=bloom_fpp
+            )
+            might = bloom_might_contain_expr(F.col("__fp"), words, m, k)
+            batch_canon = batch_canon.withColumn("__might", might).localCheckpoint(
+                eager=False  # read twice: definite-new branch + maybe branch
+            )
+            definite_new = batch_canon.filter(~F.col("__might")).drop("__might")
+            maybe = batch_canon.filter(F.col("__might")).drop("__might")
+            checked = maybe.join(store, maybe["__fp"] == store["fp"], "left_anti")
+            batch_canon = definite_new.unionByName(checked)
+    elif store is not None:
         batch_canon = batch_canon.join(
             store, batch_canon["__fp"] == store["fp"], "left_anti"
         )

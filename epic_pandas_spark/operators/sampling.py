@@ -349,6 +349,8 @@ def negative_samples(
         n=pool_size,
         seed=seed,
     )
+    # unpartitioned window is safe here: the frame is bounded by pool_size
+    # rows (sample_at_most above), not corpus-sized
     pool = pool.withColumn(
         "__idx", F.row_number().over(Window.orderBy(F.col("neg_id"))) - 1
     )

@@ -50,3 +50,88 @@ def rollup_distinct_sketches(
     return grouped.agg(
         F.hll_sketch_estimate(F.hll_union_agg(sketch_col)).alias(out_col)
     )
+
+
+def _bloom_params(expected_items: int, fpp: float) -> tuple[int, int]:
+    """Textbook Bloom sizing: m = -n·ln(p)/ln(2)², k = (m/n)·ln(2),
+    with m rounded up to whole 64-bit words."""
+    import math
+
+    if expected_items < 1 or not (0.0 < fpp < 1.0):
+        raise ValueError("expected_items must be >= 1 and 0 < fpp < 1")
+    m = max(64, int(-expected_items * math.log(fpp) / (math.log(2) ** 2)))
+    m = ((m + 63) // 64) * 64
+    k = max(1, round((m / expected_items) * math.log(2)))
+    return m, k
+
+
+def _bloom_hashes(col, m: int):
+    """Kirsch–Mitzenmacher double hashing, pre-reduced mod m so the
+    position arithmetic (h1 + i·h2) stays far below int64 (ANSI-safe:
+    raw xxhash64 values would overflow the multiply). h2 is forced odd
+    and nonzero so the k probe positions never collapse onto one bit."""
+    h1 = F.pmod(F.xxhash64(col), F.lit(m))
+    h2 = F.pmod(F.xxhash64(col, F.lit(104729)), F.lit(m)) * 2 + 1
+    return h1, h2
+
+
+def bloom_filter_build(
+    df: DataFrame,
+    col: str,
+    expected_items: int,
+    fpp: float = 0.01,
+) -> tuple[list[int], int, int]:
+    """Distributed Bloom-filter build over ``col``, pure DataFrame ops:
+    each row derives k bit positions by double hashing
+    (h1 + i·h2 mod m, the Kirsch–Mitzenmacher construction over two
+    independent xxhash64 seeds), explodes to (word_index, bit_mask)
+    pairs, and one groupBy ORs the masks per word. The shuffle carries
+    k×N 12-byte pairs — never the values — with map-side partial
+    bit_or combining, then m/64 longs collect to the driver.
+
+    Returns (words, m_bits, k_hashes) — a few KB to broadcast into
+    `bloom_might_contain_expr`. False negatives are impossible; false
+    positives ≈ fpp at the sized load factor (property-tested)."""
+    m, k = _bloom_params(expected_items, fpp)
+    n_words = m // 64
+    h1, h2 = _bloom_hashes(F.col(col), m)
+    pos = [F.pmod(h1 + F.lit(i) * h2, F.lit(m)) for i in range(k)]
+    pairs = df.select(
+        F.explode(
+            F.array(*[
+                F.struct(
+                    (p / 64).cast("int").alias("w"),
+                    # column-valued shift amount needs the SQL function form
+                    F.call_function(
+                        "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+                    ).alias("mask"),
+                )
+                for p in pos
+            ])
+        ).alias("e")
+    ).select("e.w", "e.mask")
+    rows = pairs.groupBy("w").agg(F.bit_or("mask").alias("bits")).collect()
+    words = [0] * n_words
+    for r in rows:
+        words[r["w"]] = r["bits"]
+    return words, m, k
+
+
+def bloom_might_contain_expr(col, words: list[int], m_bits: int, k_hashes: int):
+    """Membership-test expression against a built Bloom filter: k bit
+    probes into a broadcast array literal — whole-stage-codegen, no
+    Python, no join. Use as a pre-filter so an exact anti-join (e.g. the
+    incremental-dedup store check) only touches the ~fpp fraction of
+    rows that might be present."""
+    col = F.col(col) if isinstance(col, str) else col
+    arr = F.array(*[F.lit(w).cast("long") for w in words])
+    h1, h2 = _bloom_hashes(col, m_bits)
+    test = F.lit(True)
+    for i in range(k_hashes):
+        p = F.pmod(h1 + F.lit(i) * h2, F.lit(m_bits))
+        word = F.element_at(arr, (p / 64).cast("int") + 1)
+        bit = F.call_function(
+            "shiftleft", F.lit(1).cast("long"), F.pmod(p, F.lit(64)).cast("int")
+        )
+        test = test & (word.bitwiseAND(bit) != 0)
+    return test

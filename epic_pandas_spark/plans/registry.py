@@ -3173,3 +3173,40 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id", "sample_rate", "n_samples", "duration_sec", "rms",
         F.round("zero_cross_rate", 6).alias("zero_cross_rate"), "ok",
     )
+
+
+@register(
+    "bloom_prefilter_membership",
+    """
+    SELECT d.doc_id FROM documents d
+    WHERE d.text IN (SELECT text FROM documents WHERE doc_id < 200)
+    """,
+)
+def q_bloom_prefilter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-prefiltered exact membership (operators.sketches.bloom_*):
+    build the filter over a fingerprint store (docs with id < 200),
+    prefilter the corpus with the broadcast bit-probe expression, then
+    exact semi-join ONLY the might-contain fraction. Bloom has no false
+    negatives, so prefilter + exact join is EXACT — which is what the
+    plain SQL IN oracle states. The scale win: the semi-join input drops
+    from |corpus| to ~|members| + fpp·|corpus| rows."""
+    from epic_pandas_spark.operators.sketches import (
+        bloom_filter_build,
+        bloom_might_contain_expr,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    store = (
+        docs.filter(F.col("doc_id") < 200)
+        .select(F.xxhash64("text").alias("fp"))
+        .distinct()
+        .localCheckpoint(eager=False)  # read twice: build + semi-join
+    )
+    n = store.count()
+    words, m, k = bloom_filter_build(store, "fp", expected_items=n, fpp=0.01)
+    cand = docs.withColumn("__fp", F.xxhash64("text")).filter(
+        bloom_might_contain_expr(F.col("__fp"), words, m, k)
+    )
+    return cand.join(
+        F.broadcast(store), cand["__fp"] == store["fp"], "left_semi"
+    ).select("doc_id")

@@ -991,3 +991,55 @@ def test_negative_samples_contract(spark):
         ).collect()
     )
     assert again == sorted((r["anchor_id"], r["neg_id"]) for r in rows)
+
+
+def test_bloom_filter_no_false_negatives_and_fp_bound(spark):
+    """Every inserted item must test positive (Bloom guarantees zero
+    false negatives); a disjoint probe set must false-positive at no more
+    than ~3x the sized fpp (slack for small-sample variance)."""
+    from epic_pandas_spark.operators.sketches import (
+        bloom_filter_build,
+        bloom_might_contain_expr,
+    )
+
+    members = spark.range(0, 2000).select(F.col("id").alias("v"))
+    words, m, k = bloom_filter_build(members, "v", expected_items=2000, fpp=0.01)
+    assert m % 64 == 0 and k >= 1 and len(words) == m // 64
+    expr = bloom_might_contain_expr(F.col("v"), words, m, k)
+    n_members = members.filter(expr).count()
+    assert n_members == 2000  # no false negatives, ever
+    probes = spark.range(1_000_000, 1_020_000).select(F.col("id").alias("v"))
+    fp_rate = probes.filter(expr).count() / 20_000
+    assert fp_rate <= 0.03, f"false-positive rate {fp_rate} far above sized 1%"
+
+
+def test_bloom_filter_param_validation():
+    from epic_pandas_spark.operators.sketches import _bloom_params
+
+    with pytest.raises(ValueError):
+        _bloom_params(0, 0.01)
+    with pytest.raises(ValueError):
+        _bloom_params(100, 1.5)
+    m, k = _bloom_params(1000, 0.01)
+    assert m >= 9000 and 6 <= k <= 8  # textbook ~9.6 bits/item, k≈6.6
+
+
+def test_exact_dedup_incremental_bloom_prefilter_equivalence(spark):
+    """bloom_fpp must not change RESULTS (no false negatives -> the split
+    anti-join is exact); it only changes how many rows reach the join."""
+    from epic_pandas_spark.extensions.dedup import exact_dedup_incremental
+    from epic_pandas_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    first = docs.filter(F.col("doc_id") < 250)
+    second = docs.filter(F.col("doc_id") >= 150)  # overlaps the store
+    _, store = exact_dedup_incremental(first, "text", "doc_id")
+    store = store.localCheckpoint()
+    plain, _ = exact_dedup_incremental(second, "text", "doc_id", store=store)
+    bloomed, _ = exact_dedup_incremental(
+        second, "text", "doc_id", store=store, bloom_fpp=0.01
+    )
+    a = {r["doc_id"] for r in plain.collect()}
+    b = {r["doc_id"] for r in bloomed.collect()}
+    assert a == b and a
