@@ -1734,7 +1734,10 @@ def q_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     out = ivf_knn(
         emb, emb.filter(F.col("vec_id") < 5), n_centroids=8, n_probe=8, k=5,
-        codebook="kmeans",
+        # 2 Lloyd iterations: enough to exercise the trained-codebook path;
+        # full probe is exact for ANY codebook, so more training only adds
+        # bench time, not correctness
+        codebook="kmeans", kmeans_iterations=2,
     )
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
 

@@ -31,6 +31,10 @@ PROBE_QUERIES = [
     "repeated_passages_winnowed", "dedup_jaccard_prefix", "line_dedup",
     "bm25_topk", "salted_join_revenue", "hll_distinct_rollup",
     "zorder_key_events", "grouped_quantiles",
+    # round-3 additions: skew-heavy TPC-H shapes, real multimodal decode
+    # paths, bloom-prefiltered membership
+    "tpch_q9", "tpch_q18", "multimodal_phash_pairs",
+    "multimodal_audio_features", "bloom_prefilter_membership",
 ]
 
 
@@ -85,15 +89,20 @@ def build(spark, src: str, dst: str, factor: int) -> None:
 def time_queries(spark, sf_dir: str) -> dict[str, float]:
     from epic_pandas_spark.plans.registry import REGISTRY
 
+    def run(df) -> None:
+        # noop sink, like bench.py: materializes every output column;
+        # count() would let Catalyst prune projection-only plans
+        df.write.format("noop").mode("overwrite").save()
+
     out = {}
     for name in PROBE_QUERIES:
         fn, _ = REGISTRY[name]
         t0 = time.perf_counter()
-        fn(spark, sf_dir).count()
+        run(fn(spark, sf_dir))
         out[name] = round(time.perf_counter() - t0, 3)
     for name, thunk in extra_ops(spark, sf_dir).items():
         t0 = time.perf_counter()
-        thunk().count()
+        run(thunk())
         out[name] = round(time.perf_counter() - t0, 3)
     return out
 

@@ -393,3 +393,55 @@ def test_streaming_end_to_end_restart_resume_exactly_once(spark, tmp_path):
         for r in windowed_distinct_approx(events).collect()
     }
     assert {(r["window_start"], r["approx_distinct"]) for r in rows} == want
+
+
+def test_stateful_running_totals_tws_matches_batch(spark, tmp_path):
+    """The transformWithStateInPandas twin must produce the same final
+    per-key totals as both the batch aggregate and (by transitivity) the
+    applyInPandasWithState implementation. Skips where google.protobuf
+    (the TWS wire-protocol dependency) isn't installed; the gated
+    ImportError contract is asserted instead."""
+    from epic_pandas_spark.streaming.stateful import (
+        batch_running_totals,
+        running_totals_tws,
+    )
+
+    try:
+        import google.protobuf  # noqa: F401
+    except ImportError:
+        batch = load_table(spark, SF_DIR, "events").select("user_id", "value")
+        with pytest.raises(ImportError, match="protobuf"):
+            running_totals_tws(batch)
+        pytest.skip("google.protobuf not installed; TWS gated (fallback: running_totals)")
+
+    batch = load_table(spark, SF_DIR, "events").select("user_id", "value")
+    src_dir = str(tmp_path / "ev")
+    batch.repartition(3).write.parquet(src_dir)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src_dir)
+    )
+    q = (
+        running_totals_tws(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("tws_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    try:
+        rows = spark.sql(
+            """SELECT user_id, n_events, sum_value FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+                 FROM tws_out) WHERE rn = 1"""
+        ).collect()
+        got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in rows}
+        want = {
+            r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+            for r in batch_running_totals(batch).collect()
+        }
+        assert got == want
+    finally:
+        q.stop()
