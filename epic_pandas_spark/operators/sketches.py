@@ -135,3 +135,94 @@ def bloom_might_contain_expr(col, words: list[int], m_bits: int, k_hashes: int):
         )
         test = test & (word.bitwiseAND(bit) != 0)
     return test
+
+
+def histogram_sketches(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    lo: float,
+    hi: float,
+    n_bins: int = 256,
+    sketch_col: str = "hist",
+) -> DataFrame:
+    """Mergeable QUANTILE sketches — the quantile analog of the HLL store:
+    one fixed-range equi-width histogram (array<long> of n_bins counts,
+    plus below/above overflow slots at indexes 0 and n_bins+1) per key
+    group. Counts merge by elementwise vector add, so per-shard/per-day
+    sketch tables roll up to any coarser key without re-reading data, and
+    any quantile is answerable to within one bin width
+    ((hi-lo)/n_bins — the deterministic error bound, unlike a sampled
+    t-digest). Build is one groupBy over (key, bin) then a pivot-free
+    array_agg: shuffles carry 12-byte (key, bin, count) partials, never
+    values."""
+    if not (hi > lo) or n_bins < 1:
+        raise ValueError("need hi > lo and n_bins >= 1")
+    width = (hi - lo) / n_bins
+    v = F.col(value_col).cast("double")
+    bin_idx = (
+        F.when(v < lo, F.lit(0))
+        .when(v >= hi, F.lit(n_bins + 1))
+        .otherwise(F.floor((v - F.lit(lo)) / F.lit(width)).cast("int") + 1)
+    )
+    counts = (
+        df.withColumn("__bin", bin_idx)
+        .groupBy(*keys, "__bin")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    # dense array assembly: aggregate (bin, n) structs per key, then
+    # scatter into a zero-initialized array expression — no second shuffle
+    pairs = counts.groupBy(*keys).agg(
+        F.collect_list(F.struct("__bin", "__n")).alias("__pairs")
+    )
+    zeros = F.array_repeat(F.lit(0).cast("long"), n_bins + 2)
+    scattered = F.aggregate(
+        F.col("__pairs"),
+        zeros,
+        lambda acc, p: F.transform(
+            acc,
+            lambda c, i: F.when(i == p["__bin"], c + p["__n"]).otherwise(c),
+        ),
+    )
+    return pairs.select(*keys, scattered.alias(sketch_col))
+
+
+def merge_histogram_sketches(
+    sketches: DataFrame,
+    keys: Sequence[str],
+    sketch_col: str = "hist",
+) -> DataFrame:
+    """Roll stored histogram sketches up to a coarser key set (empty for
+    global): elementwise vector add via zip_with fold — associative and
+    commutative, so partial aggregation stays map-side."""
+    grouped = sketches.groupBy(*keys) if keys else sketches.groupBy()
+    merged = F.aggregate(
+        F.collect_list(sketch_col),
+        F.array_repeat(F.lit(0).cast("long"), F.size(F.first(sketch_col))).cast("array<long>"),
+        lambda acc, h: F.zip_with(acc, h, lambda a, b: a + b),
+    )
+    return grouped.agg(merged.alias(sketch_col))
+
+
+def histogram_quantile_expr(sketch_col, q: float, lo: float, hi: float):
+    """Quantile estimate from a histogram sketch: walk the cumulative
+    counts to the q·N-th value's bin and return the bin's midpoint —
+    error <= half a bin width for in-range data. Pure expressions
+    (aggregate + filter over the array), codegen-friendly, no UDF."""
+    if not (0.0 <= q <= 1.0):
+        raise ValueError("q must be in [0, 1]")
+    h = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    n_bins = F.size(h) - 2
+    width = (F.lit(hi) - F.lit(lo)) / n_bins
+    total = F.aggregate(h, F.lit(0).cast("long"), lambda a, b: a + b)
+    target = F.ceil(F.lit(q) * total).cast("long")
+    # rank of the target bin: number of bins whose cumulative count is
+    # still below the target
+    cum = F.transform(
+        F.sequence(F.lit(1), F.size(h)),
+        lambda i: F.aggregate(F.slice(h, 1, i), F.lit(0).cast("long"), lambda a, b: a + b),
+    )
+    idx = F.size(F.filter(cum, lambda c: c < F.greatest(target, F.lit(1)))) + 1
+    # idx 1 = below-range slot -> clamp to lo; idx n_bins+2 -> clamp to hi
+    mid = F.lit(lo) + (idx.cast("double") - 1.5) * width
+    return F.least(F.greatest(mid, F.lit(lo)), F.lit(hi))

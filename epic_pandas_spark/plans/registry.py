@@ -3213,3 +3213,42 @@ def q_bloom_prefilter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.join(
         F.broadcast(store), cand["__fp"] == store["fp"], "left_semi"
     ).select("doc_id")
+
+
+@register(
+    "histogram_sketch_median",
+    """
+    WITH binned AS (
+      SELECT l_returnflag, CAST(FLOOR(l_quantity / (51.0/256.0)) AS INT) AS b
+      FROM lineitem
+    ), counts AS (
+      SELECT l_returnflag, b, COUNT(*) AS n FROM binned GROUP BY 1, 2
+    ), tot AS (
+      SELECT l_returnflag, SUM(n) AS t FROM counts GROUP BY 1
+    ), cum AS (
+      SELECT c.l_returnflag, c.b,
+             SUM(n) OVER (PARTITION BY c.l_returnflag ORDER BY c.b) AS cn, t.t
+      FROM counts c JOIN tot t USING (l_returnflag)
+    )
+    SELECT l_returnflag,
+           ROUND(MIN(b) * (51.0/256.0) + (51.0/256.0)/2, 6) AS est_median
+    FROM cum WHERE cn >= CEIL(0.5 * t) GROUP BY l_returnflag
+    """,
+)
+def q_histogram_sketch_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mergeable histogram quantile sketch (operators.sketches.histogram_*):
+    per-flag equi-width histograms of l_quantity, median read back from
+    the sketch. The estimator is DETERMINISTIC (midpoint of the bin
+    holding the ceil(qN)-th value), so the oracle recomputes the exact
+    same number relationally — a genuine value-hash oracle for a sketch
+    operator, not just a bound witness. Exercises build (one (key,bin)
+    shuffle) + quantile read (pure array expressions)."""
+    from epic_pandas_spark.operators.sketches import (
+        histogram_quantile_expr,
+        histogram_sketches,
+    )
+
+    li = load_table(spark, sf_dir, "lineitem")
+    sk = histogram_sketches(li, ["l_returnflag"], "l_quantity", lo=0.0, hi=51.0, n_bins=256)
+    est = histogram_quantile_expr("hist", 0.5, 0.0, 51.0)
+    return sk.select("l_returnflag", F.round(est, 6).alias("est_median"))

@@ -1043,3 +1043,67 @@ def test_exact_dedup_incremental_bloom_prefilter_equivalence(spark):
     a = {r["doc_id"] for r in plain.collect()}
     b = {r["doc_id"] for r in bloomed.collect()}
     assert a == b and a
+
+
+def test_histogram_sketches_merge_equals_direct_and_bound(spark):
+    """Sketch algebra: fine-key sketches merged to a coarser key must be
+    BIT-IDENTICAL to building at the coarse key directly (vector add is
+    exact), and any quantile read is within one bin width of the true
+    percentile for in-range data."""
+    from epic_pandas_spark.operators.sketches import (
+        histogram_quantile_expr,
+        histogram_sketches,
+        merge_histogram_sketches,
+    )
+    from epic_pandas_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    fine = histogram_sketches(
+        li, ["l_returnflag", "l_linestatus"], "l_quantity", lo=0.0, hi=51.0, n_bins=128
+    )
+    rolled = {
+        r["l_returnflag"]: list(r["hist"])
+        for r in merge_histogram_sketches(fine, ["l_returnflag"]).collect()
+    }
+    direct = {
+        r["l_returnflag"]: list(r["hist"])
+        for r in histogram_sketches(
+            li, ["l_returnflag"], "l_quantity", lo=0.0, hi=51.0, n_bins=128
+        ).collect()
+    }
+    assert rolled == direct
+    width = 51.0 / 128
+    est = {
+        r["l_returnflag"]: r["m"]
+        for r in histogram_sketches(
+            li, ["l_returnflag"], "l_quantity", lo=0.0, hi=51.0, n_bins=128
+        ).select(
+            "l_returnflag",
+            histogram_quantile_expr("hist", 0.5, 0.0, 51.0).alias("m"),
+        ).collect()
+    }
+    exact = {
+        r["l_returnflag"]: r["m"]
+        for r in li.groupBy("l_returnflag")
+        .agg(F.expr("percentile(l_quantity, 0.5)").alias("m"))
+        .collect()
+    }
+    for k in exact:
+        assert abs(est[k] - exact[k]) <= width, (k, est[k], exact[k])
+
+
+def test_histogram_sketch_overflow_slots_and_validation(spark):
+    from epic_pandas_spark.operators.sketches import histogram_sketches
+
+    df = spark.createDataFrame(
+        [(1, -5.0), (1, 0.5), (1, 9.5), (1, 25.0)], "k long, v double"
+    )
+    (row,) = histogram_sketches(df, ["k"], "v", lo=0.0, hi=10.0, n_bins=10).collect()
+    h = list(row["hist"])
+    assert len(h) == 12
+    assert h[0] == 1          # below-range slot
+    assert h[11] == 1         # above-range slot
+    assert h[1] == 1 and h[10] == 1 and sum(h) == 4
+    with pytest.raises(ValueError):
+        histogram_sketches(df, ["k"], "v", lo=5.0, hi=5.0)
