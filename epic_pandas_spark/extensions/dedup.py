@@ -940,3 +940,60 @@ def repeated_passage_pairs(
         .groupBy("id_a", "id_b")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+def edit_distance_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_edits: int = 1,
+) -> DataFrame:
+    """Fuzzy-string near-dup pairs within Levenshtein distance 1 —
+    EXACT, via deletion-neighborhood blocking (the spelling-correction
+    trick): each string blocks on {itself} ∪ {every single-deletion
+    variant}. Any two strings at edit distance <= 1 (one substitution,
+    insertion, or deletion) share a neighborhood member — substitution
+    at position i: deleting i from both sides yields the same string;
+    insertion/deletion: the shorter string IS a deletion variant of the
+    longer — so candidate generation has zero recall gap, and the exact
+    `levenshtein` check runs on candidates only.
+
+    Scale shape: a string of length n emits n+1 variants, hashed to 8
+    bytes before the self-join — the shuffle carries (hash, id, string)
+    rows, ~(avg_len+1)x the input, never the quadratic pair space.
+    max_edits=2 would need the O(n²) two-deletion neighborhood; raise
+    rather than silently degrade."""
+    if max_edits != 1:
+        raise NotImplementedError(
+            "deletion-neighborhood blocking is implemented for max_edits=1; "
+            "the 2-edit neighborhood is O(len²) variants per string"
+        )
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+    n = F.length("s")
+    deletions = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.substring(F.col("s"), F.lit(1), i - 1),
+                F.substring(F.col("s"), i + 1, n),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    blocked = src.select(
+        "id", "s",
+        F.explode(
+            F.array_distinct(F.array_union(F.array(F.col("s")), deletions))
+        ).alias("v"),
+    ).select("id", "s", F.xxhash64("v").alias("vh"))
+    a = blocked.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"), "vh")
+    b = blocked.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"), "vh")
+    return (
+        a.join(b, on="vh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "s_a", "s_b")
+        .distinct()
+        .withColumn("dist", F.levenshtein("s_a", "s_b"))
+        .filter(F.col("dist") <= max_edits)
+        .select("id_a", "id_b", "dist")
+    )

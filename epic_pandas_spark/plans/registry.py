@@ -3252,3 +3252,45 @@ def q_histogram_sketch_median(spark: SparkSession, sf_dir: str) -> DataFrame:
     sk = histogram_sketches(li, ["l_returnflag"], "l_quantity", lo=0.0, hi=51.0, n_bins=256)
     est = histogram_quantile_expr("hist", 0.5, 0.0, 51.0)
     return sk.select("l_returnflag", F.round(est, 6).alias("est_median"))
+
+
+@register(
+    "edit_distance_pairs",
+    """
+    WITH strs AS (
+      SELECT doc_id AS id, substr(text, 1, 24) AS s FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS id,
+             CASE WHEN doc_id % 2 = 0
+                  THEN substr(text, 1, 2) || substr(text, 4, 21)  -- delete 3rd char
+                  ELSE substr(text, 1, 24) || 'x'                 -- append
+             END AS s
+      FROM documents
+    )
+    SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
+    FROM strs a JOIN strs b ON a.id < b.id
+    WHERE levenshtein(a.s, b.s) <= 1
+    """,
+)
+def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-string join within Levenshtein distance 1
+    (extensions.dedup.edit_distance_pairs, deletion-neighborhood
+    blocking): document title prefixes plus injected 1-edit mutations
+    (char deletion / append). The oracle is the brute-force quadratic
+    levenshtein join in DuckDB — the Spark side must find the identical
+    pair set through the blocked plan."""
+    from epic_pandas_spark.extensions.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    base = docs.select(
+        F.col("doc_id").alias("id"), F.substring("text", 1, 24).alias("s")
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("id"),
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.substring("text", 1, 2), F.substring("text", 4, 21)),
+        ).otherwise(F.concat(F.substring("text", 1, 24), F.lit("x"))).alias("s"),
+    )
+    strs = base.unionByName(mutated)
+    return edit_distance_pairs(strs, "s", "id", max_edits=1)

@@ -726,3 +726,50 @@ def test_embedding_neardup_auto_lsh_blocking(spark):
     }
     assert auto <= full
     assert (0, 9999) in auto  # identical vectors share every sign bucket
+
+
+def test_edit_distance_pairs_exact_vs_bruteforce(spark):
+    """Deletion-neighborhood blocking must equal the brute-force
+    levenshtein join exactly — substitutions, deletions, insertions,
+    identical strings, and a <=2-edit pair that must NOT appear."""
+    from epic_pandas_spark.extensions.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "spark engine"),
+        (2, "spark enginx"),    # substitution
+        (3, "spark engin"),     # deletion
+        (4, "sparkk engine"),   # insertion
+        (5, "spark engine"),    # exact duplicate
+        (6, "spark enginxy"),   # 2 edits from 1 -> excluded
+        (7, ""),                # empty string edge case
+        (8, "x"),               # distance 1 from empty
+        (9, "totally different"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, "s", "id").collect()
+    }
+    import itertools
+
+    want = {}
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        d = lev(sa, sb)
+        if d <= 1:
+            want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want
+    assert (1, 5) in got and got[(1, 5)] == 0
+    assert (7, 8) in got and got[(7, 8)] == 1
+    assert (1, 6) not in got  # 2 edits away from id 1 — excluded
+    assert (2, 6) in got      # but only 1 edit from id 2 (append)
+
+    with pytest.raises(NotImplementedError, match="max_edits=1"):
+        edit_distance_pairs(df, "s", "id", max_edits=2)
