@@ -3294,3 +3294,26 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     strs = base.unionByName(mutated)
     return edit_distance_pairs(strs, "s", "id", max_edits=1)
+
+
+@register("bpe_tokenize", None)  # BPE is not SQL-expressible; the pytest
+# witness replays training through a pure-Python reference and asserts the
+# identical merge SEQUENCE (tests/test_bpe.py)
+def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed BPE: train 20 merges on the document corpus (pair
+    stats over the distinct-word frequency table — the corpus reduces to
+    |vocab| rows before iteration 1), then encode every document and
+    report per-doc token counts plus the learned-merge count."""
+    from epic_pandas_spark.functions.bpe import bpe_encode, bpe_train
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    # 12 merges: enough iterations to exercise the full train loop shape;
+    # training cost is per-iteration-fixed (vocab-bound), so more merges
+    # only stretch bench time linearly
+    merges = bpe_train(docs, "text", n_merges=12)
+    enc = bpe_encode(docs, "text", merges)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.lit(len(merges)).alias("n_merges"),
+    )
