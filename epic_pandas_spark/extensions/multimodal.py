@@ -33,7 +33,7 @@ from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 MEDIA_SCHEMA = (
     "id long, payload binary, media_type string, "
@@ -270,12 +270,24 @@ def dhash64(img: np.ndarray) -> int:
     return int(np.int64(val))
 
 
-def image_dhash(df: DataFrame, id_col: str = "id", payload_col: str = "payload") -> DataFrame:
+def image_dhash(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    passthrough: list | None = None,
+) -> DataFrame:
     """Perceptual-hash stage: mapInPandas over (id, payload) batches →
-    (id, dhash long, ok boolean). Undecodable payloads yield ok=False with
-    a null hash instead of failing the stage. Narrow — the 8-byte hash is
-    all that flows to the (band-blocked) near-dup join downstream."""
-    src = df.select(F.col(id_col).alias("id"), F.col(payload_col).alias("payload"))
+    (id, [passthrough...], dhash long, ok boolean). Undecodable payloads
+    yield ok=False with a null hash instead of failing the stage.
+    Narrow — the 8-byte hash (plus any passthrough keys, e.g. a frame
+    index) is all that flows to the join/window downstream."""
+    extra = list(passthrough or [])
+    src = df.select(
+        F.col(id_col).alias("id"), *extra, F.col(payload_col).alias("payload")
+    )
+    extra_schema = "".join(
+        f"{c} {src.schema[c].dataType.simpleString()}, " for c in extra
+    )
 
     def hash_batch(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -287,11 +299,16 @@ def image_dhash(df: DataFrame, id_col: str = "id", payload_col: str = "payload")
                 except (ValueError, TypeError):
                     hashes.append(None)
                     oks.append(False)
-            yield pd.DataFrame(
-                {"id": pdf["id"].values, "dhash": pd.array(hashes, dtype="Int64"), "ok": oks}
-            )
+            out = pd.DataFrame({"id": pdf["id"].values})
+            for c in extra:
+                out[c] = pdf[c].values
+            out["dhash"] = pd.array(hashes, dtype="Int64")
+            out["ok"] = oks
+            yield out
 
-    return src.mapInPandas(hash_batch, schema="id long, dhash long, ok boolean")
+    return src.mapInPandas(
+        hash_batch, schema=f"id long, {extra_schema}dhash long, ok boolean"
+    )
 
 
 def phash_neardup_pairs(
@@ -502,9 +519,65 @@ def sample_frames(df: DataFrame, payload_col: str, frame_size: int, every_n: int
     )
 
 
+def scene_changes(
+    df: DataFrame,
+    id_col: str = "id",
+    payload_col: str = "payload",
+    frame_size: int | None = None,
+    max_hamming: int = 3,
+    every_n: int = 1,
+) -> DataFrame:
+    """Video scene-change detection over fixed-frame-size raw payloads:
+    slice frames (sample_frames — pure substring expressions), dHash each
+    frame through the real PGM decode path, then flag frames whose
+    perceptual hash sits more than ``max_hamming`` bits from the previous
+    sampled frame's (one lag window per video). Returns
+    (id, frame_idx, hamming, is_scene_change) for every frame after the
+    first; undecodable frames are dropped (ok=False).
+
+    Scale shape: frame bytes never shuffle — slicing and hashing are
+    narrow; only (id, frame_idx, 8-byte hash) enters the per-video
+    window, and videos partition independently."""
+    if frame_size is None or frame_size <= 0:
+        raise ValueError("frame_size (bytes per raw frame) is required")
+    frames = sample_frames(
+        df.select(F.col(id_col).alias("id"), F.col(payload_col).alias(payload_col)),
+        payload_col, frame_size, every_n,
+    )
+    hashed = image_dhash(
+        frames, "id", "frame_bytes", passthrough=["frame_idx"]
+    ).filter(F.col("ok"))
+    w = Window.partitionBy("id").orderBy("frame_idx")
+    prev = F.lag("dhash").over(w)
+    ham = F.bit_count(F.col("dhash").bitwiseXOR(prev))
+    return (
+        hashed.withColumn("hamming", ham)
+        .filter(F.col("hamming").isNotNull())
+        .select(
+            "id", "frame_idx", "hamming",
+            (F.col("hamming") > max_hamming).alias("is_scene_change"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # deterministic payload generators (fixture side of the oracle queries)
 # ---------------------------------------------------------------------------
+
+def _group_pattern_image(g: int, block: int = 4) -> np.ndarray:
+    """The deterministic gradient-sign image for group ``g``: dHash of the
+    (block-tiled) image equals the seeded 64-bit pattern for g exactly
+    (see synth_pgm_payload_udf)."""
+    rng = np.random.RandomState(g)
+    bits = rng.randint(0, 2, 64)
+    img = np.zeros((8, 9), dtype=np.float64)
+    img[:, 0] = 128.0
+    for r in range(8):
+        for c in range(8):
+            step = 10.0 if bits[r * 8 + c] else -10.0
+            img[r, c + 1] = img[r, c] + step
+    return np.kron(img, np.ones((block, block)))
+
 
 def synth_pgm_payload_udf(n_groups: int = 50, block: int = 4):
     """Arrow-batched generator of REAL binary-PGM payloads whose dHash is a
@@ -519,19 +592,32 @@ def synth_pgm_payload_udf(n_groups: int = 50, block: int = 4):
 
     @pandas_udf("binary")
     def gen(keys: pd.Series) -> pd.Series:
+        return pd.Series(
+            [encode_pgm(_group_pattern_image(int(k) % n_groups, block)) for k in keys]
+        )
+
+    return gen
+
+
+def synth_video_payload_udf(
+    n_groups: int = 50, n_frames: int = 6, cut_at: int = 3, block: int = 4
+):
+    """Arrow-batched generator of raw "videos": ``n_frames`` fixed-size
+    binary-PGM frames concatenated, showing group pattern g for frames
+    [0, cut_at) and pattern (g+1) % n_groups from the cut onward — one
+    known scene change per video, at frame index ``cut_at``. Every frame
+    serializes to the same byte length (fixed dims + maxval), which is
+    what makes substring-based frame slicing exact."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("binary")
+    def gen(keys: pd.Series) -> pd.Series:
         out = []
         for k in keys:
             g = int(k) % n_groups
-            rng = np.random.RandomState(g)
-            bits = rng.randint(0, 2, 64)
-            img = np.zeros((8, 9), dtype=np.float64)
-            img[:, 0] = 128.0
-            for r in range(8):
-                for c in range(8):
-                    step = 10.0 if bits[r * 8 + c] else -10.0
-                    img[r, c + 1] = img[r, c] + step
-            big = np.kron(img, np.ones((block, block)))
-            out.append(encode_pgm(big))
+            a = encode_pgm(_group_pattern_image(g, block))
+            b = encode_pgm(_group_pattern_image((g + 1) % n_groups, block))
+            out.append(b"".join([a] * cut_at + [b] * (n_frames - cut_at)))
         return pd.Series(out)
 
     return gen

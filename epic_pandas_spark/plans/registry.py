@@ -3317,3 +3317,31 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size("tokens").alias("n_tokens"),
         F.lit(len(merges)).alias("n_merges"),
     )
+
+
+@register(
+    "video_scene_changes",
+    """
+    SELECT doc_id AS id, f AS frame_idx,
+           (f = 3) AS is_scene_change
+    FROM documents, (SELECT unnest([1, 2, 3, 4, 5]) AS f) t
+    """,
+)
+def q_video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Video scene-change detection, end to end and real at every stage
+    (extensions.multimodal.scene_changes): 6-frame raw videos — each
+    frame a genuine binary-PGM image — cut from pattern g to pattern g+1
+    at frame 3; substring frame slicing -> PGM decode -> per-frame dHash
+    -> lag-window hamming. Within a scene consecutive hashes are
+    identical (hamming 0); at the cut they differ by the cross-group
+    margin (>3, the pytest-verified bound) — so the flags are exactly
+    'frame_idx == 3', which the oracle states in closed form."""
+    from epic_pandas_spark.extensions.multimodal import (
+        scene_changes,
+        synth_video_payload_udf,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    vids = docs.withColumn("payload", synth_video_payload_udf()(F.col("doc_id")))
+    out = scene_changes(vids, "doc_id", "payload", frame_size=1165, max_hamming=3)
+    return out.select("id", "frame_idx", "is_scene_change")

@@ -251,3 +251,31 @@ def test_audio_features_stage_marks_undecodable(spark):
     assert got[1]["ok"] and abs(got[1]["rms"] - 0.5) < 1e-12
     assert got[1]["duration_sec"] == 1.0 and got[1]["sample_rate"] == 8000
     assert got[99]["ok"] is False and got[99]["rms"] is None
+
+
+def test_scene_changes_detects_known_cut(spark):
+    from epic_pandas_spark.extensions.multimodal import (
+        scene_changes,
+        synth_video_payload_udf,
+    )
+
+    keys = spark.range(8).select(F.col("id").cast("long").alias("vid"))
+    vids = keys.withColumn("payload", synth_video_payload_udf()(F.col("vid")))
+    rows = scene_changes(vids, "vid", "payload", frame_size=1165).collect()
+    assert len(rows) == 8 * 5  # frames 1..5 per video
+    for r in rows:
+        if r["frame_idx"] == 3:
+            assert r["is_scene_change"] and r["hamming"] > 3
+        else:
+            assert not r["is_scene_change"] and r["hamming"] == 0
+
+
+def test_scene_changes_validation_and_corrupt_frames(spark):
+    from epic_pandas_spark.extensions.multimodal import scene_changes
+
+    df = spark.createDataFrame([(1, bytearray(b"x" * 100))], "vid long, payload binary")
+    with pytest.raises(ValueError, match="frame_size"):
+        scene_changes(df, "vid", "payload")
+    # frames that don't decode are dropped, not fatal
+    got = scene_changes(df, "vid", "payload", frame_size=10).collect()
+    assert got == []
