@@ -127,3 +127,77 @@ def range_join(
         if c != "__bucket":
             unmatched = unmatched.withColumn(c, F.lit(None).cast(dict(exploded.dtypes)[c]))
     return matches.unionByName(unmatched.select(*matches.columns)).drop("__bucket", "__rid")
+
+
+def ewma(
+    df: DataFrame,
+    key_cols: list,
+    order_cols: list,
+    value_col: str,
+    alpha: float = 0.5,
+    out_col: str = "ewma",
+    max_run_length: int = 900,
+) -> DataFrame:
+    """Exponentially-weighted moving average per key, pandas
+    ``ewm(alpha).mean()`` semantics (adjust=True), as a pure window
+    expression via the scaling trick: with w = 1-alpha,
+
+        y_i = Σ_{j<=i} w^(i-j)·v_j / Σ_{j<=i} w^(i-j)
+            = cumsum(v_j·w^(-j)) / cumsum(w^(-j))     (the w^i cancels)
+
+    — two cumulative window sums, zero Python and zero extra shuffles
+    beyond the per-key window.
+
+    The trade: w^(-j) grows with the series index, so runs longer than
+    ~900 rows overflow double precision (w=0.5 → 2^j, finite to j=1023).
+    The operator COUNTS each key's run and raises past ``max_run_length``
+    — use :func:`ewma_stable` (Arrow-batched recurrence, any length) for
+    unbounded series. With alpha = 0.5 every weight is an exact power of
+    two, so results are bit-reproducible across engines (the oracle
+    query exploits this)."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    cum = w.rowsBetween(Window.unboundedPreceding, 0)
+    r = F.row_number().over(w) - 1
+    inv_w = F.pow(F.lit(1.0 / (1.0 - alpha)), r)
+    guard = F.when(
+        F.max(r).over(Window.partitionBy(*key_cols)) >= max_run_length,
+        F.raise_error(
+            F.lit(
+                f"ewma: a key has more than {max_run_length} rows; the "
+                "scaling-trick weights overflow — use ewma_stable"
+            )
+        ),
+    ).otherwise(F.lit(None))
+    num = F.sum(F.col(value_col) * inv_w).over(cum)
+    den = F.sum(inv_w).over(cum)
+    return df.withColumn(out_col, num / den + F.coalesce(guard.cast("double"), F.lit(0.0)))
+
+
+def ewma_stable(
+    df: DataFrame,
+    key_cols: list,
+    order_cols: list,
+    value_col: str,
+    alpha: float = 0.5,
+    out_col: str = "ewma",
+) -> DataFrame:
+    """EWMA for unbounded runs: applyInPandas per key, replaying the
+    numerically-stable pandas recurrence (`ewm(alpha).mean()`) in event
+    order — one shuffle on the key, state O(1) per row. Semantics are
+    identical to :func:`ewma` where both apply (equivalence-tested)."""
+    if not (0.0 < alpha < 1.0):
+        raise ValueError("alpha must be in (0, 1)")
+    import pandas as pd  # noqa: F401
+
+    out_fields = df.schema.fields
+    schema = ", ".join(f"{f.name} {f.dataType.simpleString()}" for f in out_fields)
+    schema += f", {out_col} double"
+
+    def per_key(pdf):
+        pdf = pdf.sort_values([c for c in order_cols])
+        pdf[out_col] = pdf[value_col].ewm(alpha=alpha, adjust=True).mean()
+        return pdf
+
+    return df.groupBy(*key_cols).applyInPandas(per_key, schema=schema)

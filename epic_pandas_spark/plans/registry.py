@@ -3345,3 +3345,31 @@ def q_video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     vids = docs.withColumn("payload", synth_video_payload_udf()(F.col("doc_id")))
     out = scene_changes(vids, "doc_id", "payload", frame_size=1165, max_hamming=3)
     return out.select("id", "frame_idx", "is_scene_change")
+
+
+@register(
+    "ewma_per_user",
+    """
+    WITH o AS (
+      SELECT user_id, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) - 1 AS r
+      FROM events
+    )
+    SELECT user_id, event_id,
+           ROUND(SUM(value * POW(2.0, r)) OVER cum / SUM(POW(2.0, r)) OVER cum, 6) AS ewma
+    FROM o
+    WINDOW cum AS (PARTITION BY user_id ORDER BY r ROWS UNBOUNDED PRECEDING)
+    """,
+)
+def q_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user EWMA of event values (operators.temporal.ewma, scaling
+    trick — two cumulative window sums, no Python). alpha = 0.5 makes
+    every weight an exact power of two and both engines accumulate in
+    the same (ts, event_id) order, so the floating-point results are
+    bit-identical — an exact value-hash oracle for a moving-average
+    operator."""
+    from epic_pandas_spark.operators.temporal import ewma
+
+    ev = load_table(spark, sf_dir, "events")
+    out = ewma(ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.5)
+    return out.select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))

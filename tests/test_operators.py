@@ -1107,3 +1107,48 @@ def test_histogram_sketch_overflow_slots_and_validation(spark):
     assert h[1] == 1 and h[10] == 1 and sum(h) == 4
     with pytest.raises(ValueError):
         histogram_sketches(df, ["k"], "v", lo=5.0, hi=5.0)
+
+
+def test_ewma_matches_pandas_and_stable_variant(spark):
+    """Window-expression EWMA == pandas ewm(adjust=True) == the
+    applyInPandas stable variant, per key, in event order."""
+    import pandas as pd
+
+    from epic_pandas_spark.operators.temporal import ewma, ewma_stable
+    from epic_pandas_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    ev = load_table(spark, SF_DIR, "events").select("user_id", "ts", "event_id", "value")
+    got = {
+        (r["user_id"], r["event_id"]): round(r["ewma"], 9)
+        for r in ewma(ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.25).collect()
+    }
+    stable = {
+        (r["user_id"], r["event_id"]): round(r["ewma"], 9)
+        for r in ewma_stable(ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.25).collect()
+    }
+    pdf = ev.toPandas().sort_values(["user_id", "ts", "event_id"])
+    pdf["want"] = pdf.groupby("user_id")["value"].transform(
+        lambda s: s.ewm(alpha=0.25, adjust=True).mean()
+    )
+    want = {
+        (r.user_id, r.event_id): round(r.want, 9)
+        for r in pdf.itertuples()
+    }
+    assert got == want
+    assert stable == want
+
+
+def test_ewma_long_run_guard_and_validation(spark):
+    from epic_pandas_spark.operators.temporal import ewma, ewma_stable
+
+    df = spark.range(1200).select(
+        F.lit(1).alias("k"), F.col("id").alias("o"), F.col("id").cast("double").alias("v")
+    )
+    with pytest.raises(Exception, match="ewma_stable"):
+        ewma(df, ["k"], ["o"], "v").collect()
+    # the stable variant handles the same series fine
+    n = ewma_stable(df, ["k"], ["o"], "v").count()
+    assert n == 1200
+    with pytest.raises(ValueError):
+        ewma(df, ["k"], ["o"], "v", alpha=1.5)
