@@ -1,0 +1,95 @@
+"""Graph analytics over edge DataFrames (extension layer, adjacent to the
+reference's networkx tier — /root/reference/epic/pandas/networkx.py renders
+graphs; the data-side analytics live here, Spark-first).
+
+PageRank is the canonical iterative join-agg workload: each iteration is
+one equi-join of the edge list with the current ranks plus one groupBy —
+both shuffling on the node id — with `localCheckpoint` truncating lineage
+per round. State is one (node, rank) row per node; the edge list shuffles
+pre-hashed ids, never payloads. Dangling-node mass is redistributed
+uniformly each round (the standard correction), so ranks always sum to
+the node count.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def pagerank(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    damping: float = 0.85,
+    n_iter: int = 10,
+    directed: bool = False,
+) -> DataFrame:
+    """Power-iteration PageRank → (id, rank), normalized so ranks sum to
+    the node count (networkx convention × n). Fixed ``n_iter`` rounds —
+    deterministic, which is what the numpy equivalence witness pins.
+
+    Undirected mode (default, the near-dup-graph case) symmetrizes the
+    edge list first. Self-loops are dropped; parallel edges collapse."""
+    if not (0.0 < damping < 1.0):
+        raise ValueError("damping must be in (0, 1)")
+    if n_iter < 1:
+        raise ValueError("n_iter must be >= 1")
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.filter(F.col("src") != F.col("dst")).distinct().localCheckpoint(eager=False)
+    nodes = (
+        e.select(F.col("src").alias("id"))
+        .unionByName(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    n_nodes = nodes.count()
+    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    ranks = nodes.withColumn("rank", F.lit(1.0))
+    for _ in range(n_iter):
+        contribs = (
+            e.join(ranks.withColumnRenamed("id", "src"), "src")
+            .join(out_deg, "src")
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum(F.col("rank") / F.col("deg")).alias("recv"))
+        )
+        # dangling mass: rank held by nodes with no outgoing edges
+        # (possible in directed mode) spreads uniformly
+        dangling = (
+            ranks.join(out_deg.withColumnRenamed("src", "id"), "id", "left_anti")
+            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
+            .first()[0]
+        )
+        base = (1.0 - damping) + damping * dangling / n_nodes
+        ranks = (
+            nodes.join(contribs, "id", "left")
+            .select(
+                "id",
+                (
+                    F.lit(base)
+                    + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
+                ).alias("rank"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return ranks
+
+
+def degree_stats(
+    edges: DataFrame,
+    src_col: str = "src",
+    dst_col: str = "dst",
+    directed: bool = False,
+) -> DataFrame:
+    """Per-node degree table → (id, degree) (in+out for directed mode,
+    neighbor count for undirected; self-loops dropped, parallel edges
+    collapse). One shuffle on the node id."""
+    e = edges.select(F.col(src_col).alias("src"), F.col(dst_col).alias("dst"))
+    if not directed:
+        e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    e = e.filter(F.col("src") != F.col("dst")).distinct()
+    ends = e.select(F.col("src").alias("id")) if directed else e.select(F.col("src").alias("id"))
+    if directed:
+        ends = ends.unionByName(e.select(F.col("dst").alias("id")))
+    return ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))

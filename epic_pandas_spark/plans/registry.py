@@ -3373,3 +3373,28 @@ def q_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     out = ewma(ev, ["user_id"], ["ts", "event_id"], "value", alpha=0.5)
     return out.select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
+
+
+@register("pagerank_events", None)  # iterative linear algebra — no SQL
+# oracle; exact numpy power-iteration + closed-form star witnesses in
+# tests/test_graph.py. The query self-witnesses mass conservation.
+def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the bipartite user↔event-type interaction graph
+    (extensions.graph.pagerank, 8 join-agg rounds). Ranks must sum to
+    the node count (dangling-corrected power iteration conserves mass):
+    the query emits that invariant as `mass_ok` so every run witnesses
+    convergence arithmetic, plus the hub count above the uniform rank."""
+    from epic_pandas_spark.extensions.graph import pagerank
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("src"),
+        # event types become synthetic node ids above the user range
+        (F.xxhash64("event_type") % 1000 + 10_000_000).alias("dst"),
+    )
+    ranks = pagerank(ev, n_iter=8)
+    return ranks.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.abs(F.sum("rank") - F.count(F.lit(1))) / F.count(F.lit(1)) < 1e-9).alias("mass_ok"),
+        F.sum((F.col("rank") > 1.0).cast("long")).alias("n_hubs"),
+        F.round(F.max("rank"), 6).alias("max_rank"),
+    )

@@ -1,0 +1,69 @@
+"""PageRank witnesses: exact numpy power-iteration replay (same update
+rule, same iteration count -> agreement to 1e-9) and the K_{1,k} star
+closed form at the fixpoint."""
+
+import numpy as np
+import pytest
+
+from epic_pandas_spark.extensions.graph import degree_stats, pagerank
+
+
+def _numpy_pagerank(edge_list, n_iter, d=0.85, directed=False):
+    nodes = sorted({u for e in edge_list for u in e})
+    idx = {u: i for i, u in enumerate(nodes)}
+    n = len(nodes)
+    adj = set()
+    for u, v in edge_list:
+        if u == v:
+            continue
+        adj.add((idx[u], idx[v]))
+        if not directed:
+            adj.add((idx[v], idx[u]))
+    out_deg = np.zeros(n)
+    for u, v in adj:
+        out_deg[u] += 1
+    r = np.ones(n)
+    for _ in range(n_iter):
+        recv = np.zeros(n)
+        for u, v in adj:
+            recv[v] += r[u] / out_deg[u]
+        dangling = r[out_deg == 0].sum()
+        r = (1 - d) + d * dangling / n + d * recv
+    return {u: r[idx[u]] for u in nodes}
+
+
+def test_pagerank_matches_numpy_power_iteration(spark):
+    edges = [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (10, 11)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for directed in (False, True):
+        got = {
+            r["id"]: r["rank"]
+            for r in pagerank(df, n_iter=8, directed=directed).collect()
+        }
+        want = _numpy_pagerank(edges, n_iter=8, directed=directed)
+        assert set(got) == set(want)
+        for k in want:
+            assert abs(got[k] - want[k]) < 1e-9, (directed, k, got[k], want[k])
+
+
+def test_pagerank_star_closed_form_and_mass_conservation(spark):
+    # d=0.5: the star alternation contracts by d per round, so 30
+    # rounds land within ~1e-9 of the fixpoint (d=0.85 would need ~140)
+    k, d = 6, 0.5
+    df = spark.createDataFrame([(0, i) for i in range(1, k + 1)], "src long, dst long")
+    ranks = {r["id"]: r["rank"] for r in pagerank(df, damping=d, n_iter=30).collect()}
+    rc_expected = (1 - d) * (1 + d * k) / (1 - d * d)
+    assert abs(ranks[0] - rc_expected) < 1e-8
+    assert abs(sum(ranks.values()) - (k + 1)) < 1e-9  # mass conserved
+    leaf_vals = [v for n, v in ranks.items() if n != 0]
+    assert max(leaf_vals) - min(leaf_vals) < 1e-12  # symmetry
+
+
+def test_pagerank_validation_and_degree_stats(spark):
+    df = spark.createDataFrame([(1, 2), (2, 3), (1, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        pagerank(df, damping=1.5)
+    with pytest.raises(ValueError):
+        pagerank(df, n_iter=0)
+    deg = {r["id"]: r["degree"] for r in degree_stats(df).collect()}
+    assert deg == {1: 1, 2: 2, 3: 1}  # self-loop dropped
