@@ -27,16 +27,29 @@ def asof_join(
     right_ts_col: str | None = None,
     value_cols: list[str] | None = None,
     tolerance_seconds: float | None = None,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row (per key) with
-    right.ts <= left.ts — pandas `merge_asof` semantics (backward,
-    allow_exact_matches). Unmatched left rows keep nulls; ``tolerance``
-    nulls out matches older than the given window.
+    """For each left row, attach the matching right row per key — pandas
+    `merge_asof` semantics with allow_exact_matches, all three
+    ``direction`` modes:
+
+    - ``"backward"`` (default): most recent right row with rts <= ts;
+    - ``"forward"``: earliest right row with rts >= ts;
+    - ``"nearest"``: whichever of the two is closer in time (ties prefer
+      the backward match, matching pandas).
+
+    Unmatched left rows keep nulls; ``tolerance`` nulls out matches
+    farther than the given window (one-sided for backward/forward,
+    absolute for nearest).
 
     Plan: tag and union both sides, sort within each key partition by
-    (ts, side) with right rows first on ties, then carry the last non-null
-    right payload forward with an ignorenulls last() window.
+    (ts, side-tiebreak), then carry the right payload across with an
+    ignorenulls last()/first() window — backward and forward matches are
+    each one window over the union; no join against the quadratic
+    (left x right) space ever forms.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError("direction must be backward, forward, or nearest")
     rts = right_ts_col or ts_col
     vals = value_cols if value_cols is not None else [c for c in right.columns if c not in (key, rts)]
 
@@ -59,28 +72,62 @@ def asof_join(
             rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = lhs.unionByName(rhs.select(*lhs.columns))
 
-    # right rows sort BEFORE left rows at the same ts => exact matches allowed
-    w = (
+    # backward: right rows sort BEFORE left rows at the same ts and the
+    # frame looks back => exact matches allowed
+    wb = (
         Window.partitionBy(key)
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
-    carried = unioned.select(
-        *unioned.columns,
-        *[F.last(f"__r_{c}", ignorenulls=True).over(w).alias(f"__m_{c}") for c in vals],
-        F.last("__rts", ignorenulls=True).over(w).alias("__mts"),
+    # forward: right rows sort AFTER left rows at the same ts (side desc:
+    # 1 then 0) and the frame looks ahead => exact matches allowed
+    wf = (
+        Window.partitionBy(key)
+        .orderBy(F.col(ts_col).asc(), F.col("__side").desc())
+        .rowsBetween(0, Window.unboundedFollowing)
     )
-    out = carried.filter(F.col("__side") == 1)
-    within: Column = F.lit(True)
-    if tolerance_seconds is not None:
-        within = (
-            F.unix_micros(F.col(ts_col)) - F.unix_micros(F.col("__mts"))
-        ) <= int(tolerance_seconds * 1_000_000)
+    cols = list(unioned.columns)
+    if direction in ("backward", "nearest"):
+        cols += [
+            *[F.last(f"__r_{c}", ignorenulls=True).over(wb).alias(f"__mb_{c}") for c in vals],
+            F.last("__rts", ignorenulls=True).over(wb).alias("__mbts"),
+        ]
+    if direction in ("forward", "nearest"):
+        cols += [
+            *[F.first(f"__r_{c}", ignorenulls=True).over(wf).alias(f"__mf_{c}") for c in vals],
+            F.first("__rts", ignorenulls=True).over(wf).alias("__mfts"),
+        ]
+    out = unioned.select(*cols).filter(F.col("__side") == 1)
+
+    us = lambda c: F.unix_micros(F.col(c).cast("timestamp"))  # noqa: E731
+    tol_us = None if tolerance_seconds is None else int(tolerance_seconds * 1_000_000)
+    if direction == "backward":
+        picked = {c: F.col(f"__mb_{c}") for c in vals}
+        mts = F.col("__mbts")
+        within: Column = F.lit(True) if tol_us is None else (us(ts_col) - us("__mbts")) <= tol_us
+    elif direction == "forward":
+        picked = {c: F.col(f"__mf_{c}") for c in vals}
+        mts = F.col("__mfts")
+        within = F.lit(True) if tol_us is None else (us("__mfts") - us(ts_col)) <= tol_us
+    else:
+        db = us(ts_col) - us("__mbts")
+        df_ = us("__mfts") - us(ts_col)
+        # a missing side loses the comparison; ties prefer backward (pandas)
+        use_b = F.col("__mbts").isNotNull() & (
+            F.col("__mfts").isNull() | (db <= df_)
+        )
+        picked = {
+            c: F.when(use_b, F.col(f"__mb_{c}")).otherwise(F.col(f"__mf_{c}"))
+            for c in vals
+        }
+        mts = F.when(use_b, F.col("__mbts")).otherwise(F.col("__mfts"))
+        dist = F.when(use_b, db).otherwise(df_)
+        within = F.lit(True) if tol_us is None else dist <= tol_us
     keep_left = [c for c in left.columns]
     return out.select(
         *keep_left,
-        *[F.when(within, F.col(f"__m_{c}")).alias(c) for c in vals],
-        F.when(within, F.col("__mts")).alias("matched_ts"),
+        *[F.when(within, picked[c]).alias(c) for c in vals],
+        F.when(within, mts).alias("matched_ts"),
     )
 
 

@@ -3398,3 +3398,41 @@ def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum((F.col("rank") > 1.0).cast("long")).alias("n_hubs"),
         F.round(F.max("rank"), 6).alias("max_rank"),
     )
+
+
+@register(
+    "asof_join_forward",
+    """
+    WITH marks AS (
+      SELECT user_id, ts, MAX(value) AS purchase_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts
+    ), nxt AS (
+      SELECT e.event_id, e.user_id, e.ts,
+             (SELECT MIN(m.ts) FROM marks m
+              WHERE m.user_id = e.user_id AND m.ts >= e.ts) AS matched_ts
+      FROM events e
+    )
+    SELECT n.event_id, n.user_id, n.ts, m.purchase_value, n.matched_ts
+    FROM nxt n LEFT JOIN marks m
+      ON m.user_id = n.user_id AND m.ts = n.matched_ts
+    """,
+)
+def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward as-of join (merge_asof direction='forward'): every event
+    picks up the user's NEXT purchase value — the look-ahead window
+    composition (first() over a following frame; DuckDB's native ASOF is
+    backward-only, so the oracle states the forward match as a
+    correlated MIN plus an equi-join back)."""
+    from epic_pandas_spark.operators.temporal import asof_join
+
+    ev = load_table(spark, sf_dir, "events")
+    left = ev.select("event_id", "user_id", "ts")
+    marks = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id", "ts")
+        .agg(F.max("value").alias("purchase_value"))
+    )
+    return asof_join(
+        left, marks, key="user_id", ts_col="ts",
+        value_cols=["purchase_value"], direction="forward",
+    )

@@ -1152,3 +1152,48 @@ def test_ewma_long_run_guard_and_validation(spark):
     assert n == 1200
     with pytest.raises(ValueError):
         ewma(df, ["k"], ["o"], "v", alpha=1.5)
+
+
+def test_asof_join_directions_match_pandas(spark):
+    """backward / forward / nearest (with and without tolerance) must
+    reproduce pandas merge_asof row for row, including tie handling at
+    equal timestamps and unmatched-side nulls."""
+    import pandas as pd
+
+    from epic_pandas_spark.operators.temporal import asof_join
+
+    left_rows = [(1, 10), (1, 25), (1, 30), (1, 55), (2, 5), (2, 40), (3, 7)]
+    right_rows = [(1, 10), (1, 20), (1, 42), (2, 30), (2, 50)]
+    lp = pd.DataFrame(left_rows, columns=["k", "t"])
+    rp = pd.DataFrame(right_rows, columns=["k", "t"])
+    lp["ts"] = pd.to_datetime(lp["t"], unit="s")
+    rp["ts"] = pd.to_datetime(rp["t"], unit="s")
+    rp["quote"] = rp["t"] * 1.5
+
+    ldf = spark.createDataFrame(lp[["k", "ts"]])
+    rdf = spark.createDataFrame(rp[["k", "ts", "quote"]])
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 12.0):
+            got_df = asof_join(
+                ldf, rdf, key="k", ts_col="ts",
+                tolerance_seconds=tol, direction=direction,
+            )
+            got = {
+                (r["k"], r["ts"]): r["quote"]
+                for r in got_df.collect()
+            }
+            want_pd = pd.merge_asof(
+                lp[["k", "ts"]].sort_values("ts"),
+                rp[["k", "ts", "quote"]].sort_values("ts"),
+                on="ts", by="k", direction=direction,
+                tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+            )
+            want = {
+                (r.k, r.ts.to_pydatetime()): (None if pd.isna(r.quote) else r.quote)
+                for r in want_pd.itertuples()
+            }
+            assert got == want, (direction, tol, got, want)
+
+    with pytest.raises(ValueError, match="direction"):
+        asof_join(ldf, rdf, key="k", direction="sideways")
