@@ -248,3 +248,57 @@ def ewma_stable(
         return pdf
 
     return df.groupBy(*key_cols).applyInPandas(per_key, schema=schema)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    on: list | None = None,
+    bucket_seconds: int = 86400,
+) -> DataFrame:
+    """Join two INTERVAL sets on overlap (l_start <= r_end AND r_start <=
+    l_end), optionally within equi-keys ``on`` — the interval-interval
+    sibling of :func:`range_join` (point-in-interval). Both sides explode
+    to their covered time-grid buckets and equi-join on (keys..., bucket)
+    instead of forming the quadratic theta-join; the exact overlap filter
+    runs on pruned pairs only.
+
+    A pair overlapping k shared buckets would surface k times; instead of
+    a distinct shuffle, each pair is emitted ONLY in its first shared
+    bucket (`bucket == floor(max(starts)/size)`) — a stateless predicate,
+    so the dedup is free. Choose ``bucket_seconds`` near the typical
+    interval length: too small multiplies the explode fan-out
+    (len/bucket copies per row), too large degrades pruning toward
+    all-pairs-per-bucket."""
+    keys = list(on or [])
+    b = F.lit(bucket_seconds * 1_000_000)
+
+    def us(col):
+        return F.unix_micros(F.col(col).cast("timestamp"))
+
+    def explode_side(df, start, end, prefix):
+        lo = (us(start) / b).cast("long")
+        hi = (us(end) / b).cast("long")
+        return df.select(
+            *[F.col(k) for k in keys],
+            *[F.col(c).alias(f"{prefix}{c}") for c in df.columns if c not in keys],
+            F.explode(F.sequence(lo, hi)).alias("__bucket"),
+        )
+
+    lx = explode_side(left, left_start, left_end, "l_")
+    rx = explode_side(right, right_start, right_end, "r_")
+    overlap = (F.col(f"l_{left_start}") <= F.col(f"r_{right_end}")) & (
+        F.col(f"r_{right_start}") <= F.col(f"l_{left_end}")
+    )
+    first_shared = F.col("__bucket") == (
+        F.greatest(us(f"l_{left_start}"), us(f"r_{right_start}")) / b
+    ).cast("long")
+    return (
+        lx.join(rx, on=keys + ["__bucket"])
+        .filter(overlap & first_shared)
+        .drop("__bucket")
+    )

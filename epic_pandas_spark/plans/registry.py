@@ -3436,3 +3436,50 @@ def q_asof_join_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         left, marks, key="user_id", ts_col="ts",
         value_cols=["purchase_value"], direction="forward",
     )
+
+
+@register(
+    "interval_overlap_join",
+    """
+    WITH views AS (
+      SELECT user_id, event_id AS l_event_id, ts AS l_start,
+             ts + INTERVAL 1 HOUR AS l_end
+      FROM events WHERE event_type = 'view'
+    ), purchases AS (
+      SELECT user_id, event_id AS r_event_id, ts AS r_start,
+             ts + INTERVAL 30 MINUTE AS r_end
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.user_id, v.l_event_id, p.r_event_id
+    FROM views v JOIN purchases p
+      ON v.user_id = p.user_id
+     AND v.l_start <= p.r_end AND p.r_start <= v.l_end
+    """,
+)
+def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval-interval overlap join (operators.temporal.
+    interval_overlap_join): view windows (1h) against purchase windows
+    (30min) per user, via the bucket-grid equi-join with the
+    first-shared-bucket dedup predicate (no distinct shuffle). The
+    oracle is the quadratic theta-join in DuckDB — identical pair sets
+    prove both the pruning (no lost pairs) and the dedup (no repeats)."""
+    from epic_pandas_spark.operators.temporal import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    views = ev.filter(F.col("event_type") == "view").select(
+        "user_id", F.col("event_id"), F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end"),
+    )
+    buys = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id"), F.col("ts").alias("start"),
+        (F.col("ts") + F.expr("INTERVAL 30 MINUTE")).alias("end"),
+    )
+    out = interval_overlap_join(
+        views, buys, "start", "end", "start", "end",
+        on=["user_id"], bucket_seconds=3600,
+    )
+    return out.select(
+        "user_id",
+        F.col("l_event_id").alias("l_event_id"),
+        F.col("r_event_id").alias("r_event_id"),
+    )

@@ -1197,3 +1197,47 @@ def test_asof_join_directions_match_pandas(spark):
 
     with pytest.raises(ValueError, match="direction"):
         asof_join(ldf, rdf, key="k", direction="sideways")
+
+
+def test_interval_overlap_join_exact_vs_theta(spark):
+    """Bucket-grid overlap join == brute-force theta join: pruning loses
+    no pair and the first-shared-bucket predicate emits each exactly
+    once — including long intervals spanning many buckets, touching
+    endpoints, and disjoint keys."""
+    import datetime as dt
+
+    from epic_pandas_spark.operators.temporal import interval_overlap_join
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return [(k, i, t0 + dt.timedelta(hours=s), t0 + dt.timedelta(hours=e)) for k, i, s, e in rows]
+
+    left = spark.createDataFrame(
+        mk([(1, 10, 0, 5), (1, 11, 10, 11), (1, 12, 3, 100), (2, 20, 0, 1), (3, 30, 0, 2)]),
+        "k long, lid long, start timestamp, end timestamp",
+    )
+    right = spark.createDataFrame(
+        mk([(1, 50, 4, 6), (1, 51, 11, 12), (1, 52, 50, 60), (2, 60, 1, 2), (4, 70, 0, 9)]),
+        "k long, rid long, start timestamp, end timestamp",
+    )
+    got = {
+        (r["k"], r["l_lid"], r["r_rid"])
+        for r in interval_overlap_join(
+            left, right, "start", "end", "start", "end", on=["k"], bucket_seconds=3600
+        ).collect()
+    }
+    lp, rp = left.collect(), right.collect()
+    want = {
+        (l["k"], l["lid"], r["rid"])
+        for l in lp
+        for r in rp
+        if l["k"] == r["k"] and l["start"] <= r["end"] and r["start"] <= l["end"]
+    }
+    assert got == want
+    assert (1, 10, 50) in want and (1, 12, 52) in want  # touching + long-span
+    # multiplicity: collect() as list must have no duplicates either
+    rows = interval_overlap_join(
+        left, right, "start", "end", "start", "end", on=["k"], bucket_seconds=3600
+    ).collect()
+    assert len(rows) == len(want)
