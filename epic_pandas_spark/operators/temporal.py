@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, Window, functions as F
 def asof_join(
     left: DataFrame,
     right: DataFrame,
-    key: str,
+    key: str | list,
     ts_col: str = "ts",
     right_ts_col: str | None = None,
     value_cols: list[str] | None = None,
@@ -50,8 +50,11 @@ def asof_join(
     """
     if direction not in ("backward", "forward", "nearest"):
         raise ValueError("direction must be backward, forward, or nearest")
+    keys = [key] if isinstance(key, str) else list(key)  # pandas `by` accepts lists
     rts = right_ts_col or ts_col
-    vals = value_cols if value_cols is not None else [c for c in right.columns if c not in (key, rts)]
+    vals = value_cols if value_cols is not None else [
+        c for c in right.columns if c not in (*keys, rts)
+    ]
 
     lhs = left.withColumn("__side", F.lit(1))
     for c in vals:
@@ -61,28 +64,28 @@ def asof_join(
     lhs = lhs.withColumn("__rts", F.lit(None).cast("timestamp"))
 
     rhs = right.select(
-        F.col(key),
+        *[F.col(k) for k in keys],
         F.col(rts).alias(ts_col),
         F.lit(0).alias("__side"),
         *[F.col(c).alias(f"__r_{c}") for c in vals],
         F.col(rts).alias("__rts"),
     )
     for c in left.columns:
-        if c not in (key, ts_col):
+        if c not in (*keys, ts_col):
             rhs = rhs.withColumn(c, F.lit(None).cast(dict(left.dtypes)[c]))
     unioned = lhs.unionByName(rhs.select(*lhs.columns))
 
     # backward: right rows sort BEFORE left rows at the same ts and the
     # frame looks back => exact matches allowed
     wb = (
-        Window.partitionBy(key)
+        Window.partitionBy(*keys)
         .orderBy(F.col(ts_col).asc(), F.col("__side").asc())
         .rowsBetween(Window.unboundedPreceding, 0)
     )
     # forward: right rows sort AFTER left rows at the same ts (side desc:
     # 1 then 0) and the frame looks ahead => exact matches allowed
     wf = (
-        Window.partitionBy(key)
+        Window.partitionBy(*keys)
         .orderBy(F.col(ts_col).asc(), F.col("__side").desc())
         .rowsBetween(0, Window.unboundedFollowing)
     )

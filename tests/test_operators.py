@@ -1241,3 +1241,26 @@ def test_interval_overlap_join_exact_vs_theta(spark):
         left, right, "start", "end", "start", "end", on=["k"], bucket_seconds=3600
     ).collect()
     assert len(rows) == len(want)
+
+
+def test_asof_join_composite_key(spark):
+    """`key` accepts a list (pandas merge_asof `by=[...]`): matches must
+    respect the full composite key, not any single column."""
+    import datetime as dt
+
+    from epic_pandas_spark.operators.temporal import asof_join
+
+    t = lambda h: dt.datetime(2024, 1, 1, h)  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, "a", t(5)), (1, "b", t(5)), (2, "a", t(5))],
+        "k1 long, k2 string, ts timestamp",
+    )
+    right = spark.createDataFrame(
+        [(1, "a", t(4), 10.0), (1, "b", t(3), 20.0), (2, "b", t(1), 99.0)],
+        "k1 long, k2 string, ts timestamp, px double",
+    )
+    got = {
+        (r["k1"], r["k2"]): r["px"]
+        for r in asof_join(left, right, key=["k1", "k2"], value_cols=["px"]).collect()
+    }
+    assert got == {(1, "a"): 10.0, (1, "b"): 20.0, (2, "a"): None}
