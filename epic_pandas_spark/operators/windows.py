@@ -259,3 +259,32 @@ def interpolate_linear(
         .otherwise(prev_v + (next_v - prev_v) * frac)
     )
     return df.withColumn(out_col or col, filled)
+
+
+def rolling_time_agg(
+    df: DataFrame,
+    col: str,
+    ts_col: str,
+    window_seconds: int,
+    partition_by: Sequence[str] | None = None,
+    agg: str = "avg",
+    out_col: str | None = None,
+) -> DataFrame:
+    """Trailing TIME-range rolling aggregate: all rows within
+    [t - window_seconds, t] per key (closed interval — SQL RANGE frame
+    semantics; pandas rolling("7D") is left-open by one tick). The frame
+    is `rangeBetween` over epoch microseconds, so unlike the row-count
+    form (`rolling_agg`) the frame width follows event density — the
+    7-day-revenue-per-user shape. One shuffle on the partition key; the
+    range frame streams within each partition."""
+    fns = {"avg": F.avg, "sum": F.sum, "min": F.min, "max": F.max, "count": F.count}
+    if agg not in fns:
+        raise ValueError(f"agg must be one of {sorted(fns)}")
+    if window_seconds <= 0:
+        raise ValueError("window_seconds must be positive")
+    base = Window.partitionBy(*partition_by) if partition_by else Window.partitionBy()
+    w = base.orderBy(
+        F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ).rangeBetween(-window_seconds * 1_000_000, 0)
+    value = fns[agg](F.col(col)).over(w)
+    return df.withColumn(out_col or f"{col}_rolling_{agg}", value)

@@ -3483,3 +3483,35 @@ def q_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_event_id").alias("l_event_id"),
         F.col("r_event_id").alias("r_event_id"),
     )
+
+
+@register(
+    "rolling_7d_revenue",
+    """
+    SELECT event_id, user_id,
+           ROUND(CAST(SUM(CAST(value AS DECIMAL(30,6)))
+                 OVER (PARTITION BY user_id ORDER BY epoch_us(ts)
+                       RANGE BETWEEN 604800000000 PRECEDING AND CURRENT ROW)
+                 AS DOUBLE), 6) AS rev_7d
+    FROM events
+    """,
+)
+def q_rolling_7d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing 7-day per-user value sum (operators.windows.
+    rolling_time_agg): a RANGE frame over epoch microseconds — frame
+    width follows event density, not row counts. DECIMAL staging makes
+    both engines sum exactly whatever their in-frame accumulation order
+    (DuckDB's range windows may use segment trees), then the final
+    double conversion rounds identically."""
+    from epic_pandas_spark.operators.windows import rolling_time_agg
+
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "__v", F.col("value").cast("decimal(30,6)")
+    )
+    out = rolling_time_agg(
+        ev, "__v", "ts", 7 * 86400, partition_by=["user_id"], agg="sum",
+        out_col="rev_7d",
+    )
+    return out.select(
+        "event_id", "user_id", F.round(F.col("rev_7d").cast("double"), 6).alias("rev_7d")
+    )

@@ -1264,3 +1264,39 @@ def test_asof_join_composite_key(spark):
         for r in asof_join(left, right, key=["k1", "k2"], value_cols=["px"]).collect()
     }
     assert got == {(1, "a"): 10.0, (1, "b"): 20.0, (2, "a"): None}
+
+
+def test_rolling_time_agg_density_follows_time_not_rows(spark):
+    """The range frame must include exactly the rows within the trailing
+    time window regardless of row density — verified against a brute
+    per-row recomputation."""
+    import datetime as dt
+
+    from epic_pandas_spark.operators.windows import rolling_time_agg
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, t0, 1.0),
+        (1, t0 + dt.timedelta(seconds=30), 2.0),
+        (1, t0 + dt.timedelta(seconds=59), 4.0),    # dense burst
+        (1, t0 + dt.timedelta(seconds=200), 8.0),   # gap > window
+        (2, t0 + dt.timedelta(seconds=10), 16.0),
+    ]
+    df = spark.createDataFrame(rows, "k long, ts timestamp, v double")
+    got = {
+        (r["k"], r["ts"]): r["s"]
+        for r in rolling_time_agg(
+            df, "v", "ts", 60, partition_by=["k"], agg="sum", out_col="s"
+        ).collect()
+    }
+    want = {}
+    for k, ts, v in rows:
+        want[(k, ts)] = sum(
+            v2 for k2, ts2, v2 in rows
+            if k2 == k and ts - dt.timedelta(seconds=60) <= ts2 <= ts
+        )
+    assert got == want
+    with pytest.raises(ValueError):
+        rolling_time_agg(df, "v", "ts", 0)
+    with pytest.raises(ValueError):
+        rolling_time_agg(df, "v", "ts", 60, agg="median")
