@@ -45,34 +45,65 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n_nodes = nodes.count()
-    out_deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    out_deg = (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=True)  # reused every round; compute once
+    )
+    # fold 1/deg into the edge list ONCE: each round is then a single
+    # equi-join + agg instead of re-joining out_deg against the full edge
+    # list every iteration
+    e_w = (
+        e.join(out_deg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
+        .localCheckpoint(eager=True)
+    )
     ranks = nodes.withColumn("rank", F.lit(1.0))
     for _ in range(n_iter):
         contribs = (
-            e.join(ranks.withColumnRenamed("id", "src"), "src")
-            .join(out_deg, "src")
+            e_w.join(ranks.withColumnRenamed("id", "src"), "src")
             .groupBy(F.col("dst").alias("id"))
-            .agg(F.sum(F.col("rank") / F.col("deg")).alias("recv"))
+            .agg(F.sum(F.col("rank") * F.col("w")).alias("recv"))
         )
-        # dangling mass: rank held by nodes with no outgoing edges
-        # (possible in directed mode) spreads uniformly
-        dangling = (
-            ranks.join(out_deg.withColumnRenamed("src", "id"), "id", "left_anti")
-            .agg(F.coalesce(F.sum("rank"), F.lit(0.0)))
-            .first()[0]
-        )
-        base = (1.0 - damping) + damping * dangling / n_nodes
-        ranks = (
-            nodes.join(contribs, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit(base)
-                    + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
-                ).alias("rank"),
+        if directed:
+            # dangling mass: rank held by nodes with no outgoing edges
+            # spreads uniformly. Kept IN-PLAN as a 1-row aggregate
+            # broadcast-crossJoined into the update, so each round is one
+            # job — no per-iteration driver action.
+            dangling = (
+                ranks.join(out_deg.withColumnRenamed("src", "id"), "id", "left_anti")
+                .agg(F.coalesce(F.sum("rank"), F.lit(0.0)).alias("__dangling"))
             )
-            .localCheckpoint(eager=True)
-        )
+            base = (
+                F.lit(1.0 - damping)
+                + F.lit(damping) * F.col("__dangling") / F.lit(float(n_nodes))
+            )
+            ranks = (
+                nodes.join(contribs, "id", "left")
+                .crossJoin(F.broadcast(dangling))
+                .select(
+                    "id",
+                    (
+                        base + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        else:
+            # undirected mode symmetrizes the edge list, so every node
+            # (all derived from edges) has out-degree >= 1 — dangling mass
+            # is provably zero; skip the aggregation entirely
+            ranks = (
+                nodes.join(contribs, "id", "left")
+                .select(
+                    "id",
+                    (
+                        F.lit(1.0 - damping)
+                        + F.lit(damping) * F.coalesce(F.col("recv"), F.lit(0.0))
+                    ).alias("rank"),
+                )
+                .localCheckpoint(eager=True)
+            )
     return ranks
 
 
@@ -89,7 +120,7 @@ def degree_stats(
     if not directed:
         e = e.unionByName(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     e = e.filter(F.col("src") != F.col("dst")).distinct()
-    ends = e.select(F.col("src").alias("id")) if directed else e.select(F.col("src").alias("id"))
+    ends = e.select(F.col("src").alias("id"))
     if directed:
         ends = ends.unionByName(e.select(F.col("dst").alias("id")))
     return ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))

@@ -101,12 +101,18 @@ def bpe_train(
         raise ValueError("n_merges must be >= 1")
     if mode not in ("auto", "local", "distributed"):
         raise ValueError("mode must be auto, local, or distributed")
+    freq_df = None
     if mode != "distributed":
-        freq_df = _word_freq_table(df, text_col)
+        # checkpoint BEFORE the size check so the auto-mode fall-through
+        # to distributed reuses this materialization instead of paying a
+        # second full corpus scan
+        freq_df = _word_freq_table(df, text_col).localCheckpoint(eager=True)
         if mode == "local" or freq_df.count() <= local_vocab_threshold:
             freq = {r["w"]: r["cnt"] for r in freq_df.collect()}
             return _train_on_freq(freq, n_merges)
-    words = _word_freq_table(df, text_col).withColumn(
+    if freq_df is None:
+        freq_df = _word_freq_table(df, text_col)
+    words = freq_df.withColumn(
         "syms", F.split("w", "")
     ).select("cnt", "syms").localCheckpoint(eager=True)
     merges: list[tuple[str, str]] = []

@@ -149,17 +149,38 @@ def coo_to_ml_vectors(coo: DataFrame, size: int, row: str = ROW, col_idx: str = 
     (the ML-interop path of SURVEY.md §1.1: SparseDataFrame ⇄ Spark ML).
     ``col_idx`` must already be an integer dimension index; `size` is the
     vector dimensionality. Collect per row happens via sorted struct
-    aggregation — one shuffle on the row key."""
-    from pyspark.ml.linalg import SparseVector, VectorUDT
+    aggregation — one shuffle on the row key.
+
+    The vector column is built ARROW-BATCHED: VectorUDT serializes as its
+    sqlType struct (type, size, indices, values), so a pandas_udf can emit
+    that struct as a DataFrame directly — no per-row pickled Python UDF,
+    no SparseVector object construction on the worker. The plan shows
+    ArrowEvalPython, never BatchEvalPython."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.ml.linalg import VectorUDT
 
     assembled = (
         coo.groupBy(row)
         .agg(F.array_sort(F.collect_list(F.struct(F.col(col_idx).cast("int").alias("i"), F.col(val).cast("double").alias("v")))).alias("ents"))
     )
 
-    @F.udf(VectorUDT())
+    # no type hints: `from __future__ import annotations` stringifies them,
+    # which pandas_udf's hint inference rejects; hint-less defaults to the
+    # scalar eval type, where a pd.DataFrame return maps to the struct-backed
+    # UDT (ents: pd.Series -> pd.DataFrame)
+    @F.pandas_udf(VectorUDT())
     def to_vec(ents):
-        return SparseVector(size, [e["i"] for e in ents], [e["v"] for e in ents])
+        # sqlType of VectorUDT: type=0 marks sparse; indices must be sorted
+        # ascending, which the array_sort above guarantees
+        return pd.DataFrame(
+            {
+                "type": np.zeros(len(ents), dtype=np.int8),
+                "size": np.full(len(ents), size, dtype=np.int32),
+                "indices": ents.map(lambda es: [int(e["i"]) for e in es]),
+                "values": ents.map(lambda es: [float(e["v"]) for e in es]),
+            }
+        )
 
     return assembled.select(F.col(row), to_vec("ents").alias("features"))
 

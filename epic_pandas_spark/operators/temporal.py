@@ -39,8 +39,9 @@ def asof_join(
       the backward match, matching pandas).
 
     Unmatched left rows keep nulls; ``tolerance`` nulls out matches
-    farther than the given window (one-sided for backward/forward,
-    absolute for nearest).
+    farther than the given window (one-sided for backward/forward; for
+    nearest it is applied PER SIDE before picking, matching pandas — an
+    out-of-tolerance nearer side loses to an in-tolerance farther one).
 
     Plan: tag and union both sides, sort within each key partition by
     (ts, side-tiebreak), then carry the right payload across with an
@@ -115,17 +116,23 @@ def asof_join(
     else:
         db = us(ts_col) - us("__mbts")
         df_ = us("__mfts") - us(ts_col)
-        # a missing side loses the comparison; ties prefer backward (pandas)
-        use_b = F.col("__mbts").isNotNull() & (
-            F.col("__mfts").isNull() | (db <= df_)
+        # pandas applies tolerance PER SIDE before picking: a side whose
+        # candidate exceeds tol is treated as missing, so the other side
+        # can still win even when it is the farther one. A missing side
+        # loses the comparison; ties prefer backward (pandas).
+        b_ok = F.col("__mbts").isNotNull() if tol_us is None else (
+            F.col("__mbts").isNotNull() & (db <= tol_us)
         )
+        f_ok = F.col("__mfts").isNotNull() if tol_us is None else (
+            F.col("__mfts").isNotNull() & (df_ <= tol_us)
+        )
+        use_b = b_ok & (~f_ok | (db <= df_))
         picked = {
-            c: F.when(use_b, F.col(f"__mb_{c}")).otherwise(F.col(f"__mf_{c}"))
+            c: F.when(use_b, F.col(f"__mb_{c}")).when(f_ok, F.col(f"__mf_{c}"))
             for c in vals
         }
-        mts = F.when(use_b, F.col("__mbts")).otherwise(F.col("__mfts"))
-        dist = F.when(use_b, db).otherwise(df_)
-        within = F.lit(True) if tol_us is None else dist <= tol_us
+        mts = F.when(use_b, F.col("__mbts")).when(f_ok, F.col("__mfts"))
+        within = use_b | f_ok
     keep_left = [c for c in left.columns]
     return out.select(
         *keep_left,
@@ -198,25 +205,36 @@ def ewma(
     — two cumulative window sums, zero Python and zero extra shuffles
     beyond the per-key window.
 
-    The trade: w^(-j) grows with the series index, so runs longer than
-    ~900 rows overflow double precision (w=0.5 → 2^j, finite to j=1023).
-    The operator COUNTS each key's run and raises past ``max_run_length``
-    — use :func:`ewma_stable` (Arrow-batched recurrence, any length) for
+    The trade: w^(-j) grows with the series index, so long runs overflow
+    double precision: (1/(1-alpha))^j stays finite only to
+    j < 1023·log(2)/log(1/(1-alpha)) (alpha=0.5 → 1023, alpha=0.9 →
+    ~307). The effective cap is min(``max_run_length``, that
+    alpha-derived bound), so larger alphas tighten the guard
+    automatically rather than silently yielding inf/NaN. The operator
+    COUNTS each key's run and raises past the cap — use
+    :func:`ewma_stable` (Arrow-batched recurrence, any length) for
     unbounded series. With alpha = 0.5 every weight is an exact power of
     two, so results are bit-reproducible across engines (the oracle
     query exploits this)."""
     if not (0.0 < alpha < 1.0):
         raise ValueError("alpha must be in (0, 1)")
+    import math
+
+    # last exponent where (1/(1-alpha))^r is a finite double; keep a small
+    # safety margin so num/den stay finite too
+    overflow_cap = int(1023 * math.log(2) / math.log(1.0 / (1.0 - alpha))) - 1
+    cap = min(max_run_length, overflow_cap)
     w = Window.partitionBy(*key_cols).orderBy(*order_cols)
     cum = w.rowsBetween(Window.unboundedPreceding, 0)
     r = F.row_number().over(w) - 1
     inv_w = F.pow(F.lit(1.0 / (1.0 - alpha)), r)
     guard = F.when(
-        F.max(r).over(Window.partitionBy(*key_cols)) >= max_run_length,
+        F.max(r).over(Window.partitionBy(*key_cols)) >= cap,
         F.raise_error(
             F.lit(
-                f"ewma: a key has more than {max_run_length} rows; the "
-                "scaling-trick weights overflow — use ewma_stable"
+                f"ewma: a key has more than {cap} rows (max_run_length="
+                f"{max_run_length}, alpha-overflow bound {overflow_cap}); "
+                "the scaling-trick weights overflow — use ewma_stable"
             )
         ),
     ).otherwise(F.lit(None))

@@ -13,6 +13,7 @@ Conventions (SURVEY.md §5, §7.3):
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
@@ -251,13 +252,19 @@ def q_n_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 100 TB path: constant memory per partition, partial-merge
     aggregation, no shuffle of distinct values. The query returns the
     approx AND exact counts plus `within_bound` (observed relative error
-    vs 3× the requested 2% rsd), so every bench/correctness run witnesses
-    the error bound, not just the row count."""
+    vs 3x the requested 2% rsd), so every correctness run witnesses the
+    error bound. The pair is encoded as xxhash64(cols) -- an 8-byte key,
+    never a concatenated string. The exact witness costs far more than
+    the HLL itself, so ``EPS_SKIP_WITNESS=1`` (set by bench.py for the
+    headline number) returns the scale path alone; bench reports the
+    witness run separately."""
     li = load_table(spark, sf_dir, "lineitem")
+    pair = F.xxhash64("l_partkey", "l_suppkey")
+    approx = F.approx_count_distinct(pair, 0.02).alias("n_approx")
+    if os.environ.get("EPS_SKIP_WITNESS") == "1":
+        return li.agg(approx)
     row = li.agg(
-        F.approx_count_distinct(
-            F.concat_ws("", "l_partkey", "l_suppkey"), 0.02
-        ).alias("n_approx"),
+        approx,
         F.count_distinct("l_partkey", "l_suppkey").alias("n_exact"),
     )
     rel_err = F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact")
@@ -943,7 +950,11 @@ def q_near_dedup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8, n_hashes=32, bands=16)
-    labels = connected_components(pairs)
+    # algorithm="auto": probes the (checkpointed) pair count and picks
+    # minlabel below 10M edges — per-round fixed cost dominates tiny
+    # graphs — and star's shrinking-shuffle rounds above it (the 100 TB
+    # path); see connected_components' docstring for the measured crossover
+    labels = connected_components(pairs, algorithm="auto")
     stats = labels.agg(
         F.count(F.lit(1)).alias("n_dup_members"),
         F.count_distinct("cluster").alias("n_clusters"),
@@ -1882,9 +1893,20 @@ def q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials, no global sort. Computes approx AND exact in one aggregate
     pass and returns the observed max relative error plus `within_bound`
     (1% tolerance, far looser than the ~1e-4 rank guarantee), so every
-    bench/correctness run witnesses the bound."""
+    bench/correctness run witnesses the bound. ``EPS_SKIP_WITNESS=1``
+    (set by bench.py for the headline number) skips the exact-percentile
+    witness — which needs a global sort and dwarfs the GK sketch — and
+    returns the scale path alone; bench reports the witness run
+    separately."""
     li = load_table(spark, sf_dir, "lineitem")
     probs = F.lit([0.25, 0.5, 0.75])
+    if os.environ.get("EPS_SKIP_WITNESS") == "1":
+        qa = F.percentile_approx("l_extendedprice", probs, F.lit(10000))
+        return li.agg(
+            F.round(qa[0], 6).alias("q25_approx"),
+            F.round(qa[1], 6).alias("q50_approx"),
+            F.round(qa[2], 6).alias("q75_approx"),
+        )
     row = li.agg(
         F.percentile_approx("l_extendedprice", probs, F.lit(10000)).alias("qa"),
         F.percentile("l_extendedprice", probs).alias("qe"),

@@ -210,6 +210,30 @@ def test_connected_components_star_matches_minlabel(spark):
     assert b[44] == 40 and b[13] == 10 and b[4] == 1
 
 
+def test_connected_components_auto_crossover(spark):
+    """auto mode must dispatch by pair count: below star_threshold it runs
+    minlabel, above it star — identical labels either way (forced by
+    setting the threshold to 0)."""
+    from epic_pandas_spark.extensions.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "id_a long, id_b long"
+    )
+    small = {
+        r["id"]: r["cluster"]
+        for r in connected_components(pairs, algorithm="auto").collect()
+    }
+    forced_star = {
+        r["id"]: r["cluster"]
+        for r in connected_components(
+            pairs, algorithm="auto", star_threshold=0
+        ).collect()
+    }
+    assert small == forced_star == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+    with pytest.raises(ValueError, match="algorithm"):
+        connected_components(pairs, algorithm="bogus")
+
+
 def test_connected_components_star_nonconverged_raises(spark):
     from epic_pandas_spark.extensions.dedup import connected_components
 

@@ -1154,6 +1154,76 @@ def test_ewma_long_run_guard_and_validation(spark):
         ewma(df, ["k"], ["o"], "v", alpha=1.5)
 
 
+def test_ewma_alpha_dependent_overflow_cap(spark):
+    """The overflow guard must derive from alpha: (1/(1-alpha))^r hits inf
+    at r ~ 1023*log2/log(1/(1-alpha)) — alpha=0.9 overflows near r=309,
+    far below the default max_run_length=900, so a 400-row run must RAISE
+    (not silently return NaN/garbage); below the bound results still match
+    pandas."""
+    import pandas as pd
+
+    from epic_pandas_spark.operators.temporal import ewma
+
+    long_run = spark.range(400).select(
+        F.lit(1).alias("k"), F.col("id").alias("o"), F.col("id").cast("double").alias("v")
+    )
+    with pytest.raises(Exception, match="ewma_stable"):
+        ewma(long_run, ["k"], ["o"], "v", alpha=0.9).collect()
+
+    short_run = spark.range(200).select(
+        F.lit(1).alias("k"), F.col("id").alias("o"), F.col("id").cast("double").alias("v")
+    )
+    got = [
+        round(r["ewma"], 6)
+        for r in ewma(short_run, ["k"], ["o"], "v", alpha=0.9).orderBy("o").collect()
+    ]
+    want = [
+        round(v, 6)
+        for v in pd.Series(range(200), dtype="float64").ewm(alpha=0.9, adjust=True).mean()
+    ]
+    assert got == want
+
+
+def test_asof_nearest_per_side_tolerance_matches_pandas(spark):
+    """nearest + tolerance: tolerance applies PER SIDE before picking
+    (merge_asof semantics). Covers one-side-only candidates, asymmetric
+    distances straddling the tolerance, and both-sides-out-of-tolerance."""
+    import pandas as pd
+
+    from epic_pandas_spark.operators.temporal import asof_join
+
+    # key 1: backward at dist 3, forward at dist 8 (tol 5 keeps backward only)
+    # key 2: backward at dist 8, forward at dist 3 (tol 5 keeps forward only)
+    # key 3: both at dist 7 (tol 5 -> null); key 4: forward only at dist 2
+    lp = pd.DataFrame({"k": [1, 2, 3, 4], "t": [100, 100, 100, 100]})
+    rp = pd.DataFrame(
+        {"k": [1, 1, 2, 2, 3, 3, 4], "t": [97, 108, 92, 103, 93, 107, 102]}
+    )
+    lp["ts"] = pd.to_datetime(lp["t"], unit="s")
+    rp["ts"] = pd.to_datetime(rp["t"], unit="s")
+    rp["quote"] = rp["t"] * 1.0
+    ldf = spark.createDataFrame(lp[["k", "ts"]])
+    rdf = spark.createDataFrame(rp[["k", "ts", "quote"]])
+    for tol in (5.0, 2.5, None):
+        got = {
+            r["k"]: r["quote"]
+            for r in asof_join(
+                ldf, rdf, key="k", ts_col="ts",
+                tolerance_seconds=tol, direction="nearest",
+            ).collect()
+        }
+        want_pd = pd.merge_asof(
+            lp[["k", "ts"]].sort_values("ts"),
+            rp[["k", "ts", "quote"]].sort_values("ts"),
+            on="ts", by="k", direction="nearest",
+            tolerance=None if tol is None else pd.Timedelta(seconds=tol),
+        )
+        want = {
+            r.k: (None if pd.isna(r.quote) else r.quote) for r in want_pd.itertuples()
+        }
+        assert got == want, (tol, got, want)
+
+
 def test_asof_join_directions_match_pandas(spark):
     """backward / forward / nearest (with and without tolerance) must
     reproduce pandas merge_asof row for row, including tie handling at

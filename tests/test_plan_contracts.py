@@ -138,6 +138,44 @@ def test_pii_scrub_stays_in_codegen(spark):
     assert "Project" in plan, "scrub chain must be a single projection over the scan"
 
 
+def test_coo_to_ml_vectors_arrow_not_row_udf(spark):
+    """The ML-interop vector builder must be Arrow-batched: the plan shows
+    ArrowEvalPython (pandas_udf emitting the VectorUDT sqlType struct),
+    never a pickled row-at-a-time BatchEvalPython."""
+    from epic_pandas_spark.operators.sparse import coo_to_ml_vectors
+
+    coo = (
+        load_table(spark, SF_DIR, "orders")
+        .groupBy(
+            (F.col("o_custkey") % 7).alias("row_key"),
+            (F.col("o_orderkey") % 13).alias("col_key"),
+        )
+        .agg(F.count(F.lit(1)).cast("double").alias("value"))
+    )
+    df = coo_to_ml_vectors(coo, size=13)
+    plan = physical_plan(df)
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" in plan
+
+
+def test_no_row_udf_anywhere_in_module_surface():
+    """Static contract over the WHOLE package (not just registry queries):
+    no row-at-a-time `F.udf(` / `@udf` call sites exist outside tests —
+    every Python hot path is Arrow-batched (pandas_udf / applyInPandas /
+    mapInPandas / mapInArrow)."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "epic_pandas_spark"
+    offenders = []
+    for py in root.rglob("*.py"):
+        text = py.read_text()
+        for i, line in enumerate(text.splitlines(), 1):
+            stripped = line.split("#", 1)[0]
+            if "F.udf(" in stripped or "@udf(" in stripped or "functions.udf(" in stripped:
+                offenders.append(f"{py}:{i}: {line.strip()}")
+    assert not offenders, "row-at-a-time UDF call sites found:\n" + "\n".join(offenders)
+
+
 def test_dedup_incremental_no_cartesian_and_anti_join(spark):
     fn, _ = REGISTRY["dedup_exact_incremental"]
     plan = physical_plan(fn(spark, SF_DIR))
