@@ -19,6 +19,31 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
+def _derive_bucket_seconds(*interval_sides: tuple[DataFrame, str, str]) -> int:
+    """Pick a bucket width near the data's typical interval length: the
+    MAX over the given sides' median lengths (approx_percentile — one
+    tiny agg job per side), clamped to >= 1 s.
+
+    Rationale: bucket ~ median length keeps the explode fan-out at ~2
+    copies per typical interval while keeping buckets selective; a fixed
+    default (e.g. 86400 s) silently degrades toward all-pairs-per-bucket
+    on short-interval data (everything lands in the same few buckets) and
+    toward huge fan-out on multi-week intervals. Taking the max across
+    sides bounds the LONGER side's replication; the shorter side's rows
+    then span at most ~2 buckets each, which costs fan-out, not
+    correctness."""
+    best = 1
+    for df, start, end in interval_sides:
+        length_s = (
+            F.unix_micros(F.col(end).cast("timestamp"))
+            - F.unix_micros(F.col(start).cast("timestamp"))
+        ) / F.lit(1_000_000.0)
+        med = df.agg(F.percentile_approx(length_s, 0.5).alias("m")).first()["m"]
+        if med is not None:
+            best = max(best, int(max(med, 1.0)))
+    return best
+
+
 def asof_join(
     left: DataFrame,
     right: DataFrame,
@@ -147,14 +172,21 @@ def range_join(
     left_ts: str,
     start_col: str,
     end_col: str,
-    bucket_seconds: int = 86400,
+    bucket_seconds: int | None = None,
     how: str = "inner",
 ) -> DataFrame:
     """Join left rows to right intervals containing them
     (start <= left_ts <= end) via time-bucket pruning: intervals explode
     to their covered buckets, the fact side computes one bucket, and the
     equi-join on the bucket replaces the quadratic theta-join; the exact
-    containment filter runs on the pruned pairs only."""
+    containment filter runs on the pruned pairs only.
+
+    ``bucket_seconds=None`` (default) derives the width from the MEDIAN
+    right-interval length (one tiny approx_percentile job) — a fixed
+    width degrades toward all-pairs-per-bucket when intervals are much
+    shorter than it, and toward explode blow-up when much longer."""
+    if bucket_seconds is None:
+        bucket_seconds = _derive_bucket_seconds((right, start_col, end_col))
     b = F.lit(bucket_seconds * 1_000_000)
 
     def us(col: str):
@@ -279,7 +311,7 @@ def interval_overlap_join(
     right_start: str,
     right_end: str,
     on: list | None = None,
-    bucket_seconds: int = 86400,
+    bucket_seconds: int | None = None,
 ) -> DataFrame:
     """Join two INTERVAL sets on overlap (l_start <= r_end AND r_start <=
     l_end), optionally within equi-keys ``on`` — the interval-interval
@@ -291,11 +323,17 @@ def interval_overlap_join(
     A pair overlapping k shared buckets would surface k times; instead of
     a distinct shuffle, each pair is emitted ONLY in its first shared
     bucket (`bucket == floor(max(starts)/size)`) — a stateless predicate,
-    so the dedup is free. Choose ``bucket_seconds`` near the typical
+    so the dedup is free. ``bucket_seconds`` should sit near the typical
     interval length: too small multiplies the explode fan-out
     (len/bucket copies per row), too large degrades pruning toward
-    all-pairs-per-bucket."""
+    all-pairs-per-bucket. ``None`` (default) derives it as the max of the
+    two sides' median lengths (two tiny approx_percentile jobs), which
+    holds that balance across orders of magnitude of interval length."""
     keys = list(on or [])
+    if bucket_seconds is None:
+        bucket_seconds = _derive_bucket_seconds(
+            (left, left_start, left_end), (right, right_start, right_end)
+        )
     b = F.lit(bucket_seconds * 1_000_000)
 
     def us(col):

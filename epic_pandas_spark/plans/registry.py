@@ -455,7 +455,9 @@ register("tpch_q1", _tpch.TPCH_Q1_SQL)(_tpch.tpch_q1)
 register("tpch_q3", _tpch.TPCH_Q3_SQL)(_tpch.tpch_q3)
 register("tpch_q5", _tpch.TPCH_Q5_SQL)(_tpch.tpch_q5)
 register("tpch_q9", _tpch.TPCH_Q9_SQL)(_tpch.tpch_q9)
+register("tpch_q17", _tpch.TPCH_Q17_SQL)(_tpch.tpch_q17)
 register("tpch_q18", _tpch.TPCH_Q18_SQL)(_tpch.tpch_q18)
+register("tpch_q21", _tpch.TPCH_Q21_SQL)(_tpch.tpch_q21)
 
 
 # ---------------------------------------------------------------------------

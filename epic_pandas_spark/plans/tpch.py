@@ -229,3 +229,129 @@ JOIN (
 ) big ON o_orderkey = big.l_orderkey
 JOIN customer ON o_custkey = c_custkey
 """
+
+
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Small-quantity-order revenue (TPC-H Q17 shape adapted to the driver
+    schema — no p_container, so p_brand + p_size stand in): revenue lost
+    to orders of a part below 20% of that part's average order quantity.
+
+    Plan shape this exists to exercise: a CORRELATED SCALAR SUBQUERY
+    (per-part average) decorrelated into an aggregate + self-join — the
+    canonical Catalyst rewrite. The selective part filter broadcasts TWICE
+    (once to restrict the threshold aggregation's input, once for the
+    final probe), so the per-part averages are computed over only the
+    filtered parts' lineitems, never the full fact table; the threshold
+    table (one row per qualifying part) broadcasts back against the fact.
+    No SortMergeJoin anywhere: every join side except the fact scan is
+    dimension-sized. l_quantity is integral in the data, so the 0.2*avg
+    threshold (exact integer sums => identical double avg in any engine)
+    is bit-deterministic."""
+    part_f = (
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_brand") == "Brand#4") & (F.col("p_size") <= 10))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    li_parts = li.join(F.broadcast(part_f), li.l_partkey == part_f.p_partkey).select(
+        "l_partkey", "l_quantity", "l_extendedprice"
+    )
+    thresholds = li_parts.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_thr")
+    )
+    return (
+        li_parts.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_thr"))
+        .agg(
+            F.round(
+                F.sum(_dec("l_extendedprice")).cast("double") / F.lit(7.0), 6
+            ).alias("avg_yearly")
+        )
+    )
+
+
+TPCH_Q17_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / 7.0, 6) AS avg_yearly
+FROM lineitem JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#4' AND p_size <= 10
+  AND l_quantity < (SELECT 0.2 * AVG(l2.l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey)
+"""
+
+
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppliers who kept orders waiting (TPC-H Q21 shape adapted to the
+    driver schema — no receipt/commit dates ship, so "late" means
+    l_shipdate > o_orderdate + 90 days): per supplier in one nation, count
+    lineitems where THIS supplier was late on a finished multi-supplier
+    order and NO OTHER supplier was.
+
+    Plan shape this exists to exercise: the EXISTS / NOT-EXISTS pair over
+    the same fact table. A naive translation is two extra fact self-joins
+    (semi + anti); instead both predicates collapse into ONE per-order
+    aggregate — n_suppliers and n_late_suppliers per order — because
+    "another supplier exists" == n_supp >= 2 and "no other supplier was
+    late" == n_late == 1 given the probe row itself is late. That turns
+    Q21 into: fact⋈fact join (lineitem⋈orders, both shuffle on orderkey),
+    one re-use of that partitioning for the groupBy(orderkey), a
+    co-partitioned probe join, and a broadcast supplier⋈nation dim — the
+    aggregate-rewrite that keeps Q21 to a single fact shuffle chain at
+    100 TB. The DuckDB oracle deliberately keeps the EXISTS/NOT-EXISTS
+    form, so the rewrite's equivalence is itself oracle-checked."""
+    orders_f = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    lo = li.join(orders_f, li.l_orderkey == orders_f.o_orderkey).select(
+        "l_orderkey",
+        "l_suppkey",
+        (
+            F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS")
+        ).alias("late"),
+    )
+    per_order = lo.groupBy("l_orderkey").agg(
+        F.count_distinct("l_suppkey").alias("n_supp"),
+        F.count_distinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late"),
+    )
+    lone_late_orders = per_order.filter(
+        (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
+    ).select("l_orderkey")
+    sup_nat = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_3"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        lo.filter(F.col("late"))
+        .join(lone_late_orders, "l_orderkey")
+        .join(F.broadcast(sup_nat), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+    )
+
+
+TPCH_Q21_SQL = """
+SELECT s_name, COUNT(*) AS numwait
+FROM supplier, lineitem l1, orders o, nation
+WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o.o_orderdate + INTERVAL 90 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3 JOIN orders o3 ON l3.l_orderkey = o3.o_orderkey
+                  WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o3.o_orderdate + INTERVAL 90 DAY)
+  AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+GROUP BY s_name
+"""

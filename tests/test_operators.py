@@ -1184,6 +1184,71 @@ def test_ewma_alpha_dependent_overflow_cap(spark):
     assert got == want
 
 
+def test_bucket_seconds_auto_derivation_across_scales(spark):
+    """bucket_seconds=None must track the data's interval length across 3
+    orders of magnitude: the derived width stays within [median/2,
+    2*median] (so explode fan-out is bounded by ~3 buckets per typical
+    interval) AND the joins stay exact vs brute force at every scale —
+    where a fixed 86400 s default would put ALL short intervals into one
+    shared bucket (pruning lost) or explode month-long ones 30x."""
+    import datetime as dt
+
+    from epic_pandas_spark.operators.temporal import (
+        _derive_bucket_seconds,
+        interval_overlap_join,
+        range_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    for scale_s in (60, 6_000, 600_000):
+        # 40 intervals of length ~scale_s, staggered by half-lengths
+        rows = [
+            (
+                i,
+                t0 + dt.timedelta(seconds=i * scale_s // 2),
+                t0 + dt.timedelta(seconds=i * scale_s // 2 + scale_s),
+            )
+            for i in range(40)
+        ]
+        right = spark.createDataFrame(rows, "rid long, start timestamp, end timestamp")
+        derived = _derive_bucket_seconds((right, "start", "end"))
+        assert scale_s / 2 <= derived <= scale_s * 2, (scale_s, derived)
+
+        pts = [
+            (j, t0 + dt.timedelta(seconds=j * scale_s * 7 // 10)) for j in range(25)
+        ]
+        left = spark.createDataFrame(pts, "pid long, ts timestamp")
+        got = {
+            (r["pid"], r["rid"])
+            for r in range_join(left, right, "ts", "start", "end").collect()
+        }
+        want = {
+            (p, r)
+            for p, ts in pts
+            for r, s, e in rows
+            if s <= ts <= e
+        }
+        assert got == want, scale_s
+
+        got_ov = sorted(
+            (r["l_rid"], r["r_rid2"])
+            for r in interval_overlap_join(
+                right,
+                right.select(
+                    F.col("rid").alias("rid2"), "start", "end"
+                ),
+                "start", "end", "start", "end",
+            ).collect()
+        )
+        want_ov = sorted(
+            (a, b)
+            for a, sa, ea in rows
+            for b, sb, eb in rows
+            if sa <= eb and sb <= ea
+        )
+        assert got_ov == want_ov, scale_s
+
+
 def test_asof_nearest_per_side_tolerance_matches_pandas(spark):
     """nearest + tolerance: tolerance applies PER SIDE before picking
     (merge_asof semantics). Covers one-side-only candidates, asymmetric

@@ -138,6 +138,31 @@ def test_pii_scrub_stays_in_codegen(spark):
     assert "Project" in plan, "scrub chain must be a single projection over the scan"
 
 
+def test_tpch_q17_decorrelated_all_broadcast(spark):
+    """The correlated scalar subquery must decorrelate into a broadcast
+    threshold join: every join is dimension-sized except the fact scan, so
+    no SortMergeJoin may appear anywhere."""
+    fn, _ = REGISTRY["tpch_q17"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
+def test_tpch_q21_single_fact_shuffle_chain(spark):
+    """The EXISTS/NOT-EXISTS pair must collapse into per-order aggregates:
+    only the fact-fact lineitem-orders join and the co-partitioned
+    qualifying-order probe join (both keyed on orderkey — the probe side
+    grows with the fact, so broadcasting it would be the scale bug) may
+    sort-merge; the supplier-nation dim must broadcast; no third fact
+    self-join may appear (the naive EXISTS translation adds two)."""
+    fn, _ = REGISTRY["tpch_q21"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert plan.count("SortMergeJoin") <= 2, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+
+
 def test_coo_to_ml_vectors_arrow_not_row_udf(spark):
     """The ML-interop vector builder must be Arrow-batched: the plan shows
     ArrowEvalPython (pandas_udf emitting the VectorUDT sqlType struct),
