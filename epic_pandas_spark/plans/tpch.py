@@ -355,3 +355,502 @@ WHERE s_suppkey = l1.l_suppkey AND o.o_orderkey = l1.l_orderkey AND o_orderstatu
   AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
 GROUP BY s_name
 """
+
+
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-priority checking (TPC-H Q4 shape adapted to the driver
+    schema — no commit/receipt dates ship, so the EXISTS predicate is
+    "some lineitem shipped >60 days after the order date"): count orders
+    per priority in one quarter having at least one such late lineitem.
+
+    Plan shape this exists to exercise: a FACT-FACT LEFT SEMI join —
+    the EXISTS subquery is correlated on both the equi key (orderkey)
+    and an inequality against the outer row's o_orderdate, so it cannot
+    collapse into a broadcast dim join. Spark plans the equi part as the
+    hash-join key and evaluates the date inequality as the join residual;
+    the quarter filter pushes to the orders parquet scan first, so the
+    semi probe side is already pruned before the shuffle. Semi-join
+    semantics (not inner+distinct) keep the per-order multiplicity
+    correct with zero dedup cost at 100 TB."""
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = (
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
+    )
+    return (
+        orders.join(li, late, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+TPCH_Q4_SQL = """
+SELECT o_orderpriority, COUNT(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey
+                AND l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+"""
+
+
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume shipping (TPC-H Q7 shape): revenue between two nations per
+    (supplier nation, customer nation, year), both directions.
+
+    Plan shape this exists to exercise: the SAME dimension (nation) joined
+    twice into one fact row under different roles — supplier's nation via
+    lineitem.l_suppkey and customer's nation via orders.o_custkey — with a
+    cross-pair predicate that only passes (A,B) and (B,A). Both nation
+    joins broadcast (customer and supplier fold their nationkey in first,
+    still dimension-sized), so the only exchange is the lineitem⋈orders
+    shuffle on orderkey; the pair predicate is evaluated as broadcast-join
+    residual, never as a fact-side filter that would need both names on
+    one shuffled row."""
+    n1 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    n2 = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cust_nation")
+        )
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount"
+    )
+    pair = (
+        ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+        | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+    )
+    volume = _dec("l_extendedprice") * (F.lit(1).cast("decimal(30,4)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(n1, F.col("s_nationkey") == F.col("sn_key"))
+        .join(n2, F.col("c_nationkey") == F.col("cn_key"))
+        .filter(pair)
+        .groupBy(
+            "supp_nation", "cust_nation", F.year("l_shipdate").alias("l_year")
+        )
+        .agg(F.round(F.sum(volume).cast("double"), 6).alias("revenue"))
+    )
+
+
+TPCH_Q7_SQL = """
+SELECT supp_nation, cust_nation, l_year,
+       ROUND(CAST(SUM(volume) AS DOUBLE), 6) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(EXTRACT(year FROM l_shipdate) AS INT) AS l_year,
+         CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4))) AS volume
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+     OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+"""
+
+
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """National market share (TPC-H Q8 shape adapted — region comes from
+    the customer side, p_type filters the part dim): per order year, the
+    fraction of ECONOMY-part revenue into ASIA supplied by NATION_5.
+
+    Plan shape this exists to exercise: a RATIO OF CONDITIONAL AGGREGATES
+    — sum(CASE WHEN supplier nation = target THEN vol END) / sum(vol) —
+    which must stay one aggregation pass (two partial sums per group),
+    not two scans diffed; plus a selective broadcast dim (part filter)
+    pruning the fact scan before the orderkey shuffle, and the
+    customer→nation→region chain folded driver-side into one broadcast
+    membership set."""
+    part_f = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "ECONOMY")
+        .select("p_partkey")
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    )
+    sn = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+        )
+    )
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    cust_asia = F.broadcast(
+        load_table(spark, sf_dir, "customer")
+        .join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region),
+                    nation.n_regionkey == region.r_regionkey,
+                ).select("n_nationkey")
+            ),
+            F.col("c_nationkey") == F.col("n_nationkey"),
+        )
+        .select("c_custkey")
+    )
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate"
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount"
+    )
+    volume = _dec("l_extendedprice") * (F.lit(1).cast("decimal(30,4)") - _dec("l_discount"))
+    return (
+        li.join(part_f, li.l_partkey == F.col("p_partkey"))
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust_asia, orders.o_custkey == F.col("c_custkey"))
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(sn, F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.round(
+                (
+                    F.sum(F.when(F.col("supp_nation") == "NATION_5", volume)
+                          .otherwise(F.lit(0).cast("decimal(30,4)")))
+                    / F.sum(volume)
+                ).cast("double"),
+                6,
+            ).alias("mkt_share")
+        )
+    )
+
+
+TPCH_Q8_SQL = """
+SELECT o_year,
+       ROUND(CAST(SUM(CASE WHEN supp_nation = 'NATION_5' THEN volume ELSE CAST(0 AS DECIMAL(30,4)) END)
+                  / SUM(volume) AS DOUBLE), 6) AS mkt_share
+FROM (
+  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS o_year,
+         CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4))) AS volume,
+         n1.n_name AS supp_nation
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  JOIN region ON n2.n_regionkey = r_regionkey
+  WHERE p_type = 'ECONOMY' AND r_name = 'ASIA'
+) all_nations
+GROUP BY o_year
+"""
+
+
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Returned-item revenue, top 20 customers (TPC-H Q10 shape): revenue
+    of RETURNED lineitems per customer for one order quarter.
+
+    Plan shape this exists to exercise: aggregation keyed on a WIDE
+    composite (custkey + 3 customer attributes + nation name) — the
+    grouping happens AFTER the broadcast dim joins, so the shuffle
+    carries the full key tuple; the returnflag + quarter filters push to
+    the two fact scans first. TakeOrdered(20) replaces a global sort."""
+    cust = F.broadcast(
+        load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_acctbal", "c_nationkey", "c_mktsegment"
+        )
+    )
+    nation = F.broadcast(load_table(spark, sf_dir, "nation"))
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_returnflag") == "R"
+    ).select("l_orderkey", "l_extendedprice", "l_discount")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(30,4)") - _dec("l_discount"))
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "c_mktsegment", "n_name")
+        .agg(F.round(F.sum(revenue).cast("double"), 6).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("c_custkey").asc())
+        .limit(20)
+    )
+
+
+TPCH_Q10_SQL = """
+SELECT c_custkey, c_name, c_acctbal, c_mktsegment, n_name,
+       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4)))) AS DOUBLE), 6) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1996-04-01'
+GROUP BY c_custkey, c_name, c_acctbal, c_mktsegment, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer order-count distribution (TPC-H Q13 shape adapted — no
+    o_comment ships, so the excluded class is LOW-priority orders):
+    histogram of customers by how many qualifying orders they placed,
+    including zero-order customers.
+
+    Plan shape this exists to exercise: a LEFT OUTER fact join feeding
+    a DOUBLE AGGREGATION — count per customer (nulls → 0 via counting the
+    join's order key, not *), then count of customers per order-count.
+    The first groupBy reuses the join's custkey hash partitioning (no
+    second exchange of the wide side); the second aggregates
+    customer-cardinality rows, which is dimension-sized. The outer join
+    is the part q3/q5/q9 never cover: rows with NO fact match must
+    survive into the aggregate."""
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") != "5-LOW"
+    ).select("o_orderkey", "o_custkey")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+    )
+
+
+TPCH_Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS c_count
+  FROM customer LEFT OUTER JOIN orders
+    ON c_custkey = o_custkey AND o_orderpriority <> '5-LOW'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+"""
+
+
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Promotion effect (TPC-H Q14 shape): percentage of one month's
+    revenue that came from PROMO parts.
+
+    Plan shape this exists to exercise: a broadcast dim join whose
+    attribute feeds a CASE inside the aggregate — the PROMO/non-PROMO
+    split must be one pass (two partial sums), and the month filter must
+    reach the lineitem parquet scan while the part table broadcasts
+    whole (no filter — every fact row needs its p_type)."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    ).select("l_partkey", "l_extendedprice", "l_discount")
+    revenue = _dec("l_extendedprice") * (F.lit(1).cast("decimal(30,4)") - _dec("l_discount"))
+    return (
+        li.join(part, li.l_partkey == part.p_partkey)
+        .agg(
+            F.round(
+                (
+                    F.lit(100.0)
+                    * F.sum(F.when(F.col("p_type") == "PROMO", revenue)
+                            .otherwise(F.lit(0).cast("decimal(30,4)"))).cast("double")
+                    / F.sum(revenue).cast("double")
+                ),
+                6,
+            ).alias("promo_revenue")
+        )
+    )
+
+
+TPCH_Q14_SQL = """
+SELECT ROUND(100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                 THEN CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4)))
+                 ELSE CAST(0 AS DECIMAL(30,4)) END) AS DOUBLE)
+           / CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4)))) AS DOUBLE), 6) AS promo_revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-03-01' AND l_shipdate < TIMESTAMP '1996-04-01'
+"""
+
+
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Part-supplier relationship count (TPC-H Q16 shape adapted — no
+    partsupp/s_comment ship, so lineitem supplies the part⋈supplier pairs
+    and the excluded suppliers are those in debit): distinct suppliers
+    per (brand, type, size) for small parts, excluding flagged suppliers.
+
+    Plan shape this exists to exercise: a broadcast ANTI join (the NOT IN
+    supplier exclusion) feeding COUNT(DISTINCT) over a wide group key —
+    Spark expands count_distinct into a two-level aggregate
+    (group+suppkey partial, then merge), which must reuse one exchange;
+    the p_size/p_brand filters broadcast-prune the fact scan first."""
+    part_f = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") <= 15) & (F.col("p_brand") != "Brand#13"))
+        .select("p_partkey", "p_brand", "p_type", "p_size")
+    )
+    bad_supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    return (
+        li.join(part_f, li.l_partkey == F.col("p_partkey"))
+        .join(bad_supp, li.l_suppkey == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
+    )
+
+
+TPCH_Q16_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_size <= 15 AND p_brand <> 'Brand#13'
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+"""
+
+
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Excess-volume suppliers (TPC-H Q20 shape adapted — no partsupp
+    ships, so "excess" means the pair's shipped volume beats that part's
+    average per-supplier volume): names of NATION_7 suppliers who shipped
+    an above-average share of some matching part in one year.
+
+    Plan shape this exists to exercise: a TWO-LEVEL CORRELATED SEMI
+    chain — aggregate the fact to (part, supplier) volumes, derive a
+    per-part threshold from that SAME aggregate (self-join on the
+    aggregate, not the fact), filter pairs, project distinct suppliers,
+    and semi-join the supplier dim against them. The fact is touched
+    once; everything after the first groupBy is aggregate-sized; the
+    threshold join broadcasts because |parts| << |fact|."""
+    part_f = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").contains("bolt"))
+        .select("p_partkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_partkey", "l_suppkey", "l_quantity")
+    pair_vol = (
+        li.join(part_f, li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.sum("l_quantity").alias("pair_qty"))
+    )
+    thresholds = pair_vol.groupBy("l_partkey").agg(
+        F.avg("pair_qty").alias("avg_qty")
+    )
+    excess_supp = (
+        pair_vol.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("pair_qty") > F.col("avg_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_7")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return supp.join(excess_supp, supp.s_suppkey == F.col("l_suppkey"), "left_semi")
+
+
+TPCH_Q20_SQL = """
+SELECT s_suppkey, s_name
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_7'
+  AND s_suppkey IN (
+    SELECT l_suppkey FROM (
+      SELECT l_partkey, l_suppkey, SUM(l_quantity) AS pair_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_name LIKE '%bolt%'
+        AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+      GROUP BY l_partkey, l_suppkey
+    ) pv
+    JOIN (
+      SELECT l_partkey AS tp, AVG(pair_qty) AS avg_qty FROM (
+        SELECT l_partkey, l_suppkey, SUM(l_quantity) AS pair_qty
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_name LIKE '%bolt%'
+          AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY l_partkey, l_suppkey
+      ) q GROUP BY l_partkey
+    ) t ON pv.l_partkey = t.tp
+    WHERE pv.pair_qty > t.avg_qty
+  )
+"""
+
+
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global sales opportunity (TPC-H Q22 shape adapted — no c_phone
+    ships, so the country-code grouping becomes the nation key modulo 7):
+    count and total balance of well-funded customers with NO orders,
+    where "well-funded" means above the average positive balance and "no
+    orders" is scoped to the 2001 tail of the data (the driver's order
+    density gives every customer ~10 orders overall, which would make an
+    unscoped NOT EXISTS vacuously empty).
+
+    Plan shape this exists to exercise: a SCALAR SUBQUERY (global avg)
+    that must broadcast as a 1-row literal into the fact filter, plus a
+    fact ANTI join (customers with no orders) — the NOT EXISTS side is
+    the big orders table, so the anti join shuffles on custkey rather
+    than broadcasting. The final aggregate is dimension-sized."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_acctbal", F.pmod(F.col("c_nationkey"), F.lit(7)).alias("cntrycode")
+    )
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") >= F.lit("2001-01-01").cast("timestamp")
+    ).select("o_custkey")
+    return (
+        cust.join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        .groupBy("cntrycode")
+        .agg(
+            F.count(F.lit(1)).alias("numcust"),
+            F.round(F.sum(_dec("c_acctbal")).cast("double"), 6).alias("totacctbal"),
+        )
+    )
+
+
+TPCH_Q22_SQL = """
+SELECT cntrycode, COUNT(*) AS numcust,
+       ROUND(CAST(SUM(CAST(c_acctbal AS DECIMAL(30,4))) AS DOUBLE), 6) AS totacctbal
+FROM (
+  SELECT c_nationkey % 7 AS cntrycode, c_acctbal, c_custkey
+  FROM customer
+  WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+) c
+WHERE NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey
+                    AND o_orderdate >= TIMESTAMP '2001-01-01')
+GROUP BY cntrycode
+"""
