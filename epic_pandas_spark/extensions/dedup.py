@@ -89,11 +89,26 @@ def jaccard_pairs(
     if max_doc_freq is not None:
         dfreq = inv.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
         inv = inv.join(F.broadcast(dfreq.filter(F.col("df") <= max_doc_freq)), "w", "left_semi")
-    a = inv.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "w")
-    b = inv.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "w")
+    a = inv.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), F.col("w").alias("wa"))
+    b = inv.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), F.col("w").alias("wb"))
+    # size-compatibility pruning (lossless): jaccard >= t forces
+    # |A∩B| >= t*|A∪B|, and with |A∩B| <= min(n_a,n_b), |A∪B| >=
+    # max(n_a,n_b) that means min >= t*max — so incompatible-size pairs
+    # are dropped inside the join residual, BEFORE the pair-count
+    # aggregation whose shuffle (one row per co-occurring shingle pair)
+    # is what blows up on hot shingles. Exact semantics preserved; only
+    # pairs that could never reach the threshold are cut.
+    thr = F.lit(float(threshold))
+    size_ok = (F.col("n_a") * thr <= F.col("n_b")) & (
+        F.col("n_b") * thr <= F.col("n_a")
+    )
     common = (
-        a.join(b, on="w")
-        .filter(F.col("id_a") < F.col("id_b"))
+        a.join(
+            b,
+            (F.col("wa") == F.col("wb"))
+            & (F.col("id_a") < F.col("id_b"))
+            & size_ok,
+        )
         .groupBy("id_a", "id_b", "n_a", "n_b")
         .agg(F.count(F.lit(1)).alias("n_common"))
     )

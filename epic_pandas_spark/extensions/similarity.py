@@ -178,6 +178,7 @@ def embedding_neardup_pairs(
     dim: int | None = None,
     seed: int = 11,
     allow_quadratic: bool = False,
+    kernel: str = "expr",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ t).
 
@@ -188,7 +189,26 @@ def embedding_neardup_pairs(
     explicitly with ``allow_quadratic=True`` (tiny frames only). A bare
     unblocked call raises: at corpus scale the cartesian product is the
     plan that never finishes.
+
+    ``kernel`` picks the in-block scoring engine:
+
+    - ``"expr"``: codegen higher-order expression per candidate pair —
+      zero Python, fine when blocks are small or the block key is
+      high-cardinality.
+    - ``"blas"``: one applyInPandas per block, scoring the whole block
+      with chunked numpy GEMMs and emitting only qualifying pairs — an
+      order of magnitude less per-pair cost when block sizes run to
+      thousands (the in-block pair count is quadratic either way; that
+      is a property of the blocking key, not the kernel). Chunking
+      bounds peak memory at chunk_size × |block| scores; each block
+      must fit one executor (same contract as any applyInPandas group).
     """
+    if kernel == "blas":
+        if block_col is None:
+            raise ValueError("kernel='blas' requires an explicit block_col")
+        return _neardup_pairs_blas(df, vec_col, id_col, block_col, threshold)
+    if kernel != "expr":
+        raise ValueError(f"unknown kernel {kernel!r}: expected 'expr' or 'blas'")
     from epic_pandas_spark.functions.vectors import dot_expr, norm_expr
 
     if block_col is None and auto_block_planes > 0:
@@ -225,6 +245,60 @@ def embedding_neardup_pairs(
         .filter(F.col("cosine") >= F.lit(threshold))
         .select("id_a", "id_b", "cosine")
     )
+
+
+def _neardup_pairs_blas(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    block_col: str,
+    threshold: float,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """Per-block all-pairs cosine via chunked numpy GEMM (the BLAS twin of
+    the expression kernel; same output set — float64 both ways, so the
+    6-dp-rounded scores agree with the expression/DuckDB arithmetic).
+
+    One Arrow group per block: normalize once, then score ``chunk_rows``
+    rows against the whole block per GEMM, keeping peak memory at
+    chunk_rows × |block| doubles instead of |block|². Only pairs with
+    id_a < id_b and cosine ≥ threshold leave Python — output is the
+    qualifying-pair set, never the score matrix."""
+    out_schema = (
+        f"id_a long, id_b long, cosine double"
+    )
+
+    def score_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        ids = pdf[id_col].to_numpy()
+        V = np.asarray(pdf[vec_col].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        Vn = V / safe[:, None]
+        # zero vectors have undefined cosine; the expression kernel's
+        # 0/0 division yields NaN which fails the >= filter — match by
+        # forcing their rows/cols to NaN
+        Vn[norms == 0.0] = np.nan
+        out_a, out_b, out_c = [], [], []
+        for lo in range(0, len(ids), chunk_rows):
+            hi = min(lo + chunk_rows, len(ids))
+            S = Vn[lo:hi] @ Vn.T
+            mask = (S >= threshold) & np.less.outer(ids[lo:hi], ids)
+            ai, bj = np.nonzero(mask)
+            out_a.append(ids[lo + ai])
+            out_b.append(ids[bj])
+            out_c.append(S[ai, bj])
+        return pd.DataFrame(
+            {
+                "id_a": np.concatenate(out_a) if out_a else np.array([], dtype=np.int64),
+                "id_b": np.concatenate(out_b) if out_b else np.array([], dtype=np.int64),
+                "cosine": np.concatenate(out_c) if out_c else np.array([], dtype=np.float64),
+            }
+        )
+
+    prepped = df.select(
+        F.col(id_col).alias(id_col), _as_double(vec_col).alias(vec_col), F.col(block_col)
+    )
+    return prepped.groupBy(block_col).applyInPandas(score_block, out_schema)
 
 
 def ivf_knn(

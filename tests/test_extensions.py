@@ -752,6 +752,45 @@ def test_embedding_neardup_auto_lsh_blocking(spark):
     assert (0, 9999) in auto  # identical vectors share every sign bucket
 
 
+def test_embedding_neardup_blas_kernel_matches_expr(spark):
+    """kernel='blas' (per-block chunked GEMM) must produce the same pair
+    set and 6-dp scores as the expression kernel — both are float64, so
+    the rounded cosines agree. Chunking is exercised by forcing
+    chunk_rows below the block size."""
+    from epic_pandas_spark.extensions.similarity import (
+        _neardup_pairs_blas,
+        embedding_neardup_pairs,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+
+    def key(rows):
+        return {(r["id_a"], r["id_b"], round(r["cosine"], 6)) for r in rows}
+
+    expr = key(
+        embedding_neardup_pairs(
+            emb, block_col="label", threshold=0.4, kernel="expr"
+        ).collect()
+    )
+    blas = key(
+        embedding_neardup_pairs(
+            emb, block_col="label", threshold=0.4, kernel="blas"
+        ).collect()
+    )
+    assert blas == expr and len(blas) > 0
+    chunked = key(
+        _neardup_pairs_blas(
+            emb, "embedding", "vec_id", "label", 0.4, chunk_rows=7
+        ).collect()
+    )
+    assert chunked == expr
+
+    with pytest.raises(ValueError, match="block_col"):
+        embedding_neardup_pairs(emb, kernel="blas")
+    with pytest.raises(ValueError, match="kernel"):
+        embedding_neardup_pairs(emb, block_col="label", kernel="nope")
+
+
 def test_edit_distance_pairs_exact_vs_bruteforce(spark):
     """Deletion-neighborhood blocking must equal the brute-force
     levenshtein join exactly — substitutions, deletions, insertions,
