@@ -39,14 +39,20 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
             F.sum(_dec("l_extendedprice")).cast("double").alias("sum_base_price"),
-            F.sum(disc_price).cast("double").alias("sum_disc_price"),
-            F.sum(charge).cast("double").alias("sum_charge"),
+            # round in the DECIMAL domain, then cast: the charge product
+            # carries exactly 6 true decimals, so its sum can end in a
+            # half-case at the 6th place — casting to double first makes
+            # the half unrepresentable and the round direction
+            # engine-dependent (bit at sf0.1: ...0.0717965 rounded up by
+            # DuckDB, down by Spark). Decimal-domain HALF_UP is exact and
+            # identical in both engines; disc_price gets the same staging
+            # for symmetry (its 4 true decimals never hit a 6dp half).
+            F.round(F.sum(disc_price), 6).cast("double").alias("sum_disc_price"),
+            F.round(F.sum(charge), 6).cast("double").alias("sum_charge"),
             F.count(F.lit(1)).alias("count_order"),
         )
         .withColumn("avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6))
         .withColumn("avg_price", F.round(F.col("sum_base_price") / F.col("count_order"), 6))
-        .withColumn("sum_disc_price", F.round("sum_disc_price", 6))
-        .withColumn("sum_charge", F.round("sum_charge", 6))
     )
     return out.orderBy("l_returnflag", "l_linestatus")
 
@@ -55,8 +61,8 @@ TPCH_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
        CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) AS sum_qty,
        CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) AS sum_base_price,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4)))) AS DOUBLE), 6) AS sum_disc_price,
-       ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4))) * (CAST(1 AS DECIMAL(30,4)) + CAST(l_tax AS DECIMAL(30,4)))) AS DOUBLE), 6) AS sum_charge,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4)))), 6) AS DOUBLE) AS sum_disc_price,
+       CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4))) * (CAST(1 AS DECIMAL(30,4)) + CAST(l_tax AS DECIMAL(30,4)))), 6) AS DOUBLE) AS sum_charge,
        COUNT(*) AS count_order,
        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6) AS avg_qty,
        ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS DOUBLE) / COUNT(*), 6) AS avg_price
