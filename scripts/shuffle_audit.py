@@ -1,0 +1,98 @@
+"""Shuffle-byte audit: run representative registry queries at two scale
+factors and measure the SHUFFLE WRITE BYTES each one actually moves
+(from the Spark status REST API), reporting bytes-growth vs row-growth.
+
+This turns the per-plan claims in PLAN_AUDIT.md ("the shuffle carries
+8-byte hashes, not payloads"; "aggregation state is sketch-sized") into
+measurements: a query whose shuffled bytes grow ~linearly in rows is
+moving per-row keys/aggregates; one whose bytes stay ~flat is moving
+sketches or dimension tables only; payload-dragging or quadratic
+candidate generation shows up immediately as bytes growing faster than
+rows.
+
+Usage: python scripts/shuffle_audit.py > SHUFFLE_AUDIT.json
+(needs .scaledata/sf1 from scripts/gen_scale_data.py)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import urllib.request
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from epic_pandas_spark.session import get_spark
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+TIERS = [
+    ("sf0.1", "/root/testdata/sf0.1"),
+    ("sf1", os.path.join(REPO, ".scaledata", "sf1")),
+]
+
+# one representative per shuffle-discipline family
+AUDIT_QUERIES = [
+    "tpch_q1",            # groupBy: partial agg -> |groups| rows cross the wire
+    "tpch_q3",            # fact-fact join keyed on orderkey
+    "tpch_q18",           # full-fact agg then broadcast semi-reduction
+    "tpch_q21",           # fact-fact chain + per-order aggregate
+    "dedup_exact",        # fingerprint shuffle: 8-byte hashes, never text
+    "dedup_minhash_lsh",  # banded bucket join: (id, 8-byte band hash)
+    "near_dedup_curation",  # flagship LSH -> CC -> keep
+    "n_distinct_approx",  # HLL sketch: state is sketch-sized
+    "hll_distinct_rollup",  # mergeable sketches per group
+    "global_shuffle",     # the one op whose JOB is to move every row
+    "sessionize",         # window on (user, ts): keys + epoch longs
+    "grouped_quantiles",  # exact percentile: values shuffle once
+    "bm25_topk",          # pre-shuffle term filter -> TakeOrdered
+    "salted_join_revenue",  # skew-salted join
+]
+
+
+def total_shuffle_bytes(ui_base: str) -> tuple[int, int]:
+    """Sum shuffle write/read bytes over all completed stages."""
+    apps = json.load(urllib.request.urlopen(f"{ui_base}/api/v1/applications"))
+    app_id = apps[0]["id"]
+    stages = json.load(
+        urllib.request.urlopen(f"{ui_base}/api/v1/applications/{app_id}/stages")
+    )
+    w = sum(s.get("shuffleWriteBytes", 0) for s in stages)
+    r = sum(s.get("shuffleReadBytes", 0) for s in stages)
+    return w, r
+
+
+def main() -> None:
+    os.environ["EPS_SKIP_WITNESS"] = "1"
+    spark = get_spark(
+        app_name="shuffle_audit", extra_conf={"spark.ui.enabled": "true"}
+    )
+    ui = f"http://localhost:{spark.sparkContext.uiWebUrl.rsplit(':', 1)[-1]}"
+    from epic_pandas_spark.plans.registry import REGISTRY
+
+    out: dict[str, dict[str, dict[str, int]]] = {q: {} for q in AUDIT_QUERIES}
+    rows: dict[str, dict[str, int]] = {q: {} for q in AUDIT_QUERIES}
+    for label, sf_dir in TIERS:
+        spark.read.parquet(f"{sf_dir}/lineitem.parquet").count()
+        for q in AUDIT_QUERIES:
+            fn, _ = REGISTRY[q]
+            w0, r0 = total_shuffle_bytes(ui)
+            df = fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            w1, r1 = total_shuffle_bytes(ui)
+            out[q][label] = {"write_bytes": w1 - w0, "read_bytes": r1 - r0}
+
+    report = {"tiers": dict(TIERS), "row_growth": 10, "queries": {}}
+    for q, t in out.items():
+        w01, w1 = t["sf0.1"]["write_bytes"], t["sf1"]["write_bytes"]
+        report["queries"][q] = {
+            "sf0.1_write_mb": round(w01 / 1e6, 3),
+            "sf1_write_mb": round(w1 / 1e6, 3),
+            "bytes_growth_10x_rows": round(w1 / w01, 2) if w01 else None,
+        }
+    print(json.dumps(report, indent=1))
+
+
+if __name__ == "__main__":
+    main()
