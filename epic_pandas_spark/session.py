@@ -47,6 +47,17 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # scan-split size: Spark's 128MB default assumes many files per
+        # query; a local harness reading a handful of big parquet files
+        # gets starved (a 1.7GB file -> 14 scan tasks on 32 cores left
+        # q1 at 63s; 32MB splits -> 36 tasks -> 7.7s). On a real cluster
+        # raise it back via SPARK_GRAFT_MAX_PARTITION_BYTES — with
+        # thousands of input files per 100 TB scan, bigger splits
+        # amortize task overhead and the default is right.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", str(32 * 1024 * 1024)),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
         # driver testdata writes events.ts as parquet timestamp[ns], which
         # Spark's vectorized reader rejects; read as long and convert in
