@@ -452,6 +452,7 @@ def q_stratified_sample_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 from epic_pandas_spark.plans import tpch as _tpch  # noqa: E402
 
 register("tpch_q1", _tpch.TPCH_Q1_SQL)(_tpch.tpch_q1)
+register("tpch_q2", _tpch.TPCH_Q2_SQL)(_tpch.tpch_q2)
 register("tpch_q3", _tpch.TPCH_Q3_SQL)(_tpch.tpch_q3)
 register("tpch_q4", _tpch.TPCH_Q4_SQL)(_tpch.tpch_q4)
 register("tpch_q5", _tpch.TPCH_Q5_SQL)(_tpch.tpch_q5)
@@ -459,11 +460,15 @@ register("tpch_q7", _tpch.TPCH_Q7_SQL)(_tpch.tpch_q7)
 register("tpch_q8", _tpch.TPCH_Q8_SQL)(_tpch.tpch_q8)
 register("tpch_q9", _tpch.TPCH_Q9_SQL)(_tpch.tpch_q9)
 register("tpch_q10", _tpch.TPCH_Q10_SQL)(_tpch.tpch_q10)
+register("tpch_q11", _tpch.TPCH_Q11_SQL)(_tpch.tpch_q11)
+register("tpch_q12", _tpch.TPCH_Q12_SQL)(_tpch.tpch_q12)
 register("tpch_q13", _tpch.TPCH_Q13_SQL)(_tpch.tpch_q13)
 register("tpch_q14", _tpch.TPCH_Q14_SQL)(_tpch.tpch_q14)
+register("tpch_q15", _tpch.TPCH_Q15_SQL)(_tpch.tpch_q15)
 register("tpch_q16", _tpch.TPCH_Q16_SQL)(_tpch.tpch_q16)
 register("tpch_q17", _tpch.TPCH_Q17_SQL)(_tpch.tpch_q17)
 register("tpch_q18", _tpch.TPCH_Q18_SQL)(_tpch.tpch_q18)
+register("tpch_q19", _tpch.TPCH_Q19_SQL)(_tpch.tpch_q19)
 register("tpch_q20", _tpch.TPCH_Q20_SQL)(_tpch.tpch_q20)
 register("tpch_q21", _tpch.TPCH_Q21_SQL)(_tpch.tpch_q21)
 register("tpch_q22", _tpch.TPCH_Q22_SQL)(_tpch.tpch_q22)

@@ -763,6 +763,7 @@ def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.join(part_f, li.l_partkey == F.col("p_partkey"))
         .groupBy("l_partkey", "l_suppkey")
         .agg(F.sum("l_quantity").alias("pair_qty"))
+        .localCheckpoint(eager=False)  # pair probe AND threshold share one fact pass
     )
     thresholds = pair_vol.groupBy("l_partkey").agg(
         F.avg("pair_qty").alias("avg_qty")
@@ -859,4 +860,332 @@ WHERE NOT EXISTS (SELECT 1 FROM orders
                   WHERE o_custkey = c_custkey
                     AND o_orderdate >= TIMESTAMP '2001-01-01')
 GROUP BY cntrycode
+"""
+
+
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum-cost supplier (TPC-H Q2 shape adapted to the driver schema
+    — no partsupp table ships, so the part-supplier "offer" relation is
+    DERIVED from the fact: unit_cost(part, supp) = MIN(l_extendedprice /
+    l_quantity) over that pair's lineitems): for STANDARD parts of size
+    15, the EUROPE supplier(s) offering each part at its regional minimum
+    unit cost, richest suppliers first.
+
+    Plan shape this exists to exercise: the correlated-MIN-over-a-derived-
+    relation pattern — aggregate the fact once into a pair-level offer
+    table, take the per-part MIN from that SAME aggregate (a broadcast
+    self-join, never a second fact pass), and keep ONLY rows equal to
+    their group minimum. The selective part filter broadcasts into the
+    fact scan so the offer aggregate is built over a sliver of lineitem;
+    the supplier⋈nation⋈region chain is an all-broadcast dimension chain.
+    The MIN-equality predicate is exact: unit_cost is a per-row IEEE
+    division selected (not summed) by MIN, so Spark and DuckDB compare
+    bit-identical values.  Ref analog: none (reference has no query
+    engine); shape from TPC-H spec Q2."""
+    part_f = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter((F.col("p_size") == 15) & (F.col("p_type") == "STANDARD"))
+        .select("p_partkey")
+    )
+    regional_supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load_table(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    offers = (
+        li.join(part_f, li.l_partkey == F.col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(F.min(F.col("l_extendedprice") / F.col("l_quantity")).alias("unit_cost"))
+        .join(regional_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .localCheckpoint(eager=False)  # probe AND per-part min share one fact pass
+    )
+    min_cost = offers.groupBy(F.col("l_partkey").alias("mp")).agg(
+        F.min("unit_cost").alias("min_cost")
+    )
+    return (
+        offers.join(F.broadcast(min_cost), offers.l_partkey == F.col("mp"))
+        .filter(F.col("unit_cost") == F.col("min_cost"))
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            F.col("l_partkey").alias("p_partkey"),
+            "unit_cost",
+        )
+        .orderBy(
+            F.col("s_acctbal").desc(), "n_name", "s_name", "p_partkey"
+        )
+        .limit(100)
+    )
+
+
+TPCH_Q2_SQL = """
+WITH offers AS (
+  SELECT l_partkey, l_suppkey, MIN(l_extendedprice / l_quantity) AS unit_cost
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 15 AND p_type = 'STANDARD'
+  GROUP BY l_partkey, l_suppkey
+), regional AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+)
+SELECT s_acctbal, s_name, n_name, o.l_partkey AS p_partkey, o.unit_cost
+FROM offers o JOIN regional r ON o.l_suppkey = r.s_suppkey
+WHERE o.unit_cost = (
+  SELECT MIN(o2.unit_cost)
+  FROM offers o2 JOIN regional r2 ON o2.l_suppkey = r2.s_suppkey
+  WHERE o2.l_partkey = o.l_partkey
+)
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+"""
+
+
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Important-stock identification (TPC-H Q11 shape adapted — no
+    partsupp availqty/supplycost, so a part's "value" is the revenue
+    shipped for it by one nation's suppliers): parts whose NATION_1
+    shipped value exceeds 0.1% of the nation's total, largest first.
+
+    Plan shape this exists to exercise: a GLOBAL SCALAR SUBQUERY derived
+    from the SAME grouped aggregate it filters (HAVING > fraction-of-
+    total) — the aggregate is computed once, its global re-aggregate is a
+    1-row broadcast crossJoin back onto it, so the fact is scanned once
+    and everything downstream is |parts|-sized. The threshold comparison
+    stays in the DECIMAL domain end-to-end (sum and fraction both exact),
+    so Spark and DuckDB agree bit-for-bit. Ref analog: none; shape from
+    TPC-H spec Q11."""
+    supp_n = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").filter(
+                    F.col("n_name") == "NATION_1"
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice"
+    )
+    part_value = (
+        li.join(supp_n, li.l_suppkey == F.col("s_suppkey"))
+        .groupBy("l_partkey")
+        .agg(F.sum(_dec("l_extendedprice")).alias("val"))
+        .localCheckpoint(eager=False)  # filtered rows AND global total share one fact pass
+    )
+    threshold = part_value.agg(
+        (F.sum("val") * F.lit(0.001).cast("decimal(10,6)")).alias("thr")
+    )
+    return (
+        part_value.join(F.broadcast(threshold))
+        .filter(F.col("val") > F.col("thr"))
+        .select(
+            "l_partkey",
+            F.round(F.col("val").cast("double"), 6).alias("part_value"),
+        )
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+TPCH_Q11_SQL = """
+WITH part_value AS (
+  SELECT l_partkey, SUM(CAST(l_extendedprice AS DECIMAL(30,4))) AS val
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_1'
+  GROUP BY l_partkey
+)
+SELECT l_partkey, ROUND(CAST(val AS DOUBLE), 6) AS part_value
+FROM part_value
+WHERE val > (SELECT SUM(val) * CAST(0.001 AS DECIMAL(10,6)) FROM part_value)
+ORDER BY part_value DESC, l_partkey ASC
+"""
+
+
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shipping-mode priority mix (TPC-H Q12 shape adapted — no
+    l_shipmode ships, so the mode is a DERIVED ship-latency class: SLOW
+    if the item shipped more than 60 days after the order date, else
+    FAST): for 1997 shipments, per mode, how many came from
+    high-priority orders vs low.
+
+    Plan shape this exists to exercise: the fact⋈fact equi-join
+    (lineitem⋈orders shuffle on orderkey, no broadcast side) feeding
+    CASE-WHEN CONDITIONAL AGGREGATION — the canonical one-pass pivot
+    where both output measures are branches of the same SUM, so adding
+    measures never adds scans or shuffles. The year filter pushes to the
+    lineitem parquet scan. Ref analog: none; shape from TPC-H spec
+    Q12."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    ).select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            F.when(
+                F.col("l_shipdate")
+                > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"),
+                F.lit("SLOW"),
+            )
+            .otherwise(F.lit("FAST"))
+            .alias("ship_mode"),
+            high.alias("is_high"),
+        )
+        .groupBy("ship_mode")
+        .agg(
+            F.sum(F.when(F.col("is_high"), 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(F.col("is_high"), 0).otherwise(1)).alias("low_line_count"),
+        )
+        .orderBy("ship_mode")
+    )
+
+
+TPCH_Q12_SQL = """
+SELECT CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY THEN 'SLOW' ELSE 'FAST' END AS ship_mode,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY ship_mode
+"""
+
+
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top supplier (TPC-H Q15): the supplier(s) with maximum revenue in
+    1997Q1.
+
+    Plan shape this exists to exercise: the ARGMAX-BY-EQUALITY pattern —
+    aggregate the fact per supplier, take the scalar MAX from that SAME
+    aggregate (1-row broadcast crossJoin), and keep rows equal to it.
+    Revenue stays DECIMAL through the comparison (sum and max both
+    exact), so the equality — the part of Q15 that is float-fragile in
+    double math — is bit-deterministic in both engines; the cast to
+    double happens only on output. One fact scan, one shuffle
+    (|suppliers| groups), dimension join broadcast. Ref analog: none;
+    shape from TPC-H spec Q15."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    revenue = (
+        li.groupBy("l_suppkey")
+        .agg(
+            F.sum(
+                _dec("l_extendedprice")
+                * (F.lit(1).cast("decimal(30,4)") - _dec("l_discount"))
+            ).alias("total_rev")
+        )
+        .localCheckpoint(eager=False)  # argmax probe AND scalar max share one fact pass
+    )
+    max_rev = revenue.agg(F.max("total_rev").alias("max_rev"))
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        revenue.join(F.broadcast(max_rev))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.round(F.col("total_rev").cast("double"), 6).alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+TPCH_Q15_SQL = """
+WITH revenue AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4)))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, ROUND(CAST(total_rev AS DOUBLE), 6) AS total_revenue
+FROM revenue JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM revenue)
+ORDER BY s_suppkey
+"""
+
+
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Discounted revenue (TPC-H Q19 shape adapted — no p_container /
+    l_shipinstruct, so the three conjunct groups are brand × size-range ×
+    quantity-range): total discounted revenue from lineitems matching any
+    of three brand/size/quantity windows.
+
+    Plan shape this exists to exercise: DISJUNCTIVE PREDICATE PUSHDOWN
+    across a join — the OR of conjunctions mixes part-side and
+    lineitem-side columns, and the plan must (a) push the derivable
+    single-side residuals (p_brand IN (...), p_size <= 15, l_quantity <=
+    30) into each parquet scan, and (b) evaluate the full disjunction
+    once after the broadcast join, with no plan blow-up from
+    distributing the OR. Catalyst does both when the part-only union
+    filter is stated on the part scan — verified in the plan audit
+    (PushedFilters on both scans, single BroadcastHashJoin). Ref analog:
+    none; shape from TPC-H spec Q19."""
+    b1 = (F.col("p_brand") == "Brand#1") & F.col("p_size").between(1, 5)
+    b2 = (F.col("p_brand") == "Brand#2") & F.col("p_size").between(1, 10)
+    b3 = (F.col("p_brand") == "Brand#3") & F.col("p_size").between(1, 15)
+    part_f = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(b1 | b2 | b3)
+        .select("p_partkey", "p_brand", "p_size")
+    )
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        F.col("l_quantity").between(1, 30)
+    ).select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+    q1 = b1 & F.col("l_quantity").between(1, 11)
+    q2 = b2 & F.col("l_quantity").between(10, 20)
+    q3 = b3 & F.col("l_quantity").between(20, 30)
+    return (
+        li.join(part_f, li.l_partkey == F.col("p_partkey"))
+        .filter(q1 | q2 | q3)
+        .agg(
+            F.round(
+                F.sum(
+                    _dec("l_extendedprice")
+                    * (F.lit(1).cast("decimal(30,4)") - _dec("l_discount"))
+                ).cast("double"),
+                6,
+            ).alias("revenue")
+        )
+    )
+
+
+TPCH_Q19_SQL = """
+SELECT ROUND(CAST(SUM(CAST(l_extendedprice AS DECIMAL(30,4)) * (CAST(1 AS DECIMAL(30,4)) - CAST(l_discount AS DECIMAL(30,4)))) AS DOUBLE), 6) AS revenue
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1 AND 11)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 20 AND 30)
 """

@@ -209,3 +209,62 @@ def test_dedup_incremental_no_cartesian_and_anti_join(spark):
     fn2, _ = REGISTRY["dedup_minhash_incremental"]
     plan2 = physical_plan(fn2(spark, SF_DIR))
     assert "CartesianProduct" not in plan2 and "BroadcastNestedLoopJoin" not in plan2
+
+
+def test_tpch_q2_min_equality_all_broadcast(spark):
+    """The correlated-MIN over the derived offer relation must stay a
+    broadcast self-join on the AGGREGATE (pair-level), never a second
+    fact pass or a sort-merge: the only shuffles are the offer groupBy
+    and the final top-k ordering."""
+    fn, _ = REGISTRY["tpch_q2"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q11_single_fact_scan(spark):
+    """The fraction-of-total threshold must come from the SAME grouped
+    aggregate it filters (lazy-checkpointed), so lineitem is scanned
+    once; the 1-row threshold joins back as a broadcast nested-loop
+    (cross) join, which is fine — it is 1 row by construction."""
+    fn, _ = REGISTRY["tpch_q11"]
+    df = fn(spark, SF_DIR)
+    fact_scans = [s for s in read_schemas(df) if "l_partkey" in s]
+    assert len(fact_scans) <= 1, fact_scans
+    assert "CartesianProduct" not in physical_plan(df)
+
+
+def test_tpch_q12_conditional_agg_one_pass(spark):
+    """Both priority measures must be branches of one aggregate over the
+    single fact-fact join — adding a measure must not add a scan."""
+    fn, _ = REGISTRY["tpch_q12"]
+    df = fn(spark, SF_DIR)
+    assert len(read_schemas(df)) == 2, read_schemas(df)  # lineitem + orders, once each
+    plan = physical_plan(df)
+    assert plan.count("HashAggregate") <= 4, plan  # partial+final, one agg pair (+AQE variants)
+
+
+def test_tpch_q15_argmax_no_sort_merge(spark):
+    """The scalar-max argmax must broadcast the 1-row max back onto the
+    supplier-level aggregate; no SortMergeJoin anywhere (every join side
+    except the fact scan is aggregate- or dimension-sized)."""
+    fn, _ = REGISTRY["tpch_q15"]
+    plan = physical_plan(fn(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tpch_q19_disjunction_pushes_to_both_scans(spark):
+    """The OR-of-conjunctions must leave derivable residuals on BOTH
+    parquet scans (brand IN-list on part, quantity bounds on lineitem)
+    and evaluate the full disjunction once after a single broadcast
+    join — no plan blow-up into a union of joins."""
+    fn, _ = REGISTRY["tpch_q19"]
+    df = fn(spark, SF_DIR)
+    pushed = pushed_filters(df)
+    assert any("p_brand" in p for p in pushed), pushed
+    assert any("l_quantity" in p for p in pushed), pushed
+    strategies = join_strategies(df)
+    assert set(strategies) == {"BroadcastHashJoin"}, strategies
+    assert len(read_schemas(df)) == 2, "one scan each side, no OR-distribution blow-up"
