@@ -3161,7 +3161,14 @@ def q_multimodal_decode_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_wav_payload_udf,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    # CPU-bound per-row synth+decode: spread the 8-byte ids across every
+    # core BEFORE the payload column exists (a tiny id-only shuffle — the
+    # small id scan would otherwise pin the whole Python stage to its one
+    # input split; real payload corpora arrive pre-split across files)
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     wav = docs.withColumn("payload", synth_wav_payload_udf()(F.col("doc_id")))
     pgm = docs.select(
         (F.col("doc_id") + 1000000).alias("doc_id")
@@ -3194,7 +3201,10 @@ def q_multimodal_phash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_pgm_payload_udf,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)  # see decode_headers note
+    )
     payloads = docs.withColumn("payload", synth_pgm_payload_udf(50)(F.col("doc_id")))
     pairs = phash_neardup_pairs(
         payloads, id_col="doc_id", payload_col="payload", max_hamming=3, n_bands=4
@@ -3225,7 +3235,10 @@ def q_multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_square_wav_udf,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)  # see decode_headers note
+    )
     wavs = docs.withColumn("payload", synth_square_wav_udf()(F.col("doc_id")))
     out = audio_features(wavs, "doc_id", "payload")
     return out.select(
@@ -3397,7 +3410,10 @@ def q_video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
         synth_video_payload_udf,
     )
 
-    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    docs = (
+        load_table(spark, sf_dir, "documents").select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)  # see decode_headers note
+    )
     vids = docs.withColumn("payload", synth_video_payload_udf()(F.col("doc_id")))
     out = scene_changes(vids, "doc_id", "payload", frame_size=1165, max_hamming=3)
     return out.select("id", "frame_idx", "is_scene_change")

@@ -279,3 +279,60 @@ def test_scene_changes_validation_and_corrupt_frames(spark):
     # frames that don't decode are dropped, not fatal
     got = scene_changes(df, "vid", "payload", frame_size=10).collect()
     assert got == []
+
+
+def test_dhash_stack_fast_path_equals_per_row():
+    """The vectorized same-shape stack path (one reduceat pool + one pack
+    for the whole batch) must be bit-identical to per-image dhash64 —
+    8-bit and 16-bit, odd non-divisible shapes included."""
+    import numpy as np
+
+    from epic_pandas_spark.extensions.multimodal import (
+        _dhash_stack,
+        decode_pgm,
+        dhash64,
+        encode_pgm,
+    )
+
+    rng = np.random.default_rng(7)
+    for h, w in [(8, 9), (33, 41), (64, 64), (11, 9)]:
+        imgs = rng.integers(0, 256, size=(6, h, w)).astype(np.float64)
+        stacked = _dhash_stack(imgs)
+        per_row = [dhash64(im) for im in imgs]
+        assert stacked.tolist() == per_row, (h, w)
+    # through the full PGM encode->decode path too
+    imgs = rng.integers(0, 256, size=(4, 24, 36))
+    decoded = np.stack([decode_pgm(encode_pgm(im)) for im in imgs])
+    assert _dhash_stack(decoded).tolist() == [dhash64(d) for d in decoded]
+
+
+def test_image_dhash_mixed_shapes_and_poison(spark):
+    """The grouped fast path must handle a batch mixing several image
+    shapes, 16-bit rasters, too-small images, and poison payloads — same
+    contract as before: good rows hash, bad rows degrade to ok=False."""
+    import numpy as np
+
+    from epic_pandas_spark.extensions.multimodal import (
+        dhash64,
+        decode_pgm,
+        encode_pgm,
+        image_dhash,
+    )
+
+    rng = np.random.default_rng(11)
+    a = encode_pgm(rng.integers(0, 256, size=(16, 18)))
+    b = encode_pgm(rng.integers(0, 256, size=(40, 33)))
+    big16 = b"P5\n12 10\n65535\n" + rng.integers(0, 65536, size=(10, 12)).astype(">u2").tobytes()
+    tiny = encode_pgm(np.zeros((4, 4)))          # below pool dims -> ok=False
+    junk = b"\x00\x01not an image"
+    truncated = a[: len(a) - 5]
+    rows = [(0, bytearray(a)), (1, bytearray(b)), (2, bytearray(big16)),
+            (3, bytearray(tiny)), (4, bytearray(junk)), (5, bytearray(truncated))]
+    df = spark.createDataFrame(rows, "id long, payload binary")
+    got = {r["id"]: (r["dhash"], r["ok"]) for r in image_dhash(df).collect()}
+    assert got[0] == (dhash64(decode_pgm(a)), True)
+    assert got[1] == (dhash64(decode_pgm(b)), True)
+    assert got[2] == (dhash64(decode_pgm(big16)), True)
+    assert got[3] == (None, False)
+    assert got[4] == (None, False)
+    assert got[5] == (None, False)
