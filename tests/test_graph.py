@@ -67,3 +67,26 @@ def test_pagerank_validation_and_degree_stats(spark):
         pagerank(df, n_iter=0)
     deg = {r["id"]: r["degree"] for r in degree_stats(df).collect()}
     assert deg == {1: 1, 2: 2, 3: 1}  # self-loop dropped
+
+
+def test_pagerank_eager_and_lazy_rounds_identical(spark):
+    """checkpoint_threshold=0 forces the large-graph path (eager
+    per-round localCheckpoints); the default keeps small graphs in one
+    lazy plan. Both must produce the same ranks — the strategy is a
+    physical choice, never a semantic one. (Tolerance is ULP-scale: the
+    eager path's different partitioning reorders the dangling-mass float
+    sum.)"""
+    import random
+
+    rng = random.Random(3)
+    edges = list({(rng.randrange(40), rng.randrange(40)) for _ in range(120)})
+    df = spark.createDataFrame(edges, "src long, dst long")
+    for directed in (False, True):
+        lazy = {r["id"]: r["rank"]
+                for r in pagerank(df, n_iter=6, directed=directed).collect()}
+        eager = {r["id"]: r["rank"]
+                 for r in pagerank(df, n_iter=6, directed=directed,
+                                   checkpoint_threshold=0).collect()}
+        assert set(lazy) == set(eager), directed
+        for k in lazy:
+            assert abs(lazy[k] - eager[k]) < 1e-12, (directed, k)
