@@ -27,6 +27,7 @@ import warnings
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from epic_pandas_spark.functions.text import fingerprint_expr, word_ngrams_expr
+from epic_pandas_spark.parallel import ensure_parallelism
 
 
 def word_set_expr(text: Column) -> Column:
@@ -69,7 +70,7 @@ def jaccard_pairs(
     ubiquitous shingles changes scores slightly; leave None for exact
     semantics on modest data.
     """
-    words = df.select(
+    words = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         word_ngrams_expr(F.col(text_col), n=shingle_words).alias("ws"),
     ).filter(F.size("ws") > 0)
@@ -143,7 +144,7 @@ def jaccard_pairs_prefix(
     hashes only — shingle STRINGS never reach a shuffle, and candidate
     verification intersects long arrays, not string arrays."""
     words = (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).alias("id"),
             F.array_distinct(
                 F.transform(
@@ -234,7 +235,7 @@ def minhash_lsh_pairs(
     if n_hashes % bands != 0:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
-    words = df.select(
+    words = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         word_ngrams_expr(F.col(text_col), n=shingle_words).alias("ws"),
     ).filter(F.size("ws") > 0).localCheckpoint(eager=False)  # reused by banding AND verification
@@ -299,7 +300,7 @@ def simhash_table(df: DataFrame, text_col: str, id_col: str, n_bits: int = 64) -
     the fingerprint from the aggregated votes. Same numbers as
     `simhash_expr`, but each codegen expression stays small and the
     shuffle payload is 64 ints per id (partial aggregation)."""
-    tokens = df.select(
+    tokens = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
@@ -720,7 +721,7 @@ def minhash_index(
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
     words = (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).alias("id"),
             word_ngrams_expr(F.col(text_col), n=shingle_words).alias("ws"),
         )
@@ -868,7 +869,7 @@ def winnowed_fingerprints(
     hash once and shuffles only (id, pos, hash) 8-byte payloads."""
     if window < 1:
         raise ValueError("window must be >= 1")
-    pos = df.select(
+    pos = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         _normalized_text_expr(F.col(text_col)).alias("__t"),
     ).select(
@@ -945,7 +946,7 @@ def repeated_passage_pairs(
     many docs — the hot-key guard that keeps the join linear when a
     site template repeats across millions of pages."""
     inv = (
-        df.select(
+        ensure_parallelism(df).select(
             F.col(id_col).alias("id"),
             _normalized_text_expr(F.col(text_col)).alias("__t"),
         )

@@ -35,8 +35,10 @@ from pyspark.sql import DataFrame, functions as F
 
 def _word_freq_table(df: DataFrame, text_col: str) -> DataFrame:
     """Corpus → (word, count): the only corpus-sized shuffle in training."""
+    from epic_pandas_spark.parallel import ensure_parallelism
+
     return (
-        df.select(
+        ensure_parallelism(df).select(
             F.explode(
                 F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
             ).alias("w")

@@ -82,3 +82,22 @@ def sentence_split_udtf():
                     idx += 1
 
     return SentenceSplit
+
+
+def ensure_parallelism(df: DataFrame, min_partitions: int | None = None) -> DataFrame:
+    """Spread a narrow input across the cluster before a CPU-EXPANDING
+    stage (shingle explosion, per-row hashing, decode kernels) when the
+    scan produced fewer splits than cores — small files and single-row-
+    group parquet cap the split count no matter what
+    ``files.maxPartitionBytes`` says, pinning the whole downstream
+    pipeline to those few cores.
+
+    Metadata-only probe (no job); a NO-OP whenever the input already has
+    enough partitions — which is exactly the 100 TB case, where the scan
+    supplies thousands of splits and an unconditional repartition would
+    add a full-payload shuffle for nothing."""
+    sc = df.sparkSession.sparkContext
+    target = min_partitions or sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
