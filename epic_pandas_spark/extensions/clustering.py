@@ -42,13 +42,19 @@ def kmeans_fit(
     vec_col: str = "embedding",
     id_col: str = "vec_id",
     max_iterations: int = 10,
-    tol: float = 1e-6,
+    tol: float | None = 1e-6,
 ) -> tuple[list[list[float]], float]:
     """Lloyd's algorithm; returns (centroids, inertia).
 
     Init: the k corpus vectors with smallest xxhash64(id) — deterministic,
     seedless. Each iteration = one assignment pass + one posexplode
-    aggregate for the new means + a k×dim driver collect."""
+    aggregate (which carries BOTH the new per-dimension means and the
+    per-cluster inertia — one driver action per round, not two).
+
+    ``tol=None`` runs exactly ``max_iterations`` rounds with NO inertia
+    bookkeeping and returns inertia as NaN — the codebook-training mode
+    (e.g. IVF) where the caller discards inertia and every extra driver
+    action is a wasted job launch."""
     init_rows = (
         df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
         .orderBy(F.xxhash64(F.col(id_col)).asc())
@@ -57,11 +63,9 @@ def kmeans_fit(
     )
     centroids = [list(r["v"]) for r in init_rows]
     prev_inertia = math.inf
+    inertia = math.nan
     for _ in range(max_iterations):
-        # lazy checkpoint: the iteration takes TWO actions on the
-        # assignment (mean sums + inertia) — materialize the scored rows
-        # once instead of re-running the k×N cross-scoring for each
-        assigned = assign_clusters(df, centroids, vec_col).localCheckpoint(eager=False)
+        assigned = assign_clusters(df, centroids, vec_col)
         sums = (
             assigned.select(
                 "cluster",
@@ -69,7 +73,14 @@ def kmeans_fit(
                 F.posexplode(F.col(vec_col).cast("array<double>")).alias("pos", "val"),
             )
             .groupBy("cluster", "pos")
-            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.sum("val").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+                # each source row contributes its sq_dist once per dim;
+                # summing only the pos==0 copies recovers the true
+                # per-cluster inertia inside the SAME aggregate
+                F.sum(F.when(F.col("pos") == 0, F.col("sq_dist"))).alias("sq0"),
+            )
         )
         stats = (
             sums.groupBy("cluster")
@@ -77,17 +88,21 @@ def kmeans_fit(
                 F.array_sort(
                     F.collect_list(F.struct(F.col("pos"), (F.col("s") / F.col("n")).alias("m")))
                 ).alias("dims"),
+                F.sum("sq0").alias("cluster_inertia"),
             )
             .collect()
         )
-        inertia = assigned.agg(F.sum("sq_dist")).first()[0]
         new_centroids = list(centroids)
         for r in stats:
             new_centroids[r["cluster"]] = [d["m"] for d in r["dims"]]
         centroids = new_centroids
-        if prev_inertia - inertia < tol * max(abs(prev_inertia), 1.0):
-            break
-        prev_inertia = inertia
+        if tol is not None:
+            inertia = float(sum(r["cluster_inertia"] for r in stats))
+            if prev_inertia - inertia < tol * max(abs(prev_inertia), 1.0):
+                break
+            prev_inertia = inertia
+    if tol is None:
+        return centroids, math.nan
     # report inertia of the FINAL centroids (the loop's measurement is one
     # Lloyd step stale relative to the last update)
     final_inertia = assign_clusters(df, centroids, vec_col).agg(F.sum("sq_dist")).first()[0]

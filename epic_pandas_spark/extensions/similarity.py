@@ -343,6 +343,7 @@ def ivf_knn(
         trained, _inertia = kmeans_fit(
             corpus, n_centroids, vec_col=vec_col, id_col=id_col,
             max_iterations=kmeans_iterations,
+            tol=None,  # codebook mode: inertia discarded, skip its jobs
         )
         cents = corpus.sparkSession.createDataFrame(
             [(i, [float(x) for x in v]) for i, v in enumerate(trained)],
