@@ -481,6 +481,7 @@ def connected_components(
             .select(
                 "id",
                 F.least(F.col("cluster"), F.coalesce(F.col("nmin"), F.col("cluster"))).alias("cluster"),
+                F.col("cluster").alias("old_cluster"),
             )
         )
         # pointer doubling: cluster <- label(cluster). Labels only ever
@@ -494,17 +495,18 @@ def connected_components(
             .select(
                 "id",
                 F.coalesce(F.col("pcluster"), F.col("cluster")).alias("cluster"),
+                # carry the pre-round label so the convergence probe below
+                # reads the checkpointed frame directly — no extra join job
+                F.col("old_cluster"),
             )
         )
         new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "id")
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            new_labels.filter(F.col("cluster") != F.col("old_cluster"))
             .limit(1)
             .count()
         )
-        labels = new_labels
+        labels = new_labels.select("id", "cluster")
         if changed == 0:
             converged = True
             break
