@@ -226,3 +226,116 @@ def histogram_quantile_expr(sketch_col, q: float, lo: float, hi: float):
     # idx 1 = below-range slot -> clamp to lo; idx n_bins+2 -> clamp to hi
     mid = F.lit(lo) + (idx.cast("double") - 1.5) * width
     return F.least(F.greatest(mid, F.lit(lo)), F.lit(hi))
+
+
+def cms_sketches(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    width: int = 1024,
+    depth: int = 4,
+    sketch_col: str = "cms",
+) -> DataFrame:
+    """Mergeable FREQUENCY sketches (Count-Min, Cormode & Muthukrishnan
+    2005) — the point-frequency analog of the HLL store: one
+    depth×width counter matrix (flattened array<long>) per key group.
+    Row d of the matrix counts on hash xxhash64(value, d) mod width;
+    counters merge by elementwise vector add (same roll-up discipline as
+    the histogram sketch store), so per-shard/per-day sketches answer
+    "how often did x occur" over any window without re-reading data.
+
+    Two deterministic properties the tests and the heavy-hitter
+    prefilter lean on: estimates NEVER undercount (every insert lands in
+    every row, min can only overcount), and sketch(A ∪ B) ==
+    sketch(A) + sketch(B) exactly (inserts are commutative adds).
+    Expected overcount is eps·N with eps = e/width per the standard
+    bound, halving per doubling of width.
+
+    Build shuffles (key, slot, count) partials — 16 bytes × depth per
+    distinct (key, value), never the values themselves; the dense array
+    assembles via a map lookup per slot (O(width·depth) per key), not a
+    per-pair array rewrite."""
+    if width < 1 or depth < 1:
+        raise ValueError("need width >= 1 and depth >= 1")
+    size = width * depth
+    slots = F.array(
+        *[
+            F.pmod(F.xxhash64(F.col(value_col), F.lit(d)), F.lit(width))
+            + F.lit(d * width)
+            for d in range(depth)
+        ]
+    )
+    counts = (
+        df.select(*keys, F.explode(slots).alias("__slot"))
+        .groupBy(*keys, "__slot")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    entries = counts.groupBy(*keys).agg(
+        F.map_from_entries(
+            F.collect_list(F.struct(F.col("__slot").cast("int"), F.col("__n")))
+        ).alias("__m")
+    )
+    dense = F.transform(
+        F.sequence(F.lit(0), F.lit(size - 1)),
+        lambda i: F.coalesce(F.col("__m")[i], F.lit(0).cast("long")),
+    )
+    return entries.select(*keys, dense.alias(sketch_col))
+
+
+def cms_estimate_expr(sketch_col, value, width: int = 1024, depth: int = 4):
+    """Point-frequency estimate from a CMS sketch: min over the depth
+    rows of the counter each hash selects. Pure expressions; `value` may
+    be any column/expression of the sketched type. est >= true count
+    always; overshoot only from hash collisions."""
+    s = F.col(sketch_col) if isinstance(sketch_col, str) else sketch_col
+    v = F.col(value) if isinstance(value, str) else value
+    reads = [
+        F.element_at(
+            s,
+            (F.pmod(F.xxhash64(v, F.lit(d)), F.lit(width)) + F.lit(d * width + 1)).cast("int"),
+        )
+        for d in range(depth)
+    ]
+    return F.least(*reads) if depth > 1 else reads[0]
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    value_col: str,
+    min_count: int,
+    width: int = 1024,
+    depth: int = 4,
+) -> DataFrame:
+    """Exact heavy hitters through a LOSSLESS CMS prefilter — the
+    frequency analog of the Bloom-prefiltered dedup: build one global
+    CMS (a depth×width array, broadcast back), estimate each candidate
+    key against it, and run the exact verification count ONLY for keys
+    whose estimate reaches ``min_count``. Because CMS never
+    undercounts, est < min_count proves count < min_count — no heavy
+    hitter is ever dropped, exactly like LSH banding's recall-1 cases
+    or the Bloom filter's no-false-negative side.
+
+    At 100 TB the first pass moves depth 16-byte partials per distinct
+    key and the second pass aggregates only rows whose key survived —
+    the win grows with the tail: a power-law corpus with millions of
+    near-singleton keys verifies only the head. Returns
+    (value, n_occurrences) with exact counts."""
+    if min_count < 1:
+        raise ValueError("min_count must be >= 1")
+    v = F.col(value_col)
+    sketch = cms_sketches(df, [], value_col, width=width, depth=depth)
+    candidates = df.select(v.alias("__v")).distinct()
+    survivors = (
+        candidates.join(F.broadcast(sketch))
+        .filter(
+            cms_estimate_expr("cms", F.col("__v"), width=width, depth=depth)
+            >= F.lit(min_count)
+        )
+        .select("__v")
+    )
+    return (
+        df.join(F.broadcast(survivors), v == F.col("__v"), "left_semi")
+        .groupBy(v.alias("value"))
+        .agg(F.count(F.lit(1)).alias("n_occurrences"))
+        .filter(F.col("n_occurrences") >= F.lit(min_count))
+    )

@@ -3285,6 +3285,29 @@ def q_bloom_prefilter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "cms_heavy_hitters",
+    """
+    SELECT l_partkey AS value, COUNT(*) AS n_occurrences
+    FROM lineitem
+    GROUP BY l_partkey
+    HAVING COUNT(*) >= 40
+    """,
+)
+def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact heavy hitters through the lossless Count-Min prefilter
+    (operators.sketches.cms_heavy_hitters): one global CMS over the fact
+    keys, candidate estimates against the broadcast sketch, exact
+    verification count only for keys the sketch could not rule out. CMS
+    never undercounts, so the prefilter drops no true heavy hitter — the
+    plain GROUP BY ... HAVING oracle holds exactly, like the Bloom
+    prefilter's membership oracle and LSH's verified-pairs oracle."""
+    from epic_pandas_spark.operators.sketches import cms_heavy_hitters
+
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
+    return cms_heavy_hitters(li, "l_partkey", min_count=40)
+
+
+@register(
     "histogram_sketch_median",
     """
     WITH binned AS (

@@ -1435,3 +1435,64 @@ def test_rolling_time_agg_density_follows_time_not_rows(spark):
         rolling_time_agg(df, "v", "ts", 0)
     with pytest.raises(ValueError):
         rolling_time_agg(df, "v", "ts", 60, agg="median")
+
+
+def test_cms_never_undercounts_and_merge_is_exact(spark):
+    """The two DETERMINISTIC Count-Min properties (operators.sketches):
+    point estimates are >= the true count for every key (each insert
+    lands in every depth row), and sketch(A)+sketch(B) == sketch(A∪B)
+    counter-for-counter (inserts are commutative adds)."""
+    from pyspark.sql import functions as F
+
+    from epic_pandas_spark.operators.sketches import (
+        cms_estimate_expr,
+        cms_sketches,
+    )
+
+    rows = [(i % 37,) for i in range(2000)] + [(999,)] * 500
+    df = spark.createDataFrame(rows, "v long")
+    W, D = 256, 4
+    sk = cms_sketches(df, [], "v", width=W, depth=D)
+    exact = {r["v"]: r["n"] for r in df.groupBy("v").agg(F.count("*").alias("n")).collect()}
+    ests = (
+        df.select("v").distinct()
+        .join(F.broadcast(sk))
+        .select("v", cms_estimate_expr("cms", "v", width=W, depth=D).alias("est"))
+        .collect()
+    )
+    assert ests, "no estimates produced"
+    for r in ests:
+        assert r["est"] >= exact[r["v"]], (r["v"], r["est"], exact[r["v"]])
+
+    half_a = spark.createDataFrame(rows[:1000], "v long")
+    half_b = spark.createDataFrame(rows[1000:], "v long")
+    sa = cms_sketches(half_a, [], "v", width=W, depth=D).collect()[0]["cms"]
+    sb = cms_sketches(half_b, [], "v", width=W, depth=D).collect()[0]["cms"]
+    whole = sk.collect()[0]["cms"]
+    assert [a + b for a, b in zip(sa, sb)] == list(whole)
+
+
+def test_cms_heavy_hitters_exact_and_prefilter_lossless(spark):
+    """cms_heavy_hitters must return EXACTLY the keys with true count >=
+    min_count, with exact counts — even at a deliberately tiny width
+    where collisions force spurious candidates through the prefilter
+    (the verification pass must absorb them, never the reverse)."""
+    from pyspark.sql import functions as F
+
+    from epic_pandas_spark.operators.sketches import cms_heavy_hitters
+
+    rows = (
+        [(1,)] * 50 + [(2,)] * 49 + [(3,)] * 10
+        + [(i,) for i in range(100, 400)]  # long singleton tail
+    )
+    df = spark.createDataFrame(rows, "k long")
+    for width in (8, 1024):  # width=8: collisions guaranteed
+        got = {
+            r["value"]: r["n_occurrences"]
+            for r in cms_heavy_hitters(df, "k", min_count=49, width=width).collect()
+        }
+        assert got == {1: 50, 2: 49}, (width, got)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(df, "k", min_count=0)
