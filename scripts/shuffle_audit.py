@@ -48,6 +48,9 @@ AUDIT_QUERIES = [
     "grouped_quantiles",  # exact percentile: values shuffle once
     "bm25_topk",          # pre-shuffle term filter -> TakeOrdered
     "salted_join_revenue",  # skew-salted join
+    "tpch_q2",            # derived-offer aggregate + broadcast min self-join
+    "tpch_q12",           # fact-fact join + one-pass conditional agg
+    "cms_heavy_hitters",  # CMS partials + exact verify on survivors only
 ]
 
 
