@@ -471,3 +471,115 @@ def random_projection(
         return pd.Series(list(y))
 
     return df.withColumn(out_col, _project(F.col(vec_col)))
+
+
+def semantic_dedup(
+    df: DataFrame,
+    k: int = 8,
+    threshold: float = 0.9,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    codebook: list[list[float]] | None = None,
+    chunk_rows: int = 1024,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al., arXiv
+    2303.09540): cluster the corpus against a small codebook, then within
+    each cluster KEEP a document only when no smaller-id document in the
+    same cluster has cosine >= ``threshold``. Returns ``(id_col, cluster)``
+    for the kept rows. (The reference engine has no embedding tier; this
+    is an extension obligation — cf. the label-blocked pair variant
+    ``embedding_neardup_pairs``.)
+
+    The published two-stage scale shape, not an all-pairs join:
+
+    1. **ASSIGN** — the k x dim codebook is folded into a codegen cosine
+       expression (one struct per centroid, ``array_max`` argmax, ties ->
+       lowest centroid index). One corpus scan, zero Python, no shuffle of
+       the vectors beyond the cluster groupBy that follows.
+       ``codebook=None`` uses the deterministic init-only codebook: the
+       embeddings of the k smallest ids (``ORDER BY id LIMIT k`` — cheap,
+       reproducible, and expressible by the DuckDB oracle). Pass
+       ``kmeans_fit()`` centroids for trained clusters — same plan.
+    2. **PRUNE** — one ``applyInPandas`` group per cluster scores the
+       block with chunked numpy GEMMs (``chunk_rows`` x |block| peak
+       score memory) and keeps rows with no earlier in-cluster
+       near-duplicate. In-block pair count is quadratic in block size —
+       that is SemDeDup's own semantics, so ``k`` must grow with the
+       corpus to keep blocks executor-sized (the paper runs k=11000 over
+       5B embeddings, ~500k vectors/cluster). Output is O(n) rows: the
+       keep decisions, never the score matrix.
+
+    The keep rule is the one-shot variant: a row is dropped when ANY
+    smaller-id cluster-mate is within threshold, whether or not that mate
+    is itself kept. This is order-deterministic, embarrassingly parallel
+    within a block, and relationally expressible (an EXISTS subquery) —
+    unlike the sequential greedy "kept-only" chain, which is
+    order-dependent and cannot be verified by a set-based oracle.
+    Zero-norm vectors have undefined cosine and are always kept (NaN
+    fails every >= test), matching the expression kernel's 0/0 -> NaN.
+    """
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    if codebook is None:
+        rows = (
+            df.select(F.col(id_col), _as_double(vec_col).alias("__e"))
+            .orderBy(F.col(id_col))
+            .limit(k)
+            .collect()
+        )
+        if not rows:
+            raise ValueError("cannot derive a codebook from an empty DataFrame")
+        codebook = [list(r["__e"]) for r in rows]
+
+    v = _as_double(vec_col)
+    # argmax-cosine via array_max over (score, -centroid_idx) structs:
+    # struct comparison is lexicographic, so the max is the highest score
+    # and, on exact ties, the LOWEST centroid index — the same order the
+    # oracle's ROW_NUMBER (cosine DESC, cid ASC) induces.
+    from epic_pandas_spark.functions.vectors import dot_expr, norm_expr
+
+    # try_divide + coalesce(-2): a zero-norm vector (or centroid) has
+    # undefined cosine — under ANSI mode the plain division would throw.
+    # -2 is below every real cosine, so zero vectors tie at -2 across all
+    # centroids and land in cluster 0 (lowest index wins), where the NaN
+    # rows in the prune kernel keep them unconditionally.
+    cand = F.array(
+        *[
+            F.struct(
+                F.coalesce(
+                    F.try_divide(
+                        dot_expr(v, F.lit(c)),
+                        norm_expr(v) * F.lit(float(np.linalg.norm(c))),
+                    ),
+                    F.lit(-2.0),
+                ).alias("s"),
+                F.lit(-ci).alias("nc"),
+            )
+            for ci, c in enumerate(codebook)
+        ]
+    )
+    assigned = df.select(
+        F.col(id_col), v.alias("__v"), (-F.array_max(cand)["nc"]).cast("int").alias("cluster")
+    )
+
+    out_schema = f"{id_col} long, cluster int"
+
+    def prune_block(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)
+        ids = pdf[id_col].to_numpy()
+        V = np.asarray(pdf["__v"].tolist(), dtype=np.float64)
+        norms = np.linalg.norm(V, axis=1)
+        safe = np.where(norms == 0.0, 1.0, norms)
+        Vn = V / safe[:, None]
+        Vn[norms == 0.0] = np.nan  # undefined cosine -> never a duplicate
+        n = len(ids)
+        keep = np.ones(n, dtype=bool)
+        for lo in range(0, n, chunk_rows):
+            hi = min(lo + chunk_rows, n)
+            S = Vn[lo:hi] @ Vn.T
+            # j strictly earlier than i in ascending-id order
+            earlier = np.greater.outer(np.arange(lo, hi), np.arange(n))
+            keep[lo:hi] = ~((S >= threshold) & earlier).any(axis=1)
+        return pd.DataFrame({id_col: ids[keep], "cluster": pdf["cluster"].to_numpy()[keep]})
+
+    return assigned.groupBy("cluster").applyInPandas(prune_block, out_schema)

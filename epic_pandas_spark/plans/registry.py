@@ -1303,6 +1303,53 @@ def q_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
 
 
+@register(
+    "semantic_dedup",
+    """
+    WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cb AS (SELECT vec_id AS cid, e AS ce FROM c ORDER BY vec_id LIMIT 8),
+    cbn AS (SELECT ROW_NUMBER() OVER (ORDER BY cid) - 1 AS ci, ce FROM cb),
+    scored AS (
+      SELECT c.vec_id, cbn.ci,
+             list_sum(list_transform(list_zip(c.e, cbn.ce), x -> x[1]*x[2]))
+               / (sqrt(list_sum(list_transform(c.e, x -> x*x)))
+                  * sqrt(list_sum(list_transform(cbn.ce, x -> x*x)))) AS cosine
+      FROM c, cbn
+    ),
+    assigned AS (
+      SELECT vec_id, ci AS cluster FROM (
+        SELECT vec_id, ci,
+               ROW_NUMBER() OVER (PARTITION BY vec_id
+                                  ORDER BY cosine DESC, ci ASC) AS rn
+        FROM scored) t WHERE rn = 1
+    ),
+    dropped AS (
+      SELECT DISTINCT a.vec_id
+      FROM assigned a
+      JOIN assigned b ON a.cluster = b.cluster AND b.vec_id < a.vec_id
+      JOIN c ca ON ca.vec_id = a.vec_id
+      JOIN c cb2 ON cb2.vec_id = b.vec_id
+      WHERE list_sum(list_transform(list_zip(ca.e, cb2.e), x -> x[1]*x[2]))
+            / (sqrt(list_sum(list_transform(ca.e, x -> x*x)))
+               * sqrt(list_sum(list_transform(cb2.e, x -> x*x)))) >= 0.4
+    )
+    SELECT a.vec_id, a.cluster FROM assigned a
+    WHERE a.vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def q_semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cluster-then-prune semantic dedup (Abbas et al. 2303.09540)
+    with the deterministic init-only codebook (k=8 lowest-id embeddings)
+    so the full pipeline — broadcast-codebook argmax assign, per-cluster
+    GEMM prune, keep-lowest-id rule — is exactly replayable in SQL. The
+    only embedding operator family whose END-TO-END keep set is
+    hash-checked by the DuckDB oracle (the pair variants check pairs)."""
+    from epic_pandas_spark.extensions.similarity import semantic_dedup
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return semantic_dedup(emb, k=8, threshold=0.4)
+
+
 # ---------------------------------------------------------------------------
 # extension tier: text analysis (functions/text.py)
 # ---------------------------------------------------------------------------

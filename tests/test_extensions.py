@@ -836,3 +836,104 @@ def test_edit_distance_pairs_exact_vs_bruteforce(spark):
 
     with pytest.raises(NotImplementedError, match="max_edits=1"):
         edit_distance_pairs(df, "s", "id", max_edits=2)
+
+
+def _semantic_dedup_bruteforce(ids, V, codebook, threshold):
+    """numpy replay of the documented rule: argmax-cosine assign (ties ->
+    lowest centroid index), drop when any smaller-id cluster-mate has
+    cosine >= threshold."""
+    import numpy as np
+
+    V = np.asarray(V, dtype=np.float64)
+    C = np.asarray(codebook, dtype=np.float64)
+    vn = np.linalg.norm(V, axis=1)
+    cn = np.linalg.norm(C, axis=1)
+    S = (V @ C.T) / np.outer(np.where(vn == 0, 1, vn), np.where(cn == 0, 1, cn))
+    cl = np.argmax(S, axis=1)  # np.argmax takes the FIRST max -> lowest index
+    order = np.argsort(ids, kind="mergesort")
+    keep = {}
+    for c in set(cl.tolist()):
+        idx = order[cl[order] == c]
+        Vc = V[idx]
+        n = np.linalg.norm(Vc, axis=1)
+        Vcn = Vc / np.where(n == 0, 1, n)[:, None]
+        Vcn[n == 0] = np.nan
+        M = Vcn @ Vcn.T
+        for i in range(len(idx)):
+            dup = any(M[i, j] >= threshold for j in range(i))
+            keep[int(ids[idx[i]])] = (not dup, int(c))
+    return {(i, c) for i, (k, c) in keep.items() if k}
+
+
+def test_semantic_dedup_matches_bruteforce(spark):
+    """End-to-end keep set == numpy replay of the documented rule on the
+    driver embeddings, with the deterministic init-only codebook."""
+    from epic_pandas_spark.extensions.similarity import semantic_dedup
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    rows = sorted(
+        ((r["vec_id"], list(r["embedding"])) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = [t[0] for t in rows]
+    V = [t[1] for t in rows]
+    expected = _semantic_dedup_bruteforce(ids, V, V[:8], threshold=0.4)
+
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in semantic_dedup(emb, k=8, threshold=0.4).collect()
+    }
+    assert got == expected
+    assert 0 < len(got) < len(ids)  # something kept AND something dropped
+
+
+def test_semantic_dedup_codebook_chunking_and_edge_cases(spark):
+    """Explicit codebook path (the kmeans_fit hookup) replays against the
+    same brute force; tiny chunk_rows changes nothing; zero vectors are
+    always kept (undefined cosine); empty frame raises."""
+    import numpy as np
+
+    from epic_pandas_spark.extensions.clustering import kmeans_fit
+    from epic_pandas_spark.extensions.similarity import semantic_dedup
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(120)
+    centroids, _ = kmeans_fit(emb, k=3, max_iterations=2)
+    cb = [list(map(float, c)) for c in centroids]
+
+    rows = sorted(
+        ((r["vec_id"], list(r["embedding"])) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    ids = [t[0] for t in rows]
+    V = [t[1] for t in rows]
+    expected = _semantic_dedup_bruteforce(ids, V, cb, threshold=0.35)
+    got = {
+        (r["vec_id"], r["cluster"])
+        for r in semantic_dedup(emb, threshold=0.35, codebook=cb).collect()
+    }
+    assert got == expected
+
+    chunked = {
+        (r["vec_id"], r["cluster"])
+        for r in semantic_dedup(
+            emb, threshold=0.35, codebook=cb, chunk_rows=7
+        ).collect()
+    }
+    assert chunked == expected
+
+    # a zero vector clone pair: both survive (cosine undefined, never >= t)
+    dim = len(V[0])
+    z = spark.createDataFrame(
+        [(10_001, [0.0] * dim, 0), (10_002, [0.0] * dim, 0)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    corpus = emb.unionByName(z)
+    kept = {
+        r["vec_id"] for r in semantic_dedup(corpus, threshold=0.35, codebook=cb).collect()
+    }
+    assert {10_001, 10_002} <= kept
+
+    with pytest.raises(ValueError, match="empty"):
+        semantic_dedup(emb.filter(F.col("vec_id") < 0), k=4)
+    with pytest.raises(ValueError, match="k must"):
+        semantic_dedup(emb, k=0)

@@ -268,3 +268,19 @@ def test_tpch_q19_disjunction_pushes_to_both_scans(spark):
     strategies = join_strategies(df)
     assert set(strategies) == {"BroadcastHashJoin"}, strategies
     assert len(read_schemas(df)) == 2, "one scan each side, no OR-distribution blow-up"
+
+
+def test_semantic_dedup_one_shuffle_codegen_assign(spark):
+    """semantic_dedup's plan: the argmax-cosine ASSIGN is pure codegen
+    (codebook folded into the expression — no Python, no join), the only
+    exchange is the per-cluster groupBy feeding the Arrow PRUNE kernel
+    (FlatMapGroupsInPandas), and nothing is row-at-a-time."""
+    from epic_pandas_spark.extensions.similarity import semantic_dedup
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    out = semantic_dedup(emb, k=4, threshold=0.4)
+    plan = physical_plan(out)
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert count_shuffles(out) == 1  # hashpartitioning(cluster) only
