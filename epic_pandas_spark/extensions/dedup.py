@@ -99,9 +99,14 @@ def jaccard_pairs(
     # aggregation whose shuffle (one row per co-occurring shingle pair)
     # is what blows up on hot shingles. Exact semantics preserved; only
     # pairs that could never reach the threshold are cut.
+    # the 1e-6 slack keeps the prune LOSSLESS under fp rounding: t·n can
+    # round ABOVE its exact value (0.55·100 = 55.000000000000007), which
+    # without slack rejects exactly-at-threshold pairs (J = 55/100 = t).
+    # Loosening only ever admits extra candidates — the exact jaccard
+    # filter downstream still decides membership.
     thr = F.lit(float(threshold))
-    size_ok = (F.col("n_a") * thr <= F.col("n_b")) & (
-        F.col("n_b") * thr <= F.col("n_a")
+    size_ok = (F.col("n_a") * thr <= F.col("n_b") + F.lit(1e-6)) & (
+        F.col("n_b") * thr <= F.col("n_a") + F.lit(1e-6)
     )
     common = (
         a.join(
@@ -139,7 +144,10 @@ def jaccard_pairs_prefix(
     Why it wins at scale: the self-join index shrinks by ~t of its
     entries, and — because prefixes hold each doc's RAREST shingles —
     hot-key join blowup collapses without the lossy ``max_doc_freq``
-    guard. Costs one extra shuffle (df-rank window keyed on id).
+    guard. The PPJoin positional filter (Xiao et al. WWW'08) then kills
+    candidates whose shared token sits too late in both docs to leave
+    room for the required overlap — before the pair-dedup shuffle, still
+    lossless. Costs one extra shuffle (df-rank window keyed on id).
     Everything downstream of the shingle projection handles 8-byte
     hashes only — shingle STRINGS never reach a shuffle, and candidate
     verification intersects long arrays, not string arrays."""
@@ -157,7 +165,13 @@ def jaccard_pairs_prefix(
         .localCheckpoint(eager=False)  # reused by ranking AND verification
     )
     inv = words.select("id", F.size("wh").alias("n"), F.explode("wh").alias("w"))
-    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n")) + 1
+    # every ceil below carries a 1e-6 slack: t·n can ROUND ABOVE its exact
+    # value in fp (0.55·100 = 55.000000000000007 → ceil 56, exact 55),
+    # which silently shortens prefixes / tightens filters and drops
+    # exactly-at-threshold pairs. The slack only loosens (more candidates,
+    # same verified output) — exact verification decides membership.
+    eps = F.lit(1e-6)
+    prefix_len = F.col("n") - F.ceil(F.lit(threshold) * F.col("n") - eps) + 1
     dfreq = inv.groupBy("w").agg(F.count(F.lit(1)).alias("df"))
     rn = F.row_number().over(
         Window.partitionBy("id").orderBy(F.col("df").asc(), F.col("w").asc())
@@ -166,18 +180,40 @@ def jaccard_pairs_prefix(
         inv.join(dfreq, "w")
         .withColumn("rn", rn)
         .filter(F.col("rn") <= prefix_len)
-        .select("id", "n", "w")
+        .select("id", "n", "w", "rn")
         .localCheckpoint(eager=False)  # both sides of the candidate join
     )
-    lhs = prefixes.select(F.col("id").alias("id_a"), F.col("n").alias("n_a"), "w")
-    rhs = prefixes.select(F.col("id").alias("id_b"), F.col("n").alias("n_b"), "w")
+    lhs = prefixes.select(
+        F.col("id").alias("id_a"), F.col("n").alias("n_a"),
+        F.col("rn").alias("rn_a"), "w",
+    )
+    rhs = prefixes.select(
+        F.col("id").alias("id_b"), F.col("n").alias("n_b"),
+        F.col("rn").alias("rn_b"), "w",
+    )
+    # PPJoin positional filter (Xiao et al. WWW'08, lossless): the ranks
+    # rn are positions in the GLOBAL (df, w) token order, identical for
+    # every doc, so the overlap a qualifying pair can still accumulate
+    # after the shared token is ≤ 1 + min(n_a − rn_a, n_b − rn_b). A pair
+    # with J ≥ t needs overlap ≥ ⌈t·(n_a+n_b)/(1+t)⌉, and at the pair's
+    # FIRST common token (inside both prefixes by the AllPairs guarantee)
+    # the bound is exact — so keeping a pair when ANY generation row
+    # passes loses nothing, while pairs that merely brush a late rare
+    # token die before the dedup shuffle.
+    required = F.ceil(
+        F.lit(float(threshold) / (1.0 + float(threshold)))
+        * (F.col("n_a") + F.col("n_b"))
+        - eps
+    )
     cand = (
         lhs.join(rhs, "w")
         .filter(
             (F.col("id_a") < F.col("id_b"))
             # PPJoin length filter: J >= t forces t·|a| <= |b| <= |a|/t
-            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a")))
-            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b")))
+            & (F.col("n_b") >= F.ceil(F.lit(threshold) * F.col("n_a") - eps))
+            & (F.col("n_a") >= F.ceil(F.lit(threshold) * F.col("n_b") - eps))
+            & (1 + F.least(F.col("n_a") - F.col("rn_a"), F.col("n_b") - F.col("rn_b"))
+               >= required)
         )
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])

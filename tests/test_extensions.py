@@ -644,6 +644,25 @@ def test_jaccard_prefix_equals_allpairs(spark):
         assert pref == full, f"threshold {t}"
 
 
+def test_jaccard_exact_boundary_pair_not_pruned(spark):
+    """Regression: fp over-ceil in the prune filters. t·n can round ABOVE
+    its exact value (0.55·100 = 55.000000000000007 → ceil 56, exact 55),
+    which used to reject an exactly-at-threshold pair (J = 55/100) in
+    BOTH the inverted-index size filter and the prefix length filter.
+    The filters now carry 1e-6 slack — loosening only, membership is
+    still decided by the exact jaccard."""
+    from epic_pandas_spark.extensions.dedup import jaccard_pairs, jaccard_pairs_prefix
+
+    words = [f"tok{i:03d}" for i in range(102)]
+    df = spark.createDataFrame(
+        [(1, " ".join(words)), (2, " ".join(words[:57]))],  # 100 and 55 shingles
+        "doc_id long, text string",
+    )
+    for fn in (jaccard_pairs, jaccard_pairs_prefix):
+        got = fn(df, "text", "doc_id", threshold=0.55).collect()
+        assert [(r["id_a"], r["id_b"], r["jaccard"]) for r in got] == [(1, 2, 0.55)], fn.__name__
+
+
 def test_dedup_family_handles_empty_corpus(spark):
     """Library robustness: every near-dup operator must return an empty,
     correctly-typed frame on an empty corpus — not raise mid-plan."""
