@@ -238,3 +238,52 @@ def test_repetition_stats_match_python_reference(spark):
             top, dup = py_stats(t, n)
             assert abs(got[i][f"top{n}_frac"] - top) < 1e-6, (t, n)
             assert abs(got[i][f"dup{n}_frac"] - dup) < 1e-6, (t, n)
+
+
+def test_jaccard_plans_match_bruteforce_reference(spark):
+    """Both EXACT Jaccard plans (inverted-index and AllPairs/PPJoin) vs a
+    brute-force Python reference on a seeded high-collision corpus — a
+    6-word vocabulary packs many pairs near every threshold, the regime
+    where the fp-boundary regression lived. The reference mirrors the
+    engine's arithmetic (double intersection/union ratio compared to the
+    double threshold) so only PRUNING differences can fail it."""
+    import random
+
+    from epic_pandas_spark.extensions.dedup import (
+        jaccard_pairs,
+        jaccard_pairs_prefix,
+    )
+
+    rng = random.Random(7)
+    vocab = ["a", "b", "c", "d", "e", "f"]
+    docs = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(3, 14))))
+        for i in range(40)
+    ]
+
+    def shingles(text, n=3):
+        words = text.split()
+        return {" ".join(words[i : i + n]) for i in range(len(words) - n + 1)}
+
+    sets = {i: shingles(t) for i, t in docs if shingles(t)}
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+
+    for t in (0.5, 0.6, 0.8):
+        expected = set()
+        for a in sets:
+            for b in sets:
+                if a < b:
+                    inter = len(sets[a] & sets[b])
+                    union = len(sets[a] | sets[b])
+                    if union and inter / union >= t:
+                        expected.add((a, b, round(inter / union, 9)))
+        naive = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_pairs(df, "text", "doc_id", threshold=t).collect()
+        }
+        pref = {
+            (r["id_a"], r["id_b"], round(r["jaccard"], 9))
+            for r in jaccard_pairs_prefix(df, "text", "doc_id", threshold=t).collect()
+        }
+        assert naive == expected, f"naive t={t}"
+        assert pref == expected, f"prefix t={t}"
