@@ -51,6 +51,7 @@ AUDIT_QUERIES = [
     "tpch_q2",            # derived-offer aggregate + broadcast min self-join
     "tpch_q12",           # fact-fact join + one-pass conditional agg
     "cms_heavy_hitters",  # CMS partials + exact verify on survivors only
+    "semantic_dedup",     # one vector shuffle into the per-cluster prune
 ]
 
 
@@ -86,6 +87,19 @@ def main() -> None:
             w1, r1 = total_shuffle_bytes(ui)
             out[q][label] = {"write_bytes": w1 - w0, "read_bytes": r1 - r0}
 
+    # growth factors that exceed the 10x row growth for a stated,
+    # data-shape reason rather than a plan defect
+    NOTES = {
+        "cms_heavy_hitters": (
+            "the synthetic corpus has near-UNIFORM key frequencies (avg "
+            "count ~30 vs min_count 40), so no frequency prefilter can "
+            "rule keys out and the exact-verify pass aggregates the full "
+            "key set; its partial-agg dedup factor falls as distinct-keys"
+            " x map-tasks grows (bounded by rows, never quadratic). On "
+            "the power-law corpora the operator targets, the verify side "
+            "aggregates only the surviving head."
+        ),
+    }
     report = {"tiers": dict(TIERS), "row_growth": 10, "queries": {}}
     for q, t in out.items():
         w01, w1 = t["sf0.1"]["write_bytes"], t["sf1"]["write_bytes"]
@@ -94,6 +108,8 @@ def main() -> None:
             "sf1_write_mb": round(w1 / 1e6, 3),
             "bytes_growth_10x_rows": round(w1 / w01, 2) if w01 else None,
         }
+        if q in NOTES:
+            report["queries"][q]["note"] = NOTES[q]
     print(json.dumps(report, indent=1))
 
 
