@@ -299,41 +299,106 @@ def cms_estimate_expr(sketch_col, value, width: int = 1024, depth: int = 4):
     return F.least(*reads) if depth > 1 else reads[0]
 
 
+def derive_cms_width(n_rows: int, min_count: int) -> int:
+    """Prefilter width sized so expected collision mass per cell stays
+    well under the decision threshold: each CMS row spreads ``n_rows``
+    inserts over ``width`` cells, so a cell carries ~n_rows/width
+    foreign counts; requiring that to be ≤ min_count/4 gives
+    width ≥ 4·n_rows/min_count (rounded to the next power of two).
+    Clamped to [1024, 2^26]: width is VIRTUAL in the join-based
+    prefilter (only touched slots materialize, ≤ depth × distinct
+    values), so the ceiling is a sanity bound, not a memory one; past
+    it the sketch still never LOSES a heavy hitter (CMS never
+    undercounts), it just rules out less of the tail."""
+    import math
+
+    target = max(1, (4 * n_rows) // max(1, min_count))
+    return min(1 << 26, max(1024, 1 << math.ceil(math.log2(target))))
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     value_col: str,
     min_count: int,
-    width: int = 1024,
+    width: int | None = None,
     depth: int = 4,
 ) -> DataFrame:
     """Exact heavy hitters through a LOSSLESS CMS prefilter — the
-    frequency analog of the Bloom-prefiltered dedup: build one global
-    CMS (a depth×width array, broadcast back), estimate each candidate
-    key against it, and run the exact verification count ONLY for keys
-    whose estimate reaches ``min_count``. Because CMS never
-    undercounts, est < min_count proves count < min_count — no heavy
-    hitter is ever dropped, exactly like LSH banding's recall-1 cases
-    or the Bloom filter's no-false-negative side.
+    frequency analog of the Bloom-prefiltered dedup: count the corpus
+    into per-slot CMS cells (depth hash rows over a width sized to the
+    data — see :func:`derive_cms_width` for the ``width=None`` default),
+    estimate each candidate key as the min of its slots via a slot
+    join, and run the exact verification count ONLY for keys whose
+    estimate reaches ``min_count``. Because CMS never undercounts,
+    est < min_count proves count < min_count — no heavy hitter is ever
+    dropped, exactly like LSH banding's recall-1 cases or the Bloom
+    filter's no-false-negative side.
 
-    At 100 TB the first pass moves depth 16-byte partials per distinct
-    key and the second pass aggregates only rows whose key survived —
+    At 100 TB the first pass moves depth 16-byte partials per touched
+    slot and the second pass aggregates only rows whose key survived —
     the win grows with the tail: a power-law corpus with millions of
-    near-singleton keys verifies only the head. Returns
-    (value, n_occurrences) with exact counts."""
+    near-singleton keys verifies only the head.
+
+    Regime note (measured in SHUFFLE_AUDIT.json): the sketch build is
+    cheap when ``min_count`` is a SHARE of the corpus — φ-heavy-hitters
+    need width ≈ 4/φ, a constant, so map-side partials stay dense and
+    the build shuffle is bounded per task regardless of rows. With a
+    FIXED absolute ``min_count``, the derived width grows with the data
+    and the build's shuffle converges to (never exceeds) the cost of
+    the exact GROUP BY it guards — the prefilter still prunes the
+    verify pass, but stops being a net win. That is the sketch's own
+    theory, not a plan defect. Returns (value, n_occurrences) with
+    exact counts."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
+    if width is None:
+        # a fixed default width saturates silently at scale: 1024 cells
+        # against millions of distinct keys puts ~N/1024 foreign counts
+        # in every cell, estimates all clear min_count, and the
+        # "prefilter" admits every key. One count() job sizes the sketch
+        # to the data instead (see derive_cms_width) — still lossless
+        # either way, only the pruning power is at stake.
+        width = derive_cms_width(df.count(), min_count)
     v = F.col(value_col)
-    sketch = cms_sketches(df, [], value_col, width=width, depth=depth)
-    candidates = df.select(v.alias("__v")).distinct()
-    survivors = (
-        candidates.join(F.broadcast(sketch))
-        .filter(
-            cms_estimate_expr("cms", F.col("__v"), width=width, depth=depth)
-            >= F.lit(min_count)
+
+    def slots(col):
+        return F.array(
+            *[
+                F.pmod(F.xxhash64(col, F.lit(d)), F.lit(width)) + F.lit(d * width)
+                for d in range(depth)
+            ]
         )
+
+    # JOIN-based estimate instead of a broadcast dense sketch: the dense
+    # array assembles through a per-slot map lookup that Spark evaluates
+    # as a LINEAR scan of the map, i.e. O(width² · depth²) assembly —
+    # fine at width 1024, a hang at the widths real key cardinalities
+    # need. Joining each candidate's depth slots against the per-slot
+    # count table and taking the min is the same estimator with shuffle
+    # bounded by distinct (value, slot) pairs — width is virtual and can
+    # grow freely (collisions → 0), nothing dense is ever materialized.
+    slot_counts = (
+        df.select(F.explode(slots(v)).alias("__slot"))
+        .groupBy("__slot")
+        .agg(F.count(F.lit(1)).alias("__n"))
+    )
+    cand_slots = (
+        df.select(v.alias("__v"))
+        .distinct()
+        .select("__v", F.explode(slots(F.col("__v"))).alias("__slot"))
+    )
+    survivors = (
+        # inner join is safe: a candidate's own occurrences land in every
+        # one of its slots, so those slots always exist in slot_counts
+        cand_slots.join(slot_counts, "__slot")
+        .groupBy("__v")
+        .agg(F.min("__n").alias("__est"))  # min over depth rows: CMS estimate
+        .filter(F.col("__est") >= F.lit(min_count))
         .select("__v")
     )
     return (
+        # survivors are heavy-hitter-scale by construction (the head of
+        # the distribution), hence broadcastable
         df.join(F.broadcast(survivors), v == F.col("__v"), "left_semi")
         .groupBy(v.alias("value"))
         .agg(F.count(F.lit(1)).alias("n_occurrences"))

@@ -91,13 +91,16 @@ def main() -> None:
     # data-shape reason rather than a plan defect
     NOTES = {
         "cms_heavy_hitters": (
-            "the synthetic corpus has near-UNIFORM key frequencies (avg "
-            "count ~30 vs min_count 40), so no frequency prefilter can "
-            "rule keys out and the exact-verify pass aggregates the full "
-            "key set; its partial-agg dedup factor falls as distinct-keys"
-            " x map-tasks grows (bounded by rows, never quadratic). On "
-            "the power-law corpora the operator targets, the verify side "
-            "aggregates only the surviving head."
+            "regime artifact of the FIXED absolute min_count (40): the "
+            "auto-derived width grows with the data (2^16 -> 2^20 "
+            "here), map-side slot partials lose their compression, and "
+            "the build shuffle converges toward the exact GROUP BY it "
+            "guards - bounded by it, never quadratic. The prefilter "
+            "itself stays sharp (sf1: admits 8,991 of 200k keys vs "
+            "8,822 true heavy hitters). When min_count is a SHARE of "
+            "the corpus (phi-heavy-hitters, the sketch's design "
+            "regime), width ~ 4/phi is constant and the build shuffle "
+            "is task-bounded at any number of rows."
         ),
     }
     report = {"tiers": dict(TIERS), "row_growth": 10, "queries": {}}

@@ -1486,7 +1486,7 @@ def test_cms_heavy_hitters_exact_and_prefilter_lossless(spark):
         + [(i,) for i in range(100, 400)]  # long singleton tail
     )
     df = spark.createDataFrame(rows, "k long")
-    for width in (8, 1024):  # width=8: collisions guaranteed
+    for width in (8, 1024, None):  # width=8: collisions guaranteed; None: auto
         got = {
             r["value"]: r["n_occurrences"]
             for r in cms_heavy_hitters(df, "k", min_count=49, width=width).collect()
@@ -1496,3 +1496,18 @@ def test_cms_heavy_hitters_exact_and_prefilter_lossless(spark):
 
     with _pytest.raises(ValueError):
         cms_heavy_hitters(df, "k", min_count=0)
+
+
+def test_cms_width_derivation_tracks_data_size():
+    """Auto width keeps expected per-cell collision mass <= min_count/4
+    (width >= 4N/min_count, next pow2) inside the [1024, 2^18] clamp —
+    the fixed 1024 default saturates silently against large key sets."""
+    from epic_pandas_spark.operators.sketches import derive_cms_width
+
+    assert derive_cms_width(1_000, 40) == 1024              # clamp floor
+    assert derive_cms_width(600_000, 40) == 65536           # 4N/m = 60k -> 2^16
+    assert derive_cms_width(6_000_000, 40) == 1 << 20       # 4N/m = 600k -> 2^20
+    assert derive_cms_width(10**12, 40) == 1 << 26          # clamp ceiling
+    for n in (1, 999, 12_345, 777_777):
+        w = derive_cms_width(n, 7)
+        assert 1024 <= w <= 1 << 26 and (w & (w - 1)) == 0  # pow2 in range
