@@ -31,16 +31,29 @@ def _derive_bucket_seconds(*interval_sides: tuple[DataFrame, str, str]) -> int:
     toward huge fan-out on multi-week intervals. Taking the max across
     sides bounds the LONGER side's replication; the shorter side's rows
     then span at most ~2 buckets each, which costs fan-out, not
-    correctness."""
+    correctness.
+
+    Outlier guard: the width is also lower-bounded by max_length/1024
+    (same one agg job), so a single pathological interval — one
+    multi-year span in a corpus of minutes — explodes into at most
+    ~1025 bucket copies instead of millions. Lossless: coarser buckets
+    only admit more candidates into the exact residual. The bound binds
+    only when max/median > 1024, i.e. exactly when the outlier exists."""
     best = 1
     for df, start, end in interval_sides:
         length_s = (
             F.unix_micros(F.col(end).cast("timestamp"))
             - F.unix_micros(F.col(start).cast("timestamp"))
         ) / F.lit(1_000_000.0)
-        med = df.agg(F.percentile_approx(length_s, 0.5).alias("m")).first()["m"]
-        if med is not None:
-            best = max(best, int(max(med, 1.0)))
+        row = df.agg(
+            F.percentile_approx(length_s, 0.5).alias("m"),
+            F.max(length_s).alias("mx"),
+        ).first()
+        if row["m"] is not None:
+            import math
+
+            floor_outlier = math.ceil((row["mx"] or 0.0) / 1024.0)
+            best = max(best, int(max(row["m"], floor_outlier, 1.0)))
     return best
 
 

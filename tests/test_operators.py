@@ -1511,3 +1511,39 @@ def test_cms_width_derivation_tracks_data_size():
     for n in (1, 999, 12_345, 777_777):
         w = derive_cms_width(n, 7)
         assert 1024 <= w <= 1 << 26 and (w & (w - 1)) == 0  # pow2 in range
+
+
+def test_bucket_derivation_outlier_fanout_guard(spark):
+    """One pathological multi-year interval in a corpus of minute-scale
+    ones must NOT explode into millions of bucket copies: the derived
+    width is lower-bounded by max_length/1024, so the outlier replicates
+    ~1025x at most — and the join stays exact (coarser buckets only admit
+    more candidates into the exact residual)."""
+    import datetime as dt
+
+    from epic_pandas_spark.operators.temporal import (
+        _derive_bucket_seconds,
+        range_join,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + dt.timedelta(seconds=i * 30), t0 + dt.timedelta(seconds=i * 30 + 60))
+        for i in range(40)
+    ]
+    outlier_len = 10 * 365 * 86_400  # ten years
+    rows.append((999, t0, t0 + dt.timedelta(seconds=outlier_len)))
+    right = spark.createDataFrame(rows, "rid long, start timestamp, end timestamp")
+
+    derived = _derive_bucket_seconds((right, "start", "end"))
+    assert derived >= outlier_len / 1024  # fan-out bound binds
+    assert outlier_len / derived <= 1025  # the outlier's replication
+
+    pts = [(j, t0 + dt.timedelta(seconds=j * 45)) for j in range(30)]
+    left = spark.createDataFrame(pts, "pid long, ts timestamp")
+    got = {
+        (r["pid"], r["rid"])
+        for r in range_join(left, right, "ts", "start", "end").collect()
+    }
+    want = {(p, r) for p, ts in pts for r, s, e in rows if s <= ts <= e}
+    assert got == want
