@@ -16,6 +16,23 @@ from pyspark.sql import DataFrame, functions as F
 from epic_pandas_spark.keyed import as_keys
 
 
+def _null_safe_cond(left_alias: str, right_alias: str, keys: Sequence[str]):
+    """AND of per-key <=> comparisons. pandas index set math matches
+    NaN/None to itself (hash-based — Index.isin([nan]) is True for nan,
+    symmetric_difference cancels nan on both sides), so every keyed set
+    op here must join null-safely or silently diverge on null keys.
+    EqualNullSafe stays a hash-joinable key: plan shapes are unchanged."""
+    from functools import reduce
+
+    return reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"{left_alias}.{k}").eqNullSafe(F.col(f"{right_alias}.{k}"))
+            for k in keys
+        ],
+    )
+
+
 def union_all(*dfs: DataFrame, allow_missing_columns: bool = True) -> DataFrame:
     """Row-wise concat of any number of frames, by column name, null-filling
     columns absent on one side (schema union, create.py:144-160)."""
@@ -34,24 +51,34 @@ def symmetric_difference(
     df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | None = None
 ) -> DataFrame:
     """(A∖B) ∪ (B∖A) on key sets — one full-outer join on distinct keys
-    instead of two except-alls (half the shuffles)."""
+    instead of two except-alls (half the shuffles). Null-safe: a null key
+    present on both sides cancels, as in pandas Index.symmetric_difference
+    (presence is tracked by the __l/__r markers, never by key nullness)."""
     keys = as_keys(key)
-    a = df1.select(*keys).distinct().withColumn("__l", F.lit(1))
-    b = df2.select(*keys).distinct().withColumn("__r", F.lit(1))
+    a = df1.select(*keys).distinct().withColumn("__l", F.lit(1)).alias("__sd_a")
+    b = df2.select(*keys).distinct().withColumn("__r", F.lit(1)).alias("__sd_b")
     return (
-        a.join(b, on=keys, how="full_outer")
+        a.join(b, on=_null_safe_cond("__sd_a", "__sd_b", keys), how="full_outer")
         .filter(F.col("__l").isNull() | F.col("__r").isNull())
-        .select(*keys)
+        .select(
+            *[
+                F.coalesce(F.col(f"__sd_a.{k}"), F.col(f"__sd_b.{k}")).alias(k)
+                for k in keys
+            ]
+        )
     )
 
 
 def semi_join(df: DataFrame, keys_df: DataFrame, key: str | Sequence[str] | None = None) -> DataFrame:
     """`index.isin` membership filter (utils.py:489) as a LEFT SEMI join —
-    Catalyst broadcasts the key side when small."""
+    Catalyst broadcasts the key side when small. Null-safe: pandas isin
+    matches NaN, so a null key in ``keys_df`` admits null-key rows."""
     keys = as_keys(key)
-    return df.join(keys_df.select(*keys), on=keys, how="left_semi")
+    o, n = df.alias("__sj_o"), keys_df.select(*keys).alias("__sj_n")
+    return o.join(n, on=_null_safe_cond("__sj_o", "__sj_n", keys), how="left_semi")
 
 
 def anti_join(df: DataFrame, keys_df: DataFrame, key: str | Sequence[str] | None = None) -> DataFrame:
     keys = as_keys(key)
-    return df.join(keys_df.select(*keys), on=keys, how="left_anti")
+    o, n = df.alias("__aj_o"), keys_df.select(*keys).alias("__aj_n")
+    return o.join(n, on=_null_safe_cond("__aj_o", "__aj_n", keys), how="left_anti")

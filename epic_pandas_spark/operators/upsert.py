@@ -31,7 +31,23 @@ def upsert(
     the delta is comparable in size to the base so Catalyst picks a
     shuffle join (AQE will still re-plan if the hint is wrong).
     """
+    from functools import reduce
+
     keys = as_keys(key)
     anti_side = F.broadcast(new.select(*keys)) if broadcast_new else new.select(*keys)
-    kept = orig.join(anti_side, on=keys, how="left_anti")
+    # NULL-SAFE anti-join (<=>): pandas Index.isin matches NaN to NaN
+    # (hash-based), so the reference DROPS orig's null-key rows whenever
+    # new carries a null key (utils.py:489). A plain on=keys anti-join
+    # would keep them (null never equi-joins) — a silent parity break on
+    # null keys. EqualNullSafe remains a hash-joinable key, so the
+    # broadcast anti-join plan is unchanged.
+    o, n = orig.alias("__ups_o"), anti_side.alias("__ups_n")
+    cond = reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"__ups_o.{k}").eqNullSafe(F.col(f"__ups_n.{k}"))
+            for k in keys
+        ],
+    )
+    kept = o.join(n, on=cond, how="left_anti")
     return kept.unionByName(new, allowMissingColumns=False)

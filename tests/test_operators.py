@@ -1547,3 +1547,53 @@ def test_bucket_derivation_outlier_fanout_guard(spark):
     }
     want = {(p, r) for p, ts in pts for r, s, e in rows if s <= ts <= e}
     assert got == want
+
+
+def test_upsert_null_key_matches_pandas_isin(spark):
+    """pandas Index.isin matches NaN to NaN (hash-based), so the reference
+    upsert DROPS orig's null-key rows whenever new carries a null key —
+    the null-safe anti-join must reproduce that, while a null key on only
+    ONE side behaves like any unmatched key."""
+    from epic_pandas_spark.operators.upsert import upsert
+
+    orig = spark.createDataFrame(
+        [(1, "a"), (None, "old-null"), (3, "c")], "k long, v string"
+    )
+    new_with_null = spark.createDataFrame(
+        [(1, "A"), (None, "new-null")], "k long, v string"
+    )
+    got = {(r["k"], r["v"]) for r in upsert(orig, new_with_null, key="k").collect()}
+    assert got == {(1, "A"), (None, "new-null"), (3, "c")}  # old-null replaced
+
+    new_no_null = spark.createDataFrame([(1, "A")], "k long, v string")
+    kept = {(r["k"], r["v"]) for r in upsert(orig, new_no_null, key="k").collect()}
+    assert kept == {(1, "A"), (None, "old-null"), (3, "c")}  # null kept
+
+
+def test_setops_null_key_pandas_parity(spark):
+    """pandas index set math matches NaN/None to itself: isin admits null
+    against a null member, symmetric_difference cancels a null present on
+    both sides, intersection keeps it. The keyed set ops must reproduce
+    that (null-safe joins; Spark INTERSECT is null-safe natively)."""
+    from epic_pandas_spark.operators.setops import (
+        anti_join,
+        intersect_keys,
+        semi_join,
+        symmetric_difference,
+    )
+
+    a = spark.createDataFrame([(1,), (None,), (3,)], "k long")
+    b = spark.createDataFrame([(None,), (1,)], "k long")
+
+    sd = {r["k"] for r in symmetric_difference(a, b, key="k").collect()}
+    assert sd == {3}  # null on both sides cancels
+
+    ik = {r["k"] for r in intersect_keys(a, b, key="k").collect()}
+    assert ik == {1, None}
+
+    rows = spark.createDataFrame([(1, "x"), (None, "y"), (3, "z")], "k long, v string")
+    semi = {r["v"] for r in semi_join(rows, b, key="k").collect()}
+    assert semi == {"x", "y"}  # null admitted by null member
+
+    anti = {r["v"] for r in anti_join(rows, b, key="k").collect()}
+    assert anti == {"z"}
