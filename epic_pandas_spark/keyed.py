@@ -28,6 +28,23 @@ def as_keys(key: str | Sequence[str] | None) -> list[str]:
     return list(key)
 
 
+def null_safe_key_cond(left_alias: str, right_alias: str, keys: Sequence[str]):
+    """AND of per-key <=> comparisons. pandas index machinery matches
+    NaN/None to itself (hash-based: Index.isin, get_indexer, reindex all
+    resolve a NaN label to the NaN row), so keyed joins that mirror index
+    alignment must join null-safely or silently diverge on null keys.
+    EqualNullSafe remains a hash-joinable key: plan shapes are unchanged."""
+    from functools import reduce
+
+    return reduce(
+        lambda a, b: a & b,
+        [
+            F.col(f"{left_alias}.{k}").eqNullSafe(F.col(f"{right_alias}.{k}"))
+            for k in keys
+        ],
+    )
+
+
 def with_row_key(df: DataFrame, name: str = DEFAULT_KEY) -> DataFrame:
     """Attach a unique (not contiguous) row id, like a fresh RangeIndex.
 
@@ -86,9 +103,16 @@ def reindex(
     key: str | Sequence[str] | None = None,
 ) -> DataFrame:
     """Left-join ``df`` onto a target key set: rows for missing keys appear
-    null-filled, rows absent from the target drop (utils.py:245,435,806)."""
+    null-filled, rows absent from the target drop (utils.py:245,435,806).
+    Null-safe: a null target label resolves to the null-key row, matching
+    pandas reindex's hash-based NaN matching."""
     keys = as_keys(key)
-    return target_keys.select(*keys).join(df, on=keys, how="left")
+    t = target_keys.select(*keys).alias("__ri_t")
+    d = df.alias("__ri_d")
+    return t.join(d, on=null_safe_key_cond("__ri_t", "__ri_d", keys), how="left").select(
+        *[F.col(f"__ri_t.{k}").alias(k) for k in keys],
+        *[F.col(f"__ri_d.{c}") for c in df.columns if c not in keys],
+    )
 
 
 def lookup(
@@ -105,10 +129,16 @@ def lookup(
     keys = as_keys(key)
     wanted = items.select(*keys)
     if check_missing:
-        n_missing = wanted.join(df.select(*keys), on=keys, how="left_anti").limit(1).count()
+        w, s = wanted.alias("__lk_w"), df.select(*keys).alias("__lk_s")
+        n_missing = (
+            w.join(s, on=null_safe_key_cond("__lk_w", "__lk_s", keys), how="left_anti")
+            .limit(1)
+            .count()
+        )
         if n_missing:
             raise KeyError(f"lookup keys missing from frame (checked {keys})")
-    return df.join(wanted, on=keys, how="left_semi")
+    o, n = df.alias("__lk_o"), wanted.alias("__lk_n")
+    return o.join(n, on=null_safe_key_cond("__lk_o", "__lk_n", keys), how="left_semi")
 
 
 def order_by_key_list(df: DataFrame, ordered_keys: list, key: str | Sequence[str] | None = None) -> DataFrame:

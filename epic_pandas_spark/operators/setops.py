@@ -13,24 +13,7 @@ from collections.abc import Sequence
 
 from pyspark.sql import DataFrame, functions as F
 
-from epic_pandas_spark.keyed import as_keys
-
-
-def _null_safe_cond(left_alias: str, right_alias: str, keys: Sequence[str]):
-    """AND of per-key <=> comparisons. pandas index set math matches
-    NaN/None to itself (hash-based — Index.isin([nan]) is True for nan,
-    symmetric_difference cancels nan on both sides), so every keyed set
-    op here must join null-safely or silently diverge on null keys.
-    EqualNullSafe stays a hash-joinable key: plan shapes are unchanged."""
-    from functools import reduce
-
-    return reduce(
-        lambda a, b: a & b,
-        [
-            F.col(f"{left_alias}.{k}").eqNullSafe(F.col(f"{right_alias}.{k}"))
-            for k in keys
-        ],
-    )
+from epic_pandas_spark.keyed import as_keys, null_safe_key_cond as _null_safe_cond
 
 
 def union_all(*dfs: DataFrame, allow_missing_columns: bool = True) -> DataFrame:

@@ -1597,3 +1597,28 @@ def test_setops_null_key_pandas_parity(spark):
 
     anti = {r["v"] for r in anti_join(rows, b, key="k").collect()}
     assert anti == {"z"}
+
+
+def test_reindex_and_lookup_null_label_pandas_parity(spark):
+    """pandas reindex/get_indexer resolve a NaN label to the NaN row
+    (hash-based index matching) — the keyed twins must too: a null target
+    label reindexes to the null-key row's values, and lookup neither
+    raises nor drops for a null key present on both sides."""
+    from epic_pandas_spark.keyed import lookup, reindex
+
+    df = spark.createDataFrame(
+        [(None, "null-row"), (5, "five")], "k long, v string"
+    )
+    target = spark.createDataFrame([(None,), (5,), (7,)], "k long")
+    got = {(r["k"], r["v"]) for r in reindex(df, target, key="k").collect()}
+    assert got == {(None, "null-row"), (5, "five"), (7, None)}
+
+    items = spark.createDataFrame([(None,), (5,)], "k long")
+    looked = {(r["k"], r["v"]) for r in lookup(df, items, key="k").collect()}
+    assert looked == {(None, "null-row"), (5, "five")}  # no KeyError
+
+    import pytest as _pytest
+
+    missing = spark.createDataFrame([(9,)], "k long")
+    with _pytest.raises(KeyError):
+        lookup(df, missing, key="k")
