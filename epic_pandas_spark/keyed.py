@@ -293,3 +293,45 @@ def assemble_frame(
     if out is None:
         raise ValueError("no series given")
     return out
+
+
+def canonize_frame_and_cols(arg, *items, key: str | Sequence[str] | None = None):
+    """The reference's `canonize_df_and_cols` (utils.py:727-757): canonize
+    arguments for functions that accept EITHER a frame plus some of its
+    column names OR a collection of keyed series.
+
+    Form (1) — ``canonize_frame_and_cols(df, "a", "b")``: every name must
+    exist in ``df``; returns ``(df, "a", "b")`` unchanged.
+    Form (2) — ``canonize_frame_and_cols(s1, s2, ...)`` where each input
+    is a keyed series frame (key column(s) + exactly one value column):
+    every pair must be `alignable` (the reference's inconsistent-index
+    check), the series are assembled into one frame by aligned joins
+    (:func:`assemble_frame`), and the value-column names are returned.
+
+    The reference disambiguates on ``isinstance(arg, DataFrame)``; here
+    both forms carry DataFrames, so the trailing items decide: all
+    strings → form (1), all frames → form (2), a mix raises."""
+    from itertools import combinations
+
+    if not items or all(isinstance(i, str) for i in items):
+        missing = [c for c in items if c not in arg.columns]
+        if missing:
+            raise ValueError(f"Some column names are not found in DataFrame: {missing}")
+        return (arg, *items)
+    if not all(isinstance(i, DataFrame) for i in items):
+        raise TypeError("pass either all column names or all series frames")
+    keys = as_keys(key)
+    frames = [arg, *items]
+    names = []
+    for f in frames:
+        value_cols = [c for c in f.columns if c not in keys]
+        if len(value_cols) != 1:
+            raise ValueError("each series frame must have exactly one value column")
+        names.append(value_cols[0])
+    if len(set(names)) != len(names):
+        names = [f"{n}_{i}" for i, n in enumerate(names)]  # pd.concat-style dedup
+    for a, b in combinations(frames, 2):
+        if not alignable(a, b, key=keys):
+            raise ValueError("Inputs have inconsistent indices.")
+    assembled = assemble_frame(dict(zip(names, frames)), key=keys)
+    return (assembled, *names)

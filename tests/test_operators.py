@@ -1622,3 +1622,32 @@ def test_reindex_and_lookup_null_label_pandas_parity(spark):
     missing = spark.createDataFrame([(9,)], "k long")
     with _pytest.raises(KeyError):
         lookup(df, missing, key="k")
+
+
+def test_canonize_frame_and_cols_both_forms(spark):
+    """Reference canonize_df_and_cols parity (utils.py:727-757): form (1)
+    validates column names and passes through; form (2) demands pairwise
+    alignable series, assembles them by aligned join, and returns the
+    value-column names; a mixed call raises."""
+    import pytest as _pytest
+
+    from epic_pandas_spark.keyed import canonize_frame_and_cols
+
+    df = spark.createDataFrame([(1, 2.0, "x")], "k long, a double, b string")
+    out = canonize_frame_and_cols(df, "a", "b")
+    assert out[0] is df and out[1:] == ("a", "b")
+    with _pytest.raises(ValueError, match="not found"):
+        canonize_frame_and_cols(df, "a", "nope")
+
+    s1 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, x double")
+    s2 = spark.createDataFrame([(2, 0.2), (1, 0.1)], "k long, y double")
+    frame, *names = canonize_frame_and_cols(s1, s2, key="k")
+    assert names == ["x", "y"]
+    rows = {(r["k"], r["x"], r["y"]) for r in frame.collect()}
+    assert rows == {(1, 10.0, 0.1), (2, 20.0, 0.2)}
+
+    s3 = spark.createDataFrame([(9, 1.0)], "k long, z double")
+    with _pytest.raises(ValueError, match="inconsistent"):
+        canonize_frame_and_cols(s1, s3, key="k")
+    with _pytest.raises(TypeError):
+        canonize_frame_and_cols(s1, s2, "x", key="k")  # frames + name mixed
