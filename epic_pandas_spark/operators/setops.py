@@ -33,22 +33,25 @@ def intersect_keys(df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | No
 def symmetric_difference(
     df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | None = None
 ) -> DataFrame:
-    """(A∖B) ∪ (B∖A) on key sets — one full-outer join on distinct keys
-    instead of two except-alls (half the shuffles). Null-safe: a null key
-    present on both sides cancels, as in pandas Index.symmetric_difference
-    (presence is tracked by the __l/__r markers, never by key nullness)."""
+    """(A∖B) ∪ (B∖A) on key sets — UNION ALL with side markers into ONE
+    grouped aggregate: each key groups its occurrences from both sides,
+    and a key seen on both is dropped. One shuffle total (the full-outer
+    formulation costs two distinct shuffles plus the join's, and its
+    null-safe variant re-exchanges both sides). Null-safe for free:
+    GROUP BY treats nulls as equal (SQL semantics), matching pandas
+    Index.symmetric_difference's NaN cancellation."""
     keys = as_keys(key)
-    a = df1.select(*keys).distinct().withColumn("__l", F.lit(1)).alias("__sd_a")
-    b = df2.select(*keys).distinct().withColumn("__r", F.lit(1)).alias("__sd_b")
+    a = df1.select(*keys).withColumn("__side", F.lit(1))
+    b = df2.select(*keys).withColumn("__side", F.lit(2))
     return (
-        a.join(b, on=_null_safe_cond("__sd_a", "__sd_b", keys), how="full_outer")
-        .filter(F.col("__l").isNull() | F.col("__r").isNull())
-        .select(
-            *[
-                F.coalesce(F.col(f"__sd_a.{k}"), F.col(f"__sd_b.{k}")).alias(k)
-                for k in keys
-            ]
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            F.max(F.col("__side") == 1).alias("__in_a"),
+            F.max(F.col("__side") == 2).alias("__in_b"),
         )
+        .filter(~(F.col("__in_a") & F.col("__in_b")))
+        .select(*keys)
     )
 
 
