@@ -26,8 +26,23 @@ def union_all(*dfs: DataFrame, allow_missing_columns: bool = True) -> DataFrame:
 
 
 def intersect_keys(df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | None = None) -> DataFrame:
+    """Key-set intersection as ONE grouped aggregate (same single-shuffle
+    shape as symmetric_difference; Spark's INTERSECT plans a distinct plus
+    a join). GROUP BY's null-equality keeps pandas' NaN-matching
+    intersection semantics."""
     keys = as_keys(key)
-    return df1.select(*keys).intersect(df2.select(*keys))
+    a = df1.select(*keys).withColumn("__side", F.lit(1))
+    b = df2.select(*keys).withColumn("__side", F.lit(2))
+    return (
+        a.unionByName(b)
+        .groupBy(*keys)
+        .agg(
+            F.max(F.col("__side") == 1).alias("__in_a"),
+            F.max(F.col("__side") == 2).alias("__in_b"),
+        )
+        .filter(F.col("__in_a") & F.col("__in_b"))
+        .select(*keys)
+    )
 
 
 def symmetric_difference(
