@@ -56,45 +56,70 @@ def with_row_key(df: DataFrame, name: str = DEFAULT_KEY) -> DataFrame:
 
 
 def zip_with_index(df: DataFrame, name: str = DEFAULT_KEY) -> DataFrame:
-    """Contiguous 0..n-1 row ids via RDD zipWithIndex (one extra job to
-    count partition sizes; no single-partition shuffle). Only for when the
-    reference's RangeIndex contiguity is semantically required."""
-    schema = df.schema
-    rdd = df.rdd.zipWithIndex().map(lambda pair: (*pair[0], pair[1]))
-    out_schema = schema.add(name, "long", False)
-    return df.sparkSession.createDataFrame(rdd, out_schema)
+    """Contiguous 0..n-1 row ids, fully Arrow-side (no RDD round-trip,
+    no single-partition shuffle): one small job counts rows per partition
+    (each task ships back one long), the cumulative offsets broadcast,
+    and a ``mapInArrow`` pass stamps ``offset + local_position`` onto
+    each batch. Same two-job shape — and the same stable-recomputation
+    assumption — as RDD ``zipWithIndex``, but rows never leave the
+    JVM/Arrow representation. Only for when the reference's RangeIndex
+    contiguity is semantically required; prefer ``with_row_key``."""
+    import pyarrow as pa
+    from pyspark import TaskContext
+
+    counts = (
+        df.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.count(F.lit(1)).alias("__n"))
+        .collect()  # bounded: one row per partition, never data rows
+    )
+    offsets: dict[int, int] = {}
+    acc = 0
+    for r in sorted(counts, key=lambda row: row["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["__n"]
+    off_b = df.sparkSession.sparkContext.broadcast(offsets)
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    # fresh StructType: StructType.add MUTATES, and df.schema is cached —
+    # appending in place would pollute the input frame's schema
+    out_schema = StructType([*df.schema.fields, StructField(name, LongType(), False)])
+    out_names = [f.name for f in out_schema.fields]
+
+    def stamp(batches):
+        pos = off_b.value.get(TaskContext.get().partitionId(), 0)
+        for batch in batches:
+            idx = pa.array(range(pos, pos + batch.num_rows), type=pa.int64())
+            pos += batch.num_rows
+            yield pa.RecordBatch.from_arrays([*batch.columns, idx], names=out_names)
+
+    return df.mapInArrow(stamp, out_schema)
 
 
 def is_key_unique(df: DataFrame, key: str | Sequence[str] | None = None) -> bool:
     """True iff the key columns identify rows 1:1 (cf. Index.is_unique,
-    used by alignable at utils.py:492-513)."""
+    used by alignable at utils.py:492-513). GROUP BY treats null as a
+    regular value, exactly matching pandas' hash-based index semantics:
+    a single NaN label is a valid unique label
+    (``pd.Index([1, nan]).is_unique`` is True), two NaN labels collide
+    (``pd.Index([nan, nan]).is_unique`` is False)."""
     keys = as_keys(key)
-    row = df.agg(
-        F.count(F.lit(1)).alias("n"),
-        F.count_distinct(*[F.col(k) for k in keys]).alias("nd"),
-        *[F.sum(F.col(k).isNull().cast("long")).alias(f"null_{i}") for i, k in enumerate(keys)],
-    ).first()
-    n_null = sum(row[f"null_{i}"] or 0 for i in range(len(keys)))
-    return row["n"] == row["nd"] and n_null == 0
+    row = (
+        df.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .agg(F.coalesce(F.max("__c"), F.lit(1)).alias("mx"))
+        .first()
+    )
+    return row["mx"] == 1
 
 
 def alignable(df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | None = None) -> bool:
     """True iff both frames are key-unique and have identical key sets —
-    the exact-1:1-joinability test of the reference (utils.py:492-513),
-    re-expressed as two uniqueness aggs + a full-outer null count."""
-    keys = as_keys(key)
-    if not (is_key_unique(df1, keys) and is_key_unique(df2, keys)):
-        return False
-    k1 = df1.select(*keys)
-    k2 = df2.select(*keys)
-    mismatches = (
-        k1.withColumn("__l", F.lit(1))
-        .join(k2.withColumn("__r", F.lit(1)), on=keys, how="full_outer")
-        .filter(F.col("__l").isNull() | F.col("__r").isNull())
-        .limit(1)
-        .count()
-    )
-    return mismatches == 0
+    the exact-1:1-joinability test of the reference (utils.py:492-513).
+    Null-safe like the rest of the keyed layer: pandas Index machinery
+    matches a NaN label to itself, so two frames sharing one null key DO
+    align. One Spark job: the fused single-plan formulation of
+    :func:`alignable_frame`, collected to a bool."""
+    return bool(alignable_frame(df1, df2, key).first()["alignable"])
 
 
 def reindex(
@@ -172,15 +197,17 @@ def alignable_frame(df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | N
     Fused formulation: each side aggregates ONCE to per-key
     multiplicities, then one full-outer join checks everything —
     uniqueness is "every key count is exactly 1 on both sides" and
-    key-set equality is "no join side is null". Null keys never
-    equi-join, so they surface as mismatches, matching the reference's
-    nulls-disqualify rule (utils.py:492-513). 2 scans + 1 join + 1 final
-    aggregate, versus the naive 4 scans + 2 distinct aggregates; empty
-    vs empty stays alignable via the coalesce defaults."""
+    key-set equality is "no join side is null". The join is null-safe
+    (eqNullSafe — still a hash-joinable key), so a null key aligns with
+    a null key, matching pandas' NaN-label matching the way the
+    reference's alignable (utils.py:492-513, via Index.equals /
+    is_unique) does. 2 scans + 1 join + 1 final aggregate, versus the
+    naive 4 scans + 2 distinct aggregates; empty vs empty stays
+    alignable via the coalesce defaults."""
     keys = as_keys(key)
-    c1 = df1.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c1"))
-    c2 = df2.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c2"))
-    joined = c1.join(c2, on=keys, how="full_outer")
+    c1 = df1.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c1")).alias("__al_l")
+    c2 = df2.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c2")).alias("__al_r")
+    joined = c1.join(c2, on=null_safe_key_cond("__al_l", "__al_r", keys), how="full_outer")
     return joined.agg(
         (
             (F.coalesce(F.max("__c1"), F.lit(1)) == 1)
@@ -280,8 +307,9 @@ def assemble_frame(
     """Build one frame from multiple keyed (key, value) series by index
     alignment — `canonize_df_and_cols` (utils.py:726-757). Each input is a
     2-column frame (key, value); values land under their dict name. The
-    alignment is a chain of equi-joins on the key (outer by default, like
-    pd.concat(axis=1))."""
+    alignment is a chain of null-safe equi-joins on the key (outer by
+    default, like pd.concat(axis=1)); null-safe so a NaN-labeled row
+    aligns with its NaN twin, matching pandas index alignment."""
     keys = as_keys(key)
     out = None
     for name, df in series.items():
@@ -289,7 +317,20 @@ def assemble_frame(
         if len(value_col) != 1:
             raise ValueError(f"series {name!r} must have exactly one value column")
         renamed = df.select(*keys, F.col(value_col[0]).alias(name))
-        out = renamed if out is None else out.join(renamed, on=keys, how=how)
+        if out is None:
+            out = renamed
+            continue
+        l, r = out.alias("__af_l"), renamed.alias("__af_r")
+        out = l.join(r, on=null_safe_key_cond("__af_l", "__af_r", keys), how=how).select(
+            # under the null-safe condition a non-match zeroes the whole
+            # other side, so coalesce recovers the key for outer joins
+            *[
+                F.coalesce(F.col(f"__af_l.{k}"), F.col(f"__af_r.{k}")).alias(k)
+                for k in keys
+            ],
+            *[F.col(f"__af_l.{c}") for c in out.columns if c not in keys],
+            F.col(f"__af_r.{name}"),
+        )
     if out is None:
         raise ValueError("no series given")
     return out
@@ -310,8 +351,17 @@ def canonize_frame_and_cols(arg, *items, key: str | Sequence[str] | None = None)
 
     The reference disambiguates on ``isinstance(arg, DataFrame)``; here
     both forms carry DataFrames, so the trailing items decide: all
-    strings → form (1), all frames → form (2), a mix raises."""
-    from itertools import combinations
+    strings → form (1), all frames → form (2), a mix raises.
+
+    The reference validates pairwise (utils.py:747-751) because pandas
+    index checks are free; here each check would be a cluster job, so
+    the O(k²) pairwise sweep is fused into ONE job: union all k key
+    sets tagged with a frame id, then one grouped aggregate — mutual
+    pairwise alignability is exactly "every key appears in all k frames
+    exactly once" (``n_rows == n_frames == k`` per key). GROUP BY
+    treats null as a value, so null keys align null-safely like the
+    rest of the layer."""
+    from collections import Counter
 
     if not items or all(isinstance(i, str) for i in items):
         missing = [c for c in items if c not in arg.columns]
@@ -328,10 +378,24 @@ def canonize_frame_and_cols(arg, *items, key: str | Sequence[str] | None = None)
         if len(value_cols) != 1:
             raise ValueError("each series frame must have exactly one value column")
         names.append(value_cols[0])
-    if len(set(names)) != len(names):
-        names = [f"{n}_{i}" for i, n in enumerate(names)]  # pd.concat-style dedup
-    for a, b in combinations(frames, 2):
-        if not alignable(a, b, key=keys):
-            raise ValueError("Inputs have inconsistent indices.")
+    # Suffix ONLY colliding names (x,x,y -> x_0,x_1,y). A Spark
+    # necessity — assemble_frame's dict keys cannot hold duplicates —
+    # not pd.concat behavior (pd.concat keeps duplicate names verbatim).
+    dupes = {n for n, c in Counter(names).items() if c > 1}
+    if dupes:
+        names = [f"{n}_{i}" if n in dupes else n for i, n in enumerate(names)]
+    k = len(frames)
+    tagged = frames[0].select(*keys).withColumn("__fid", F.lit(0))
+    for i, f in enumerate(frames[1:], start=1):
+        tagged = tagged.unionByName(f.select(*keys).withColumn("__fid", F.lit(i)))
+    bad = (
+        tagged.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("__n"), F.count_distinct("__fid").alias("__nf"))
+        .filter((F.col("__n") != k) | (F.col("__nf") != k))
+        .limit(1)
+        .count()
+    )
+    if bad:
+        raise ValueError("Inputs have inconsistent indices.")
     assembled = assemble_frame(dict(zip(names, frames)), key=keys)
     return (assembled, *names)

@@ -201,6 +201,23 @@ def test_no_row_udf_anywhere_in_module_surface():
     assert not offenders, "row-at-a-time UDF call sites found:\n" + "\n".join(offenders)
 
 
+def test_no_rdd_fallback_anywhere_in_module_surface():
+    """Static contract: no `.rdd` data paths in the package — every row
+    that touches Python does so through an Arrow surface. The single
+    allowed form is the metadata-only `.rdd.getNumPartitions()` probe
+    (ensure_parallelism), which materializes no rows."""
+    import pathlib
+
+    root = pathlib.Path(__file__).resolve().parents[1] / "epic_pandas_spark"
+    offenders = []
+    for py in root.rglob("*.py"):
+        for i, line in enumerate(py.read_text().splitlines(), 1):
+            stripped = line.split("#", 1)[0]
+            if ".rdd" in stripped and ".rdd.getNumPartitions()" not in stripped:
+                offenders.append(f"{py}:{i}: {line.strip()}")
+    assert not offenders, "RDD fallback call sites found:\n" + "\n".join(offenders)
+
+
 def test_dedup_incremental_no_cartesian_and_anti_join(spark):
     fn, _ = REGISTRY["dedup_exact_incremental"]
     plan = physical_plan(fn(spark, SF_DIR))
