@@ -562,7 +562,10 @@ def semantic_dedup(
         F.col(id_col), v.alias("__v"), (-F.array_max(cand)["nc"]).cast("int").alias("cluster")
     )
 
-    out_schema = f"{id_col} long, cluster int"
+    # derive the id field's type from the input — the function is
+    # otherwise id-type agnostic (string/int ids prune identically)
+    id_ddl = df.schema[id_col].dataType.simpleString()
+    out_schema = f"`{id_col}` {id_ddl}, cluster int"
 
     def prune_block(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(id_col, kind="mergesort").reset_index(drop=True)

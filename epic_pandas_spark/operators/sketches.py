@@ -322,6 +322,7 @@ def cms_heavy_hitters(
     min_count: int,
     width: int | None = None,
     depth: int = 4,
+    n_rows: int | None = None,
 ) -> DataFrame:
     """Exact heavy hitters through a LOSSLESS CMS prefilter — the
     frequency analog of the Bloom-prefiltered dedup: count the corpus
@@ -348,17 +349,22 @@ def cms_heavy_hitters(
     the exact GROUP BY it guards — the prefilter still prunes the
     verify pass, but stops being a net win. That is the sketch's own
     theory, not a plan defect. Returns (value, n_occurrences) with
-    exact counts."""
+    exact counts.
+
+    Pipelines that already know the corpus size should pass ``n_rows``
+    (or an explicit ``width``) to skip the sizing ``count()`` job; the
+    explicit two-step is ``width=derive_cms_width(n, min_count)``."""
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     if width is None:
         # a fixed default width saturates silently at scale: 1024 cells
         # against millions of distinct keys puts ~N/1024 foreign counts
         # in every cell, estimates all clear min_count, and the
-        # "prefilter" admits every key. One count() job sizes the sketch
-        # to the data instead (see derive_cms_width) — still lossless
-        # either way, only the pruning power is at stake.
-        width = derive_cms_width(df.count(), min_count)
+        # "prefilter" admits every key. Size the sketch to the data
+        # instead (see derive_cms_width) — from the caller-supplied row
+        # count when known, else one count() job. Still lossless either
+        # way, only the pruning power is at stake.
+        width = derive_cms_width(n_rows if n_rows is not None else df.count(), min_count)
     v = F.col(value_col)
 
     def slots(col):

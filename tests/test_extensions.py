@@ -956,3 +956,30 @@ def test_semantic_dedup_codebook_chunking_and_edge_cases(spark):
         semantic_dedup(emb.filter(F.col("vec_id") < 0), k=4)
     with pytest.raises(ValueError, match="k must"):
         semantic_dedup(emb, k=0)
+
+
+def test_semantic_dedup_id_type_agnostic(spark):
+    """The output schema derives the id field's type from the input
+    (round-4 ADVICE): string ids must round-trip, with "smaller id"
+    meaning lexicographic order, and the keep set must mirror the long-id
+    run on the same vectors."""
+    from epic_pandas_spark.extensions.similarity import semantic_dedup
+
+    emb = load_table(spark, SF_DIR, "embeddings").limit(60)
+    as_str = emb.select(
+        F.format_string("id%05d", F.col("vec_id")).alias("vec_id"),
+        "embedding",
+    )
+    cb_rows = sorted(
+        ((r["vec_id"], list(r["embedding"])) for r in emb.collect()),
+        key=lambda t: t[0],
+    )
+    cb = [list(map(float, v)) for _, v in cb_rows[:4]]
+    long_keep = {
+        r["vec_id"] for r in semantic_dedup(emb, threshold=0.35, codebook=cb).collect()
+    }
+    out = semantic_dedup(as_str, threshold=0.35, codebook=cb)
+    assert dict(out.dtypes)["vec_id"] == "string"
+    str_keep = {r["vec_id"] for r in out.collect()}
+    # id%05d preserves numeric order lexicographically, so keep sets match
+    assert str_keep == {f"id{i:05d}" for i in long_keep}
