@@ -131,6 +131,63 @@ def _column_stats_per_column(df: DataFrame, cols, dtypes) -> DataFrame:
     )
 
 
+def quantiles(
+    df: DataFrame,
+    value_col: str,
+    probs: Sequence[float],
+    by: Sequence[str] | None = None,
+    mode: str = "auto",
+    accuracy: int = 10000,
+    exact_max_bytes: int = 8 << 20,
+    names: Sequence[str] | None = None,
+) -> DataFrame:
+    """Percentiles with size-aware exact/sketch routing.
+
+    ``mode="exact"`` uses ``F.percentile`` (linear interpolation, equal
+    to DuckDB ``quantile_cont`` — the oracle-comparable form), which
+    buffers EVERY value of a group in executor memory during the
+    aggregate: O(n) state per group, a global sort in disguise, and the
+    worst grower in the measured scale trend (34.7x wall at 100x rows).
+    ``mode="approx"`` uses ``F.percentile_approx`` (Greenwald-Khanna
+    sketch, ~1/accuracy rank error): bounded memory, mergeable map-side
+    partials, near-constant scaling (8.4x at 100x) — the 100 TB path.
+
+    ``mode="auto"`` (default) routes on Catalyst's optimized-plan size
+    estimate of just the scanned columns (parquet footer bytes scaled by
+    column pruning — costs NO job): exact at or under
+    ``exact_max_bytes``, the sketch above it. The 8 MiB default flips
+    exact → sketch between the oracle/bench scale factors and the 100x
+    tier (measured column-pruned estimates: 1.5-3.4 MB at sf0.1, 16-35
+    MB at sf1), so small data keeps bit-exact oracle parity while the
+    growth trend rides the sketch; raise it when bit-exact quantiles
+    matter on bigger scans. Same data-sized auto discipline as
+    ``connected_components(algorithm="auto")`` and ``derive_cms_width``
+    — callers keep one API.
+    """
+    if mode not in ("auto", "exact", "approx"):
+        raise ValueError("mode must be 'auto', 'exact' or 'approx'")
+    probs = list(probs)
+    if names is None:
+        names = [f"q{str(p).replace('.', '_')}" for p in probs]
+    if len(names) != len(probs):
+        raise ValueError("names must match probs")
+    group_cols = list(by) if by else []
+    scanned = df.select(*group_cols, value_col)
+    if mode == "auto":
+        mode = (
+            "exact"
+            if estimate_size_bytes(scanned, "plan") <= exact_max_bytes
+            else "approx"
+        )
+    if mode == "exact":
+        arr = F.percentile(value_col, F.lit(probs))
+    else:
+        arr = F.percentile_approx(value_col, F.lit(probs), F.lit(accuracy))
+    aggs = [arr[i].alias(n) for i, n in enumerate(names)]
+    grouped = scanned.groupBy(*group_cols) if group_cols else scanned
+    return grouped.agg(*aggs)
+
+
 def estimate_size_bytes(df: DataFrame, method: str = "plan") -> int:
     """Deep-size of a frame — the `sizeof` analog
     (/root/reference/epic/pandas/utils.py:451-466).

@@ -1997,6 +1997,33 @@ def q_quantiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "quantiles_auto",
+    """
+    SELECT ROUND(quantile_cont(l_extendedprice, 0.25), 6) AS q25,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS q50,
+           ROUND(quantile_cont(l_extendedprice, 0.75), 6) AS q75
+    FROM lineitem
+    """,
+)
+def q_quantiles_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-routed quantiles (operators.stats.quantiles, mode="auto"):
+    the exact F.percentile plan under the plan-stat crossover — bit-equal
+    to the DuckDB oracle at sf0.01, which is why this query CAN carry an
+    oracle — and the mergeable GK sketch above it, so the same call is
+    the 100 TB path. The exact/approx twins stay registered for the
+    explicitly-pinned forms."""
+    from epic_pandas_spark.operators.stats import quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = quantiles(li, "l_extendedprice", [0.25, 0.5, 0.75], names=["a", "b", "c"])
+    return q.select(
+        F.round("a", 6).alias("q25"),
+        F.round("b", 6).alias("q50"),
+        F.round("c", 6).alias("q75"),
+    )
+
+
+@register(
     "rollup_revenue",
     """
     SELECT COALESCE(l_returnflag, '__ALL__') AS l_returnflag,
@@ -2808,6 +2835,36 @@ def q_grouped_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = F.percentile("l_extendedprice", F.lit([0.5, 0.95]))
     return li.groupBy("l_returnflag").agg(
         F.round(p[0], 6).alias("q50"), F.round(p[1], 6).alias("q95")
+    )
+
+
+@register(
+    "grouped_quantiles_auto",
+    """
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 6) AS q50,
+           ROUND(quantile_cont(l_extendedprice, 0.95), 6) AS q95
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def q_grouped_quantiles_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Size-routed grouped quantiles (operators.stats.quantiles with
+    by=): exact per-group F.percentile under the plan-stat crossover
+    (oracle-comparable at sf0.01), mergeable per-group GK sketch above
+    it — bounded executor state per group instead of buffering every
+    group value, which is what made the exact twin the worst grower in
+    the scale trend."""
+    from epic_pandas_spark.operators.stats import quantiles
+
+    li = load_table(spark, sf_dir, "lineitem")
+    q = quantiles(
+        li, "l_extendedprice", [0.5, 0.95], by=["l_returnflag"], names=["a", "b"]
+    )
+    return q.select(
+        "l_returnflag",
+        F.round("a", 6).alias("q50"),
+        F.round("b", 6).alias("q95"),
     )
 
 

@@ -534,6 +534,47 @@ def test_column_stats_counts_nulls(spark):
     assert row["top_value"] == "a" and row["top_count"] == 2 and row["second_value"] == "b"
 
 
+def test_quantiles_auto_routing_and_parity(spark):
+    """operators.stats.quantiles: mode='exact' equals pandas/DuckDB
+    linear interpolation; auto routes exact under the plan-stat
+    crossover and sketch above it; the sketch twin stays within the GK
+    rank bound; grouped routing carries the group column."""
+    import numpy as np
+
+    from epic_pandas_spark.operators.stats import quantiles
+    from epic_pandas_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    vals = np.array([r["l_extendedprice"] for r in li.select("l_extendedprice").collect()])
+
+    exact = quantiles(li, "l_extendedprice", [0.25, 0.75], mode="exact").first()
+    assert abs(exact["q0_25"] - np.quantile(vals, 0.25)) < 1e-6
+    assert abs(exact["q0_75"] - np.quantile(vals, 0.75)) < 1e-6
+
+    # sf0.001 scan is far below the 8 MiB crossover -> auto == exact
+    auto = quantiles(li, "l_extendedprice", [0.25, 0.75], mode="auto").first()
+    assert auto == exact
+    # force the sketch route with a tiny crossover -> GK bound holds
+    approx = quantiles(
+        li, "l_extendedprice", [0.25, 0.75], mode="auto", exact_max_bytes=1
+    ).first()
+    assert abs(approx["q0_25"] - exact["q0_25"]) / exact["q0_25"] < 0.01
+
+    grouped = quantiles(
+        li, "l_extendedprice", [0.5], by=["l_returnflag"], names=["med"]
+    )
+    got = {r["l_returnflag"]: r["med"] for r in grouped.collect()}
+    assert set(got) == {"N", "A", "R"}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mode"):
+        quantiles(li, "l_extendedprice", [0.5], mode="bogus")
+    with _pytest.raises(ValueError, match="names"):
+        quantiles(li, "l_extendedprice", [0.5], names=["a", "b"])
+
+
 def test_salted_agg_matches_plain_groupby(spark):
     from epic_pandas_spark.operators.skew import salted_agg
     from epic_pandas_spark.session import load_table
@@ -1492,6 +1533,13 @@ def test_cms_heavy_hitters_exact_and_prefilter_lossless(spark):
             for r in cms_heavy_hitters(df, "k", min_count=49, width=width).collect()
         }
         assert got == {1: 50, 2: 49}, (width, got)
+    # caller-supplied n_rows skips the sizing count() job but derives the
+    # identical width, so the result is identical to width=None
+    got = {
+        r["value"]: r["n_occurrences"]
+        for r in cms_heavy_hitters(df, "k", min_count=49, n_rows=len(rows)).collect()
+    }
+    assert got == {1: 50, 2: 49}
     import pytest as _pytest
 
     with _pytest.raises(ValueError):
