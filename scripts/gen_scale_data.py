@@ -8,10 +8,19 @@ not ship (sf1 = 6M lineitem rows), so the scale probe can measure a
 
 Distributions are matched to the driver data by inspection (seed-42
 numpy, uniform keys, 1995-2001 order dates, 30-day event stream,
-30-word document vocabulary with ~9%% near-dup + ~0.2%% exact-dup rate,
-64-dim unit-norm embeddings over 10 labels).  The generator is NOT used
-by tests or the oracle gate - driver parquet stays the source of truth
-for correctness; this exists purely for performance trend evidence.
+~9%% near-dup + ~0.2%% exact-dup document structure, 64-dim unit-norm
+embeddings over 10 labels) — EXCEPT the document vocabulary, which is
+deliberately natural-text-shaped instead of the driver's 30 words: an
+sf-scaled Zipf vocabulary (50k words at sf1, exponent 1.05). A tiny
+closed vocabulary saturates the shingle space, making per-shingle doc
+frequency grow linearly with the corpus and candidate pairs
+quadratically — so a trend measured on it reflects the corpus, not the
+dedup plans. An open Zipf vocabulary keeps tail-gram doc frequency
+~flat as the corpus grows, which is the regime the near-dup tier is
+designed for (and the regime real text is in). The generator is NOT
+used by tests or the oracle gate - driver parquet stays the source of
+truth for correctness; this exists purely for performance trend
+evidence.
 
 Usage: python scripts/gen_scale_data.py --sf 1 --out .scaledata/sf1
 """
@@ -26,12 +35,35 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-VOCAB = [
-    "spark", "window", "merge", "table", "column", "vector", "stream",
-    "value", "data", "small", "join", "filter", "big", "group", "hash",
-    "customer", "sort", "order", "slow", "line", "part", "fast", "the",
-    "row", "agg", "key", "query", "a", "scan", "batch",
+SYLLABLES = [
+    "ba", "be", "bi", "bo", "bu", "da", "de", "di", "do", "du",
+    "ka", "ke", "ki", "ko", "ku", "la", "le", "li", "lo", "lu",
+    "ma", "me", "mi", "mo", "mu", "na", "ne", "ni", "no", "nu",
+    "ra", "re", "ri", "ro", "ru", "sa", "se", "si", "so", "su",
+    "ta", "te", "ti", "to", "tu",
 ]
+
+
+def zipf_vocab(n_vocab: int) -> tuple[np.ndarray, np.ndarray]:
+    """(words, probs): n_vocab distinct pronounceable words (word i =
+    base-45 syllable encoding of i — injective, 2-8 chars) with Zipf
+    rank-frequencies p_r ∝ 1/r^1.05. The vocabulary SCALES with sf
+    (50k words at sf1) so the shingle space stays open as the corpus
+    grows: per-shingle doc frequency stays ~flat like natural text,
+    instead of the closed-vocab saturation that made candidate pairs
+    grow quadratically in the earlier 30-word corpus."""
+    base = len(SYLLABLES)
+    words = []
+    for i in range(n_vocab):
+        j, parts = i, [SYLLABLES[i % base]]
+        j //= base
+        while j:
+            parts.append(SYLLABLES[j % base])
+            j //= base
+        words.append("".join(parts))
+    probs = 1.0 / np.arange(1, n_vocab + 1) ** 1.05
+    probs /= probs.sum()
+    return np.array(words), probs
 MKTSEGMENTS = ["MACHINERY", "AUTOMOBILE", "HOUSEHOLD", "BUILDING", "FURNITURE"]
 PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
 PTYPES = ["ECONOMY", "MEDIUM", "SMALL", "LARGE", "STANDARD", "PROMO"]
@@ -148,10 +180,12 @@ def gen(sf: float, out_dir: str, seed: int = 42) -> None:
     }))
 
     # --- documents (near-dup + exact-dup structure) -----------------
-    vocab = np.array(VOCAB)
+    # sf-scaled Zipf vocabulary; floor keeps tiny sfs from degenerating
+    # back into a closed vocab
+    vocab, word_p = zipf_vocab(max(2000, int(50_000 * sf)))
     n_base = int(n_docs * 0.90)
-    lens = rng.integers(8, 105, n_base)  # 44..577 chars at ~5.5 chars/word
-    flat = vocab[rng.integers(0, len(vocab), int(lens.sum()))]
+    lens = rng.integers(8, 105, n_base)  # 8..104 words per doc
+    flat = vocab[rng.choice(len(vocab), size=int(lens.sum()), p=word_p)]
     offs = np.concatenate(([0], np.cumsum(lens)))
     texts = [" ".join(flat[offs[i]:offs[i + 1]]) for i in range(n_base)]
     # near-dups: copy a base doc, replace ~3 random words with 'dup'
@@ -187,7 +221,11 @@ def gen(sf: float, out_dir: str, seed: int = 42) -> None:
     }))
 
     with open(os.path.join(out_dir, "MANIFEST.json"), "w") as f:
-        json.dump({"sf": sf, "seed": seed, "lineitem_rows": int(n_li)}, f)
+        json.dump(
+            {"sf": sf, "seed": seed, "lineitem_rows": int(n_li),
+             "doc_vocab": int(len(vocab))},
+            f,
+        )
 
 
 if __name__ == "__main__":
