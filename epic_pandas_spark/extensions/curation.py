@@ -46,6 +46,11 @@ __all__ = [
     "filter_by_blocklist",
     "hashed_feature_scores",
     "write_training_shards",
+    "hashed_gram_stream",
+    "md5_bucket_expr",
+    "dsir_log_ratio_table",
+    "dsir_importance_weights",
+    "dsir_select",
 ]
 
 
@@ -453,3 +458,197 @@ def dedup_lines(
     if out_col != text_col:
         projection.append(F.coalesce(F.col(out_col), F.lit("")).alias(out_col))
     return joined.select(*projection)
+
+
+# ---------------------------------------------------------------------------
+# DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+# arXiv:2302.03169): select pretraining documents whose hashed-n-gram
+# distribution matches a target domain. Extension tier — the reference has
+# no corpus layer; implemented from the published description.
+# ---------------------------------------------------------------------------
+
+
+def hashed_gram_stream(
+    df: DataFrame,
+    text_col: str,
+    id_col: str | None,
+    n_buckets: int = 1 << 16,
+    bucket_expr=None,
+) -> DataFrame:
+    """DSIR featurization: the unigram+word-bigram stream of each document,
+    hashed into ``n_buckets`` — one output row per gram occurrence,
+    columns ``(id_col?, bucket)``.
+
+    Map-side only: normalize → one array build (unigrams ++ bigrams via
+    ``zip_with`` over two offset slices) → one explode → one hash. No
+    shuffle, no UDF; documents with no words vanish from the stream.
+    ``bucket_expr`` (gram Column -> bucket Column) overrides the default
+    ``xxhash64 % n_buckets`` — e.g. the md5-arithmetic hash the SQL
+    oracle can reproduce."""
+    w = F.filter(_norm_words(F.col(text_col)), lambda x: x != "")
+    pair_len = F.greatest(F.size(w) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(w, F.lit(1), pair_len),
+        F.slice(w, F.lit(2), pair_len),
+        lambda a, b: F.concat(a, F.lit("_"), b),
+    )
+    grams = F.concat(w, bigrams)
+    cols = [F.col(id_col)] if id_col else []
+    out = df.select(*cols, F.explode(grams).alias("__gram"))
+    if bucket_expr is None:
+        bucket = F.pmod(F.xxhash64("__gram"), F.lit(n_buckets))
+    else:
+        bucket = bucket_expr(F.col("__gram"))
+    return out.select(*([id_col] if id_col else []), bucket.alias("bucket"))
+
+
+def md5_bucket_expr(n_buckets: int):
+    """Cross-engine bucket hash: ``int(md5(gram)[:8], 16) % n_buckets``.
+    Byte-identical in Spark (conv/substring/md5) and DuckDB
+    (``CAST('0x' || substr(md5(g),1,8) AS BIGINT) % m``) — the hash the
+    oracle-checked DSIR query uses. xxhash64 (the default) is faster
+    JVM-side but has no DuckDB twin."""
+
+    def expr(gram: Column) -> Column:
+        return F.pmod(
+            F.conv(F.substring(F.md5(gram), 1, 8), 16, 10).cast("long"),
+            F.lit(n_buckets),
+        )
+
+    return expr
+
+
+def dsir_log_ratio_table(
+    source: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    n_buckets: int = 1 << 16,
+    alpha: float = 1.0,
+    ratio_scale: int = 1_000_000,
+    bucket_expr=None,
+) -> DataFrame:
+    """The learned DSIR importance model: per-bucket
+    ``round(ln(p_target(b) / p_source(b)) * ratio_scale)`` as a LONG,
+    over Laplace-``alpha``-smoothed hashed-gram bag-of-words estimates.
+
+    Why quantize: a document's importance weight is a SUM of per-gram
+    ratios, and float addition is order-dependent — across partitionings,
+    AQE replans, and engines. Scaled-integer ratios make every downstream
+    sum exact and associative: bit-stable at any parallelism and
+    reproducible by the SQL oracle. (Weight resolution 1e-6 nats/gram —
+    far below any selection-relevant signal.)
+
+    Plan shape at 100 TB: each corpus aggregates its gram stream to at
+    most ``n_buckets`` rows (one shuffle each, bounded output); the two
+    bucket tables full-outer-join at ``n_buckets`` rows — broadcast
+    territory forever after. Totals ride the same aggregates as
+    ``grouping sets``-free single-pass counts and land via a 1-row
+    crossJoin, never a collect."""
+    sg = hashed_gram_stream(source, text_col, None, n_buckets, bucket_expr)
+    tg = hashed_gram_stream(target, text_col, None, n_buckets, bucket_expr)
+    sc = sg.groupBy("bucket").agg(F.count(F.lit(1)).alias("__cs"))
+    tc = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("__ct"))
+    ns = sc.agg(F.coalesce(F.sum("__cs"), F.lit(0)).cast("double").alias("__ns"))
+    nt = tc.agg(F.coalesce(F.sum("__ct"), F.lit(0)).cast("double").alias("__nt"))
+    am = float(alpha) * n_buckets
+    joined = (
+        sc.join(tc, on="bucket", how="full_outer")
+        .crossJoin(F.broadcast(ns))
+        .crossJoin(F.broadcast(nt))
+    )
+    log_p_t = F.log(
+        (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(float(alpha)))
+        / (F.col("__nt") + F.lit(am))
+    )
+    log_p_s = F.log(
+        (F.coalesce(F.col("__cs"), F.lit(0)) + F.lit(float(alpha)))
+        / (F.col("__ns") + F.lit(am))
+    )
+    return joined.select(
+        "bucket",
+        F.round((log_p_t - log_p_s) * F.lit(float(ratio_scale)), 0)
+        .cast("long")
+        .alias("ratio_scaled"),
+    )
+
+
+def dsir_importance_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ratio_table: DataFrame,
+    n_buckets: int = 1 << 16,
+    ratio_scale: int = 1_000_000,
+    bucket_expr=None,
+) -> DataFrame:
+    """Per-document DSIR log-importance weight
+    ``logw = sum_b count(doc, b) * ln(p_t(b)/p_s(b))`` — returned as both
+    the exact integer ``logw_scaled`` (deterministic sort key) and the
+    double ``logw`` (``logw_scaled / ratio_scale``).
+
+    One corpus scan: gram stream → broadcast-join the (≤ n_buckets)-row
+    ratio table → one keyed sum per document. Buckets unseen by the model
+    contribute 0 (they cancel in the smoothed ratio only approximately,
+    but exactly for the oracle's source ⊇ df case). Documents with no
+    grams drop from the stream, like the reference of the method (no
+    features → no evidence)."""
+    grams = hashed_gram_stream(df, text_col, id_col, n_buckets, bucket_expr)
+    rt = ratio_table.select("bucket", F.col("ratio_scaled").alias("__r"))
+    return (
+        grams.join(F.broadcast(rt), on="bucket", how="left")
+        .groupBy(id_col)
+        .agg(F.sum(F.coalesce(F.col("__r"), F.lit(0))).alias("logw_scaled"))
+        .select(
+            id_col,
+            "logw_scaled",
+            (F.col("logw_scaled") / F.lit(float(ratio_scale))).alias("logw"),
+        )
+    )
+
+
+def dsir_select(
+    df: DataFrame,
+    target: DataFrame,
+    text_col: str,
+    id_col: str,
+    k: int,
+    n_buckets: int = 1 << 16,
+    alpha: float = 1.0,
+    mode: str = "top",
+    seed: int = 42,
+    ratio_scale: int = 1_000_000,
+    bucket_expr=None,
+) -> DataFrame:
+    """DSIR end-to-end: fit the target-vs-``df`` hashed-gram importance
+    model, weight every document, keep ``k``.
+
+    ``mode="top"`` keeps the k highest-weight documents — deterministic
+    (integer weight desc, id asc: a TakeOrdered, never a full sort), the
+    oracle-comparable form. ``mode="gumbel"`` is the paper's importance
+    RESAMPLING: keys ``logw + Gumbel(0,1)`` give a without-replacement
+    sample where P(doc) ∝ softmax(logw) — noise is hash-derived from
+    (id, seed), so the sample is reproducible and shuffle-free; still a
+    TakeOrdered on the perturbed key. Returns ``(id_col, logw)`` rows of
+    the selected documents."""
+    if mode not in ("top", "gumbel"):
+        raise ValueError("mode must be 'top' or 'gumbel'")
+    ratio = dsir_log_ratio_table(
+        df, target, text_col, n_buckets, alpha, ratio_scale, bucket_expr
+    )
+    wts = dsir_importance_weights(
+        df, text_col, id_col, ratio, n_buckets, ratio_scale, bucket_expr
+    )
+    if mode == "top":
+        key = F.col("logw_scaled").cast("double")
+    else:
+        m = 1 << 31
+        u = (F.pmod(F.xxhash64(F.col(id_col), F.lit(seed)), F.lit(m)) + F.lit(0.5)) / F.lit(
+            float(m)
+        )
+        key = F.col("logw") + (-F.log(-F.log(u)))
+    return (
+        wts.select(id_col, "logw", key.alias("__key"))
+        .orderBy(F.col("__key").desc(), F.col(id_col).asc())
+        .limit(k)
+        .select(id_col, "logw")
+    )

@@ -2634,6 +2634,72 @@ def q_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dsir_select",
+    """
+    WITH words AS (
+      SELECT doc_id, lang,
+             list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), x -> x <> '') AS w
+      FROM documents
+    ),
+    grams AS (
+      SELECT doc_id, lang,
+             unnest(list_concat(w, list_transform(range(1, len(w)), i -> w[i] || '_' || w[i+1]))) AS g
+      FROM words
+    ),
+    b AS (
+      SELECT doc_id, lang,
+             CAST(('0x' || substr(md5(g), 1, 8)) AS BIGINT) % 4096 AS bucket
+      FROM grams
+    ),
+    sc AS (SELECT bucket, COUNT(*) AS cs FROM b GROUP BY bucket),
+    tc AS (SELECT bucket, COUNT(*) AS ct FROM b WHERE lang = 'en' GROUP BY bucket),
+    ns AS (SELECT COUNT(*)::DOUBLE AS n FROM b),
+    nt AS (SELECT COUNT(*)::DOUBLE AS n FROM b WHERE lang = 'en'),
+    ratio AS (
+      SELECT sc.bucket,
+             CAST(ROUND((LN((COALESCE(tc.ct, 0) + 1.0) / ((SELECT n FROM nt) + 4096.0))
+                       - LN((sc.cs + 1.0) / ((SELECT n FROM ns) + 4096.0))) * 1000000, 0) AS BIGINT) AS r
+      FROM sc LEFT JOIN tc USING (bucket)
+    ),
+    dw AS (
+      SELECT b.doc_id, SUM(r.r) AS s
+      FROM b JOIN ratio r USING (bucket)
+      GROUP BY b.doc_id
+    )
+    SELECT doc_id, ROUND(s / 1000000.0, 6) AS logw
+    FROM dw ORDER BY s DESC, doc_id ASC LIMIT 100
+    """,
+)
+def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection (Xie et al. 2023, arXiv:2302.03169,
+    extensions.curation.dsir_select): fit hashed unigram+bigram
+    bag-of-words models for the target domain (English docs) vs the raw
+    corpus, weight every document by the summed log-likelihood ratio,
+    keep the top 100. Oracle-exact end to end: the bucket hash is the
+    md5-arithmetic one DuckDB replays, and the log-ratio table is
+    quantized to integer micro-nats BEFORE the per-doc sum, so the
+    ranking key is an exact integer sum — no fp-accumulation-order
+    drift on either engine. The production default (xxhash64 buckets,
+    mode="gumbel" true importance resampling) rides the identical plan."""
+    from epic_pandas_spark.extensions.curation import dsir_select, md5_bucket_expr
+
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.filter(F.col("lang") == "en")
+    out = dsir_select(
+        docs,
+        target,
+        "text",
+        "doc_id",
+        k=100,
+        n_buckets=4096,
+        alpha=1.0,
+        mode="top",
+        bucket_expr=md5_bucket_expr(4096),
+    )
+    return out.select("doc_id", F.round("logw", 6).alias("logw"))
+
+
+@register(
     "semantic_decontamination",
     """
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -286,3 +286,114 @@ def test_dedup_lines_matches_python_model_on_random_corpus(spark):
         for r in dedup_lines(df, "text", "doc_id", max_line_freq=max_freq).collect()
     }
     assert got == want
+
+
+def test_dsir_weights_match_numpy_model(spark):
+    """dsir_importance_weights == a direct numpy replication of the DSIR
+    formula (hashed unigram+bigram counts, Laplace smoothing, quantized
+    log-ratio) on a hand-built corpus."""
+    import hashlib
+    import math
+
+    from epic_pandas_spark.extensions.curation import (
+        dsir_importance_weights,
+        dsir_log_ratio_table,
+        md5_bucket_expr,
+    )
+
+    source = {
+        1: "the cat sat on the mat",
+        2: "der hund lief schnell weg und kam nie wieder",
+        3: "the dog ran fast to the house",
+        4: "ein kleiner hund schlief auf dem sofa",
+        5: "one",
+        6: "",
+    }
+    target = {
+        10: "the cat and the dog sat on the sofa",
+        11: "a dog ran to the mat",
+    }
+    m, alpha, scale = 512, 1.0, 1_000_000
+
+    def grams(text):
+        w = [x for x in text.lower().strip().split() if x]
+        return w + [f"{a}_{b}" for a, b in zip(w, w[1:])]
+
+    def bucket(g):
+        return int(hashlib.md5(g.encode()).hexdigest()[:8], 16) % m
+
+    from collections import Counter
+
+    cs = Counter(bucket(g) for t in source.values() for g in grams(t))
+    ct = Counter(bucket(g) for t in target.values() for g in grams(t))
+    ns, nt = sum(cs.values()), sum(ct.values())
+    ratio = {
+        b: round(
+            (
+                math.log((ct.get(b, 0) + alpha) / (nt + alpha * m))
+                - math.log((cs.get(b, 0) + alpha) / (ns + alpha * m))
+            )
+            * scale
+        )
+        for b in set(cs) | set(ct)
+    }
+    want = {
+        d: sum(ratio.get(bucket(g), 0) for g in grams(t))
+        for d, t in source.items()
+        if grams(t)
+    }
+
+    sdf = spark.createDataFrame(list(source.items()), "doc_id long, text string")
+    tdf = spark.createDataFrame(list(target.items()), "doc_id long, text string")
+    be = md5_bucket_expr(m)
+    rt = dsir_log_ratio_table(sdf, tdf, "text", m, alpha, scale, bucket_expr=be)
+    got_rows = dsir_importance_weights(
+        sdf, "text", "doc_id", rt, m, scale, bucket_expr=be
+    ).collect()
+    got = {r["doc_id"]: r["logw_scaled"] for r in got_rows}
+    assert got == want
+    # the double view is exactly the scaled integer / scale
+    for r in got_rows:
+        assert r["logw"] == r["logw_scaled"] / scale
+    # gram-less doc 6 drops from the stream (no features -> no evidence)
+    assert 6 not in got
+
+
+def test_dsir_select_prefers_target_like_docs(spark):
+    """Planted two-vocabulary corpus: target speaks vocab A, source is a
+    mix — top-mode DSIR must select exactly the vocab-A documents, and
+    gumbel mode must be seed-deterministic and biased the same way."""
+    from epic_pandas_spark.extensions.curation import dsir_select
+
+    a_words = ["alpha", "beta", "gamma", "delta", "epsilon"]
+    b_words = ["zork", "quux", "fnord", "blarg", "wibble"]
+
+    def doc(words, i, n=12):
+        return " ".join(words[(i + j) % len(words)] for j in range(n))
+
+    source = [(i, doc(a_words, i)) for i in range(20)] + [
+        (100 + i, doc(b_words, i)) for i in range(20)
+    ]
+    target = [(1000 + i, doc(a_words, i + 3)) for i in range(10)]
+    sdf = spark.createDataFrame(source, "doc_id long, text string")
+    tdf = spark.createDataFrame(target, "doc_id long, text string")
+
+    top = dsir_select(sdf, tdf, "text", "doc_id", k=20, n_buckets=4096, mode="top")
+    ids = {r["doc_id"] for r in top.collect()}
+    assert ids == set(range(20))
+
+    g1 = dsir_select(
+        sdf, tdf, "text", "doc_id", k=10, n_buckets=4096, mode="gumbel", seed=7
+    ).collect()
+    g2 = dsir_select(
+        sdf, tdf, "text", "doc_id", k=10, n_buckets=4096, mode="gumbel", seed=7
+    ).collect()
+    assert [r["doc_id"] for r in g1] == [r["doc_id"] for r in g2]
+    # softmax over well-separated weights: vocab-A docs dominate the sample
+    a_frac = sum(1 for r in g1 if r["doc_id"] < 100) / len(g1)
+    assert a_frac >= 0.8
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        dsir_select(sdf, tdf, "text", "doc_id", k=5, mode="bogus")
