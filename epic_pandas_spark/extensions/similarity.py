@@ -301,6 +301,57 @@ def _neardup_pairs_blas(
     return prepped.groupBy(block_col).applyInPandas(score_block, out_schema)
 
 
+def _ivf_centroids(
+    corpus: DataFrame,
+    n_centroids: int,
+    vec_col: str,
+    id_col: str,
+    codebook: str,
+    kmeans_iterations: int,
+) -> DataFrame:
+    """Coarse-quantizer codebook as a (cid, cv) frame — shared by
+    `ivf_knn` and `ivf_pq_knn`. "hash": the n_centroids corpus vectors
+    with the smallest xxhash64(id) — deterministic, seedless, zero
+    training cost. "kmeans": Lloyd-trained (deterministic), lists follow
+    density."""
+    if codebook == "kmeans":
+        from epic_pandas_spark.extensions.clustering import kmeans_fit
+
+        trained, _inertia = kmeans_fit(
+            corpus, n_centroids, vec_col=vec_col, id_col=id_col,
+            max_iterations=kmeans_iterations,
+            tol=None,  # codebook mode: inertia discarded, skip its jobs
+        )
+        return corpus.sparkSession.createDataFrame(
+            [(i, [float(x) for x in v]) for i, v in enumerate(trained)],
+            "cid long, cv array<double>",
+        )
+    return (
+        corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
+        .orderBy(F.xxhash64(F.col("cid")).asc())
+        .limit(n_centroids)
+    )
+
+
+def _ivf_assign(df, cents: DataFrame, ident: str, vec: str, n_lists: int) -> DataFrame:
+    """Nearest-centroid list assignment: broadcast the codebook, score
+    every row against every centroid with a codegen'd cosine, keep the
+    top ``n_lists`` per row (argmax window over ≤ n_centroids rows/key).
+    Returns ``(ident, vec, list_id)``."""
+    from epic_pandas_spark.functions.vectors import dot_expr, norm_expr
+
+    scored = df.crossJoin(F.broadcast(cents)).withColumn(
+        "__sim",
+        dot_expr(F.col(vec), F.col("cv")) / (norm_expr(F.col(vec)) * norm_expr(F.col("cv"))),
+    )
+    w = Window.partitionBy(ident).orderBy(F.col("__sim").desc(), F.col("cid").asc())
+    return (
+        scored.withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") <= n_lists)
+        .select(ident, vec, F.col("cid").alias("list_id"))
+    )
+
+
 def ivf_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -333,41 +384,16 @@ def ivf_knn(
     assignment is an argmax window over corpus×centroid scores, probing is
     an equi-join on the list id.
     """
-    from epic_pandas_spark.functions.vectors import dot_expr, norm_expr
-
     if codebook not in ("hash", "kmeans"):
         raise ValueError("codebook must be 'hash' or 'kmeans'")
-    if codebook == "kmeans":
-        from epic_pandas_spark.extensions.clustering import kmeans_fit
-
-        trained, _inertia = kmeans_fit(
-            corpus, n_centroids, vec_col=vec_col, id_col=id_col,
-            max_iterations=kmeans_iterations,
-            tol=None,  # codebook mode: inertia discarded, skip its jobs
-        )
-        cents = corpus.sparkSession.createDataFrame(
-            [(i, [float(x) for x in v]) for i, v in enumerate(trained)],
-            "cid long, cv array<double>",
-        )
-    else:
-        # deterministic codebook: the n_centroids corpus vectors with the
-        # smallest xxhash64(id) — stable, seedless, no kmeans iterations
-        cents = (
-            corpus.select(F.col(id_col).alias("cid"), _as_double(vec_col).alias("cv"))
-            .orderBy(F.xxhash64(F.col("cid")).asc())
-            .limit(n_centroids)
-        )
+    cents = _ivf_centroids(
+        corpus, n_centroids, vec_col, id_col, codebook, kmeans_iterations
+    )
 
     def assign(df, ident, vec, n_lists):
-        scored = df.crossJoin(F.broadcast(cents)).withColumn(
-            "__sim", dot_expr(F.col(vec), F.col("cv")) / (norm_expr(F.col(vec)) * norm_expr(F.col("cv")))
-        )
-        w = Window.partitionBy(ident).orderBy(F.col("__sim").desc(), F.col("cid").asc())
-        return (
-            scored.withColumn("__rk", F.row_number().over(w))
-            .filter(F.col("__rk") <= n_lists)
-            .select(ident, vec, F.col("cid").alias("list_id"))
-        )
+        return _ivf_assign(df, cents, ident, vec, n_lists)
+
+    from epic_pandas_spark.functions.vectors import dot_expr, norm_expr
 
     c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__cv"))
     q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv"))
@@ -385,6 +411,229 @@ def ivf_knn(
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
     return (
         scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("query_id", id_col, "cosine")
+    )
+
+
+def pq_train_codebooks(
+    corpus: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    n_sub: int = 8,
+    n_codes: int = 16,
+    sample_max: int = 65536,
+    iterations: int = 8,
+    normalize: bool = True,
+):
+    """Train product-quantization sub-codebooks (Jégou, Douze, Schmid,
+    "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    split the vector into ``n_sub`` contiguous subvectors and run Lloyd
+    k-means with ``n_codes`` centroids independently per subspace.
+
+    Training reads a DETERMINISTIC bounded sample (the ``sample_max``
+    corpus rows with the smallest xxhash64(id) — same discipline as the
+    "hash" coarse codebook) to the driver and iterates in numpy: the
+    collect is bounded by ``sample_max`` regardless of corpus size, the
+    standard practice for codebook training at scale (FAISS trains on a
+    sample too). Returns a numpy array of shape
+    ``(n_sub, n_codes, dim // n_sub)``."""
+    probe = corpus.select(F.size(vec_col).alias("d")).first()
+    if probe is None:
+        raise ValueError("cannot train PQ codebooks on an empty corpus")
+    dim = probe["d"]
+    if dim % n_sub != 0:
+        raise ValueError(f"n_sub={n_sub} must divide the vector dim {dim}")
+    sub = dim // n_sub
+    sample = (
+        corpus.select(_as_double(vec_col).alias("v"), F.col(id_col))
+        .orderBy(F.xxhash64(F.col(id_col)).asc())
+        .limit(sample_max)
+        .select("v")
+        .toPandas()
+    )
+    x = np.vstack(sample["v"].to_numpy())
+    if normalize:
+        x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+    books = np.empty((n_sub, n_codes, sub))
+    for s in range(n_sub):
+        xs = x[:, s * sub : (s + 1) * sub]
+        # deterministic init: first n_codes distinct-ish rows of the
+        # hash-ordered sample (k-means++ randomness adds nothing here)
+        cents = xs[: n_codes].copy()
+        if len(cents) < n_codes:  # tiny corpus: pad by repeating
+            reps = -(-n_codes // max(len(cents), 1))
+            cents = np.tile(cents, (reps, 1))[:n_codes]
+        for _ in range(iterations):
+            # BLAS form: ||x||² - 2xCᵀ + ||C||², one GEMM per iteration
+            d2 = (
+                (xs * xs).sum(axis=1, keepdims=True)
+                - 2.0 * xs @ cents.T
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            assign = d2.argmin(axis=1)
+            for c in range(n_codes):
+                members = xs[assign == c]
+                if len(members):
+                    cents[c] = members.mean(axis=0)
+        books[s] = cents
+    return books
+
+
+def pq_encode(
+    df: DataFrame,
+    codebooks,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    code_col: str = "pq_codes",
+    normalize: bool = True,
+) -> DataFrame:
+    """Encode each vector to its PQ code word — ``n_sub`` small ints
+    (nearest sub-centroid per subspace). One Arrow-batched pandas UDF;
+    per batch each subspace is a single ``||x||² - 2xCᵀ + ||C||²``
+    argmin in BLAS. The encoded corpus carries n_sub bytes of code
+    instead of dim floats — the representation that shuffles."""
+    books = np.asarray(codebooks)
+    n_sub, _n_codes, sub = books.shape
+
+    @F.pandas_udf("array<int>")
+    def _encode(vs: pd.Series) -> pd.Series:
+        if len(vs) == 0:
+            return pd.Series([], dtype=object)
+        x = np.vstack(vs.to_numpy()).astype(np.float64)
+        if normalize:
+            x = x / np.maximum(np.linalg.norm(x, axis=1, keepdims=True), 1e-12)
+        codes = np.empty((len(x), n_sub), dtype=np.int32)
+        for s in range(n_sub):
+            xs = x[:, s * sub : (s + 1) * sub]
+            cents = books[s]
+            d2 = (
+                (xs * xs).sum(axis=1, keepdims=True)
+                - 2.0 * xs @ cents.T
+                + (cents * cents).sum(axis=1)[None, :]
+            )
+            codes[:, s] = d2.argmin(axis=1)
+        return pd.Series(list(codes))
+
+    return df.select(F.col(id_col), _encode(_as_double(vec_col)).alias(code_col))
+
+
+def ivf_pq_knn(
+    corpus: DataFrame,
+    queries: DataFrame,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    n_sub: int = 8,
+    n_codes: int = 16,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    k: int = 5,
+    refine_factor: int = 0,
+    codebook: str = "hash",
+    kmeans_iterations: int = 5,
+    sample_max: int = 65536,
+    pq_iterations: int = 8,
+) -> DataFrame:
+    """IVF-PQ approximate top-k cosine (Jégou et al. 2011 + coarse IVF):
+    the corpus is coarse-partitioned into inverted lists AND compressed
+    to product-quantization codes; queries probe ``n_probe`` lists and
+    rank candidates by asymmetric distance computation (ADC) — a lookup
+    of precomputed query-to-sub-centroid distances, never a full
+    dot product against raw corpus vectors.
+
+    Why this is the 100 TB ANN shape: after encoding, the corpus side of
+    the candidate join carries ``n_sub`` small ints per row instead of
+    ``dim`` floats (16-32× less shuffle for typical settings), the scan
+    fraction is n_probe/n_centroids, and per-candidate scoring is a table
+    gather instead of a dot product. Vectors are L2-normalized first, so
+    ADC L2² orders like cosine (||a-b||² = 2 - 2·cos for unit vectors);
+    the reported ``cosine`` is ``1 - adc/2``.
+
+    ``refine_factor > 0`` re-ranks the top ``k*refine_factor`` ADC
+    candidates with EXACT cosine (one equi-join back to the raw vectors
+    for that bounded candidate set) — the standard recall-restoring
+    second stage; the returned ``cosine`` is then exact.
+
+    Plan: codebooks train on a bounded deterministic sample; coarse
+    assignment reuses the `ivf_knn` machinery; ADC runs in one
+    Arrow-batched ``mapInPandas`` over the paired stream (per batch, one
+    LUT build + one gather per query), then a per-query top-k window
+    over (query_id, id, score) triples."""
+    if codebook not in ("hash", "kmeans"):
+        raise ValueError("codebook must be 'hash' or 'kmeans'")
+    if refine_factor < 0:
+        raise ValueError("refine_factor must be >= 0")
+    books = pq_train_codebooks(
+        corpus, vec_col, id_col, n_sub, n_codes, sample_max, pq_iterations
+    )
+    sub = books.shape[2]
+
+    cents = _ivf_centroids(
+        corpus, n_centroids, vec_col, id_col, codebook, kmeans_iterations
+    )
+    c = corpus.select(F.col(id_col), _as_double(vec_col).alias("__cv"))
+    q = queries.select(F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv"))
+    corpus_lists = _ivf_assign(c, cents, id_col, "__cv", 1).select(
+        id_col, "list_id"
+    )
+    encoded = pq_encode(corpus, books, vec_col, id_col, "__codes")
+    corpus_side = corpus_lists.join(encoded, on=id_col)
+    query_probes = _ivf_assign(q, cents, "query_id", "__qv", n_probe)
+
+    paired = corpus_side.join(query_probes, on="list_id").filter(
+        F.col("query_id") != F.col(id_col)
+    )
+
+    id_field = corpus.select(F.col(id_col)).schema.fields[0]
+    qid_type = queries.select(F.col(id_col)).schema.fields[0].dataType.simpleString()
+    out_schema = (
+        f"query_id {qid_type}, {id_field.name} {id_field.dataType.simpleString()}, "
+        "cosine double"
+    )
+
+    def adc(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = []
+            for qid, grp in pdf.groupby("query_id", sort=False):
+                qv = np.asarray(grp["__qv"].iloc[0], dtype=np.float64)
+                qv = qv / max(np.linalg.norm(qv), 1e-12)
+                # LUT[s, c] = ||q_s - C_sc||², one (n_sub, n_codes) table
+                lut = ((qv.reshape(books.shape[0], 1, sub) - books) ** 2).sum(axis=2)
+                codes = np.vstack(grp["__codes"].to_numpy())
+                adc2 = lut[np.arange(books.shape[0])[None, :], codes].sum(axis=1)
+                out.append(
+                    pd.DataFrame(
+                        {
+                            "query_id": qid,
+                            id_field.name: grp[id_field.name].to_numpy(),
+                            "cosine": 1.0 - adc2 / 2.0,
+                        }
+                    )
+                )
+            yield pd.concat(out, ignore_index=True)
+
+    scored = paired.select("query_id", "__qv", id_col, "__codes").mapInPandas(
+        adc, out_schema
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+    n_keep = k * refine_factor if refine_factor else k
+    top = (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_keep)
+        .select("query_id", id_col, "cosine")
+    )
+    if not refine_factor:
+        return top
+    # exact re-rank of the bounded candidate set: join raw vectors back
+    # for k*refine_factor rows per query, true cosine, final top-k window
+    cand = top.select("query_id", id_col).join(c, on=id_col).join(
+        q, on="query_id"
+    )
+    exact = cand.withColumn("cosine", cosine_similarity_expr(F.col("__qv"), F.col("__cv")))
+    return (
+        exact.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("query_id", id_col, "cosine")
     )

@@ -1800,6 +1800,32 @@ def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_knn(emb, emb.filter(F.col("vec_id") < 5), n_centroids=8, n_probe=4, k=5)
 
 
+@register("ivf_pq_knn", None)  # PQ is lossy by design → rows-only check
+def q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN (extensions.similarity.ivf_pq_knn, Jégou et al. 2011):
+    product-quantized corpus codes + asymmetric-distance ranking + exact
+    re-rank of the bounded candidate set. Codes (n_sub small ints), not
+    raw vectors, are what the candidate join shuffles — the 100 TB
+    representation. Recall bands and the exact-cosine property of the
+    refined output are pinned by unit tests against brute force (ADC
+    replication verified in pure numpy); no SQL oracle exists for a
+    trained-codebook lossy quantizer, so this records rows-only."""
+    from epic_pandas_spark.extensions.similarity import ivf_pq_knn
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return ivf_pq_knn(
+        emb,
+        emb.filter(F.col("vec_id") < 5),
+        n_centroids=8,
+        n_probe=4,
+        n_sub=16,
+        n_codes=64,
+        k=5,
+        refine_factor=4,
+        sample_max=4096,
+    )
+
+
 @register("ivf_knn_fullprobe", _KNN_ORACLE_SQL)
 def q_ivf_knn_fullprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF with n_probe == n_centroids degenerates to exact search — the

@@ -983,3 +983,94 @@ def test_semantic_dedup_id_type_agnostic(spark):
     str_keep = {r["vec_id"] for r in out.collect()}
     # id%05d preserves numeric order lexicographically, so keep sets match
     assert str_keep == {f"id{i:05d}" for i in long_keep}
+
+
+def test_pq_encode_shapes_and_determinism(spark):
+    from epic_pandas_spark.extensions.similarity import pq_encode, pq_train_codebooks
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    books = pq_train_codebooks(emb, n_sub=8, n_codes=16, sample_max=200)
+    assert books.shape == (8, 16, 8)
+    # deterministic: same corpus + params -> identical codebooks
+    books2 = pq_train_codebooks(emb, n_sub=8, n_codes=16, sample_max=200)
+    import numpy as np
+
+    assert np.array_equal(books, books2)
+
+    codes = pq_encode(emb, books, code_col="c").collect()
+    assert len(codes) == emb.count()
+    for r in codes[:20]:
+        assert len(r["c"]) == 8
+        assert all(0 <= v < 16 for v in r["c"])
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        pq_train_codebooks(emb, n_sub=7, n_codes=16)  # 7 does not divide 64
+
+
+def test_ivf_pq_recall_and_refine(spark):
+    """ADC over PQ codes is lossy, so assert recall bands rather than
+    equality: full-probe unrefined ADC must recover most of the exact
+    top-5, and exact re-ranking (refine_factor) must not lower recall.
+    All inputs and the codebook training are deterministic."""
+    from epic_pandas_spark.extensions.similarity import ivf_pq_knn
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    # the fixture's exact top cosines are tightly packed (~0.23-0.33), so
+    # unrefined ADC ordering is genuinely hard here: measured 0.44 with
+    # 16x64 codebooks (verified against a pure-numpy ADC replication —
+    # the loss is the method's, not the plan's)
+    adc = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_pq_knn(
+            emb, queries, n_centroids=8, n_probe=8, n_sub=16, n_codes=64, k=5,
+            sample_max=500,
+        ).collect()
+    }
+    adc_recall = len(adc & exact) / len(exact)
+    assert adc_recall >= 0.3
+
+    # exact re-ranking of the top k*8 ADC candidates restores recall:
+    # measured top-5 containment in ADC top-40 is 0.98 on this fixture
+    refined = {
+        (r["query_id"], r["vec_id"])
+        for r in ivf_pq_knn(
+            emb,
+            queries,
+            n_centroids=8,
+            n_probe=8,
+            n_sub=16,
+            n_codes=64,
+            k=5,
+            refine_factor=8,
+            sample_max=500,
+        ).collect()
+    }
+    refined_recall = len(refined & exact) / len(exact)
+    assert refined_recall >= adc_recall
+    assert refined_recall >= 0.9
+
+    # refined scores are EXACT cosines: spot-check against the
+    # brute-force score table
+    brute = {
+        (r["query_id"], r["vec_id"]): r["cosine"]
+        for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+    rows = ivf_pq_knn(
+        emb, queries, n_centroids=8, n_probe=8, n_sub=16, n_codes=64, k=5,
+        refine_factor=8, sample_max=500,
+    ).collect()
+    for r in rows:
+        key = (r["query_id"], r["vec_id"])
+        if key in brute:
+            assert abs(r["cosine"] - brute[key]) < 1e-9
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        ivf_pq_knn(emb, queries, refine_factor=-1)
