@@ -1066,3 +1066,131 @@ def edit_distance_pairs(
         .filter(F.col("dist") <= max_edits)
         .select("id_a", "id_b", "dist")
     )
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    min_len: int = 50,
+    min_doc_freq: int = 2,
+    keep_first: bool = False,
+    out_col: str = "cleaned",
+) -> DataFrame:
+    """The REWRITE step of exact-substring dedup (Lee et al. 2022,
+    arXiv:2107.06499 §3.1 — their suffix-array ExactSubstr pass):
+    remove from each document every maximal character span (>=
+    ``min_len`` normalized chars) that appears verbatim in at least
+    ``min_doc_freq`` documents. :func:`repeated_passage_pairs` only
+    FLAGS the pairs; this produces the deduplicated corpus.
+
+    ``keep_first=True`` exempts, per duplicated gram, the document with
+    the smallest id — the "keep one occurrence" policy of the paper
+    (ownership is per-gram, so a span copied from two different
+    canonical docs can be partially kept; deterministic either way).
+
+    Returns ``(id_col, out_col, n_removed_chars)`` where ``out_col`` is
+    the whitespace/case-NORMALIZED text with flagged spans cut (the
+    paper also rewrites a normalized stream); ``n_removed_chars`` is
+    measured on that normalized text. Every input document appears
+    exactly once (untouched docs pass through with 0).
+
+    Distributed shape (suffix arrays don't shard; position-tagged char
+    k-grams do): the position stream shuffles ``(8-byte gram hash, id,
+    pos)`` — never text; duplicated-gram doc-frequencies are one keyed
+    count; flagged positions fuse to maximal spans with a per-doc
+    gaps-and-islands window (cumulative-max end, island = running count
+    of gap starts); the normalized text shuffles exactly once (the
+    spans-to-doc join) and kept segments reassemble with the same
+    array_sort(collect_list) pattern as ``dedup_lines``. Every stage is
+    a DataFrame op on keys bounded by doc length — no suffix sort, no
+    UDF, no driver materialization."""
+    k = min_len
+    docs_n = df.select(
+        F.col(id_col).alias("__id"),
+        _normalized_text_expr(F.col(text_col)).alias("__t"),
+    ).withColumn("__len", F.length("__t"))
+
+    # position-tagged gram stream: char position p (1-based), gram covers
+    # [p, p + glen); short docs (< k chars) carry one whole-string gram
+    starts = F.sequence(F.lit(1), F.greatest(F.col("__len") - F.lit(k - 1), F.lit(1)))
+    pos = (
+        ensure_parallelism(docs_n)
+        .select(
+            "__id",
+            "__len",
+            F.explode(starts).alias("__p"),
+            F.col("__t"),
+        )
+        .select(
+            "__id",
+            "__p",
+            F.xxhash64(F.substring(F.col("__t"), F.col("__p"), k)).alias("__gh"),
+            F.least(F.lit(k), F.col("__len")).alias("__glen"),
+        )
+    )
+
+    stats = [F.count_distinct("__id").alias("__df")]
+    if keep_first:
+        stats.append(F.min("__id").alias("__owner"))
+    flagged = (
+        pos.groupBy("__gh")
+        .agg(*stats)
+        .filter(F.col("__df") >= min_doc_freq)
+    )
+    hits = pos.join(flagged, on="__gh")
+    if keep_first:
+        hits = hits.filter(F.col("__id") != F.col("__owner"))
+    hits = hits.select("__id", "__p", (F.col("__p") + F.col("__glen")).alias("__e"))
+
+    # gaps-and-islands: a new island starts when this gram begins past
+    # every previous gram's end; spans are per-island min-start/max-end
+    w = Window.partitionBy("__id").orderBy("__p")
+    prev_max_e = F.max("__e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    islands = hits.withColumn(
+        "__new", F.when(F.col("__p") > F.coalesce(prev_max_e, F.lit(0)), 1).otherwise(0)
+    ).withColumn("__isl", F.sum("__new").over(w))
+    spans = islands.groupBy("__id", "__isl").agg(
+        F.min("__p").alias("__s"), F.max("__e").alias("__se")
+    )
+
+    # kept segments: before/between spans via lag, plus the per-doc tail
+    with_text = spans.join(docs_n, on="__id")
+    w2 = Window.partitionBy("__id").orderBy("__s")
+    heads = with_text.select(
+        "__id",
+        F.coalesce(F.lag("__se").over(w2), F.lit(1)).alias("__b"),
+        F.col("__s").alias("__limit"),
+        "__t",
+    ).select(
+        "__id",
+        "__b",
+        F.expr("substring(__t, __b, __limit - __b)").alias("__seg"),
+    )
+    tails = (
+        with_text.groupBy("__id")
+        .agg(F.max("__se").alias("__b"), F.first("__t").alias("__t"), F.first("__len").alias("__l"))
+        .select("__id", "__b", F.expr("substring(__t, __b, __l - __b + 1)").alias("__seg"))
+    )
+    rebuilt = (
+        heads.unionByName(tails)
+        .groupBy("__id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("__b", "__seg"))),
+                    lambda s: s["__seg"],
+                ),
+                "",
+            ).alias("__clean")
+        )
+    )
+
+    out = docs_n.join(rebuilt, on="__id", how="left").select(
+        F.col("__id").alias(id_col),
+        F.coalesce(F.col("__clean"), F.col("__t")).alias(out_col),
+        (F.col("__len") - F.length(F.coalesce(F.col("__clean"), F.col("__t"))))
+        .cast("long")
+        .alias("n_removed_chars"),
+    )
+    return out

@@ -2837,6 +2837,81 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 @register(
+    "remove_repeated_spans",
+    """
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+    ),
+    t AS (SELECT doc_id, regexp_replace(lower(text), '\\s+', ' ', 'g') AS txt FROM unioned),
+    pos AS (
+      SELECT doc_id, unnest(range(1, GREATEST(length(txt) - 49, 1) + 1)) AS p,
+             txt, LEAST(50, length(txt)) AS glen
+      FROM t
+    ),
+    pg AS (SELECT doc_id, p, substr(txt, CAST(p AS INT), 50) AS g, glen FROM pos),
+    stats AS (SELECT g, COUNT(DISTINCT doc_id) AS df, MIN(doc_id) AS owner FROM pg GROUP BY g),
+    hits AS (
+      SELECT pg.doc_id, pg.p, pg.p + pg.glen AS e
+      FROM pg JOIN stats USING (g)
+      WHERE stats.df >= 2 AND pg.doc_id <> stats.owner
+    ),
+    isl AS (
+      SELECT doc_id, p, e,
+             CASE WHEN p > COALESCE(MAX(e) OVER (PARTITION BY doc_id ORDER BY p ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) THEN 1 ELSE 0 END AS new_isl
+      FROM hits
+    ),
+    isl2 AS (
+      SELECT doc_id, p, e,
+             SUM(new_isl) OVER (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ),
+    spans AS (SELECT doc_id, island, MIN(p) AS s, MAX(e) AS se FROM isl2 GROUP BY doc_id, island),
+    heads AS (
+      SELECT sp.doc_id,
+             COALESCE(LAG(sp.se) OVER (PARTITION BY sp.doc_id ORDER BY sp.s), 1) AS b,
+             sp.s AS lim, t.txt AS txt
+      FROM spans sp JOIN t USING (doc_id)
+    ),
+    segs AS (
+      SELECT doc_id, b, substr(txt, CAST(b AS INT), CAST(lim - b AS INT)) AS seg FROM heads
+      UNION ALL
+      SELECT sp.doc_id, MAX(sp.se) AS b,
+             substr(MIN(t.txt), CAST(MAX(sp.se) AS INT), CAST(length(MIN(t.txt)) - MAX(sp.se) + 1 AS INT)) AS seg
+      FROM spans sp JOIN t USING (doc_id) GROUP BY sp.doc_id
+    ),
+    rebuilt AS (SELECT doc_id, string_agg(seg, '' ORDER BY b) AS clean FROM segs GROUP BY doc_id)
+    SELECT t.doc_id, COALESCE(r.clean, t.txt) AS cleaned,
+           CAST(length(t.txt) - length(COALESCE(r.clean, t.txt)) AS BIGINT) AS n_removed_chars
+    FROM t LEFT JOIN rebuilt r USING (doc_id)
+    """,
+)
+def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup REWRITE (Lee et al. 2107.06499,
+    extensions.dedup.remove_repeated_spans): with every 7th doc
+    re-appended as a copy, cut from each non-canonical doc every maximal
+    >=50-char normalized span that another doc shares verbatim
+    (keep_first: the min-id doc per gram keeps its occurrence). The
+    oracle rebuilds the cleaned STRINGS relationally (position grams →
+    doc-freq+owner → gaps-and-islands merge → segment reassembly), so a
+    single off-by-one in any span boundary hash-mismatches — the
+    strongest check a rewrite operator can carry. The engine shuffles
+    8-byte gram hashes where the oracle uses gram strings; agreement is
+    modulo xxhash64 collisions (~2^-64 per gram pair)."""
+    from epic_pandas_spark.extensions.dedup import remove_repeated_spans
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 7 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    unioned = docs.unionByName(dups)
+    return remove_repeated_spans(
+        unioned, "text", "doc_id", min_len=50, keep_first=True
+    ).select("doc_id", "cleaned", "n_removed_chars")
+
+
+@register(
     "repeated_passages_winnowed",
     """
     SELECT doc_id AS id_a, doc_id + 1000000 AS id_b

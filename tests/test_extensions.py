@@ -1074,3 +1074,103 @@ def test_ivf_pq_recall_and_refine(spark):
 
     with _pytest.raises(ValueError):
         ivf_pq_knn(emb, queries, refine_factor=-1)
+
+
+def _model_remove_spans(docs, k, min_doc_freq=2, keep_first=False):
+    """Python reference model of remove_repeated_spans: exact gram
+    strings, interval union per doc, cut flagged char ranges."""
+    import re
+
+    norm = {d: re.sub(r"\s+", " ", t.lower()) for d, t in docs.items()}
+    from collections import defaultdict
+
+    where = defaultdict(set)  # gram -> doc ids
+    grams = {}
+    for d, t in norm.items():
+        L = len(t)
+        ps = range(1, max(L - k + 1, 1) + 1) if L else [1]
+        glen = min(k, L)
+        gs = [(p, t[p - 1 : p - 1 + glen]) for p in ps]
+        grams[d] = (gs, glen, L)
+        for _p, g in gs:
+            where[g].add(d)
+    out = {}
+    for d, (gs, glen, L) in grams.items():
+        cut = [False] * (L + 2)
+        for p, g in gs:
+            dup = len(where[g]) >= min_doc_freq
+            if dup and keep_first and d == min(where[g]):
+                dup = False
+            if dup:
+                for c in range(p, p + glen):
+                    if c <= L:
+                        cut[c] = True
+        kept = "".join(ch for i, ch in enumerate(norm[d], start=1) if not cut[i])
+        out[d] = (kept, L - len(kept))
+    return out
+
+
+@pytest.mark.parametrize("keep_first", [False, True])
+def test_remove_repeated_spans_matches_python_model(spark, keep_first):
+    from epic_pandas_spark.extensions.dedup import remove_repeated_spans
+
+    boiler = "all rights reserved contact us at example dot com today"
+    docs = {
+        1: f"unique alpha text one. {boiler} more unique trailing words here",
+        2: f"{boiler} and a completely different continuation of thoughts",
+        3: "no duplicated content lives in this particular document at all",
+        4: f"leading thoughts then {boiler}",
+        5: f"{boiler}",  # exactly the boilerplate
+        6: "short",  # < k chars, unique
+        7: "short",  # < k chars, duplicated whole-string gram with 6
+        8: "",
+    }
+    k = 30
+    want = _model_remove_spans(docs, k, keep_first=keep_first)
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cleaned"], r["n_removed_chars"])
+        for r in remove_repeated_spans(
+            df, "text", "doc_id", min_len=k, keep_first=keep_first
+        ).collect()
+    }
+    assert got == want
+    # sanity on the semantics, not just model equality
+    if not keep_first:
+        assert got[5][0] == ""  # pure boilerplate doc fully removed
+    else:
+        # doc 1 is the min id over every boilerplate gram -> sole owner:
+        # it passes through untouched, every other copy is cut
+        assert got[1] == (docs[1].lower(), 0)
+        assert "all rights" not in got[2][0]
+    assert got[3] == (docs[3], 0)  # untouched doc passes through
+    assert got[8] == ("", 0)  # empty doc survives with empty text
+
+
+def test_remove_repeated_spans_random_corpus_model(spark):
+    """Model-based sweep on a random high-collision corpus: many docs
+    stitched from a tiny phrase pool, so spans overlap, nest, and abut
+    in adversarial ways."""
+    import random
+
+    from epic_pandas_spark.extensions.dedup import remove_repeated_spans
+
+    rng = random.Random(13)
+    phrases = [
+        "the quick brown fox jumps over the lazy dog",
+        "pack my box with five dozen liquor jugs",
+        "how vexingly quick daft zebras jump",
+        "sphinx of black quartz judge my vow",
+    ]
+    docs = {}
+    for d in range(40):
+        n = rng.randint(1, 4)
+        docs[d] = " ".join(rng.choice(phrases) for _ in range(n))
+    k = 25
+    want = _model_remove_spans(docs, k)
+    df = spark.createDataFrame(list(docs.items()), "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["cleaned"], r["n_removed_chars"])
+        for r in remove_repeated_spans(df, "text", "doc_id", min_len=k).collect()
+    }
+    assert got == want
