@@ -249,6 +249,47 @@ def minhash_signatures(words: DataFrame, n_hashes: int = 32, seed: int = 7) -> D
     return exploded.groupBy("id").agg(*aggs)
 
 
+def tune_lsh_bands(
+    threshold: float,
+    n_hashes: int = 32,
+    fp_weight: float = 0.5,
+    fn_weight: float = 0.5,
+) -> int:
+    """Pick the LSH band count minimizing the weighted false-positive +
+    false-negative mass of the S-curve — the standard optimal-parameter
+    search (Leskovec/Rajaraman/Ullman, *Mining of Massive Datasets*
+    §3.4.3; same criterion as datasketch's ``_optimal_param``).
+
+    For ``bands`` bands of ``r = n_hashes // bands`` rows, a pair with
+    true Jaccard ``s`` becomes a candidate with probability
+    ``1 - (1 - s^r)^bands``. FP mass = ∫₀ᵗ P(s) ds (work wasted
+    verifying sub-threshold pairs), FN mass = ∫ₜ¹ (1 - P(s)) ds (recall
+    lost BEFORE the exact-verification stage can save it). Every
+    divisor of n_hashes is scored by midpoint quadrature; ties break to
+    fewer bands (cheaper candidate join). Driver-side arithmetic over
+    ≤ n_hashes options — costs nothing at any scale."""
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    steps = 1000
+    best_bands, best_err = None, None
+    for bands in range(1, n_hashes + 1):
+        if n_hashes % bands:
+            continue
+        r = n_hashes // bands
+        fp = fn = 0.0
+        for i in range(steps):
+            s = (i + 0.5) / steps
+            p = 1.0 - (1.0 - s**r) ** bands
+            if s < threshold:
+                fp += p / steps
+            else:
+                fn += (1.0 - p) / steps
+        err = fp_weight * fp + fn_weight * fn
+        if best_err is None or err < best_err - 1e-12:
+            best_bands, best_err = bands, err
+    return best_bands
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -256,7 +297,7 @@ def minhash_lsh_pairs(
     threshold: float,
     shingle_words: int = 3,
     n_hashes: int = 32,
-    bands: int = 16,
+    bands: int | str = 16,
     seed: int = 7,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified: band the signature into
@@ -267,7 +308,14 @@ def minhash_lsh_pairs(
     Scale shape: candidate generation shuffles on the band hash (8 bytes ×
     bands per doc); verification touches only candidate pairs. Identical
     shingle sets always collide in every band, so recall at threshold→1.0
-    is exactly 1."""
+    is exactly 1.
+
+    ``bands="auto"`` picks the band count from the threshold via
+    :func:`tune_lsh_bands` (S-curve FP+FN minimization) — high
+    thresholds get fewer, longer bands (cheap and precise), low
+    thresholds more, shorter ones (recall before verification)."""
+    if bands == "auto":
+        bands = tune_lsh_bands(threshold, n_hashes)
     if n_hashes % bands != 0:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
