@@ -135,6 +135,43 @@ def lsh_bucket_expr(vec_col, planes: list[list[float]]):
     return bucket
 
 
+def lsh_probe_buckets_expr(vec_col, planes: list[list[float]], n_probes: int):
+    """Multi-probe bucket array (Lv et al., "Multi-Probe LSH", VLDB'07,
+    single-bit perturbations): the vector's own sign bucket plus the
+    ``n_probes - 1`` buckets reached by flipping the hyperplane bits
+    with the smallest |margin| — the bits most likely to have landed on
+    the wrong side for a true neighbor. Pure expressions: margins sort
+    in a (|dot|, mask) struct array; each flip XORs its bit mask."""
+    margins = F.array(
+        *[
+            F.struct(
+                F.abs(
+                    F.aggregate(
+                        F.zip_with(
+                            vec_col,
+                            F.array(*[F.lit(float(x)) for x in plane]),
+                            lambda a, b: a * b,
+                        ),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    )
+                ).alias("m"),
+                F.lit(1 << i).cast("long").alias("mask"),
+            )
+            for i, plane in enumerate(planes)
+        ]
+    )
+    base = lsh_bucket_expr(vec_col, planes)
+    flips = F.slice(F.sort_array(margins), 1, n_probes - 1)
+    return F.concat(
+        F.array(base),
+        F.transform(
+            flips,
+            lambda s: base.bitwiseXOR(s["mask"]),
+        ),
+    )
+
+
 def lsh_bucketed_knn(
     corpus: DataFrame,
     queries: DataFrame,
@@ -144,18 +181,35 @@ def lsh_bucketed_knn(
     k: int = 5,
     n_planes: int = 8,
     seed: int = 11,
+    n_probes: int = 1,
 ) -> DataFrame:
     """Approximate top-k: hash corpus and queries into sign buckets, search
     only same-bucket candidates. 2^n_planes buckets shrink the scanned
     fraction to ~1/2^n_planes at some recall cost — the IVF-style scale
-    path. Same output schema as knn_bruteforce."""
+    path. Same output schema as knn_bruteforce.
+
+    ``n_probes > 1`` enables query-directed multi-probe (Lv et al.
+    VLDB'07): each query additionally searches the buckets reached by
+    flipping its lowest-|margin| sign bits — recall recovers toward
+    n_probes/2^n_planes scan fraction without touching the corpus side
+    (only the tiny broadcast query set replicates per probe)."""
+    if n_probes < 1 or n_probes > n_planes + 1:
+        raise ValueError(
+            "n_probes must be in [1, n_planes + 1] (single-bit perturbations)"
+        )
     planes = random_hyperplanes(dim, n_planes, seed)
     c = corpus.select(id_col, _as_double(vec_col).alias("__cv")).withColumn(
         "bucket", lsh_bucket_expr(F.col("__cv"), planes)
     )
-    q = queries.select(
-        F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
-    ).withColumn("bucket", lsh_bucket_expr(F.col("__qv"), planes))
+    q = (
+        queries.select(
+            F.col(id_col).alias("query_id"), _as_double(vec_col).alias("__qv")
+        )
+        .withColumn(
+            "bucket",
+            F.explode(lsh_probe_buckets_expr(F.col("__qv"), planes, n_probes)),
+        )
+    )
     scored = c.join(F.broadcast(q), on="bucket").withColumn(
         "cosine", cosine_similarity_expr(F.col("__qv"), F.col("__cv"))
     )

@@ -1237,3 +1237,42 @@ def test_minhash_auto_bands_matches_explicit(spark):
     }
     assert auto == explicit
     assert {(i, 100 + i) for i in range(3)} <= auto
+
+
+def test_lsh_multiprobe_recall_never_worse(spark):
+    """Multi-probe (Lv et al. VLDB'07 single-bit flips) must (a) leave
+    n_probes=1 behavior bit-identical to the original single-bucket
+    search, (b) never lower recall as probes grow, and (c) strictly
+    widen the candidate pool on this fixture."""
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r["query_id"], r["vec_id"]) for r in knn_bruteforce(emb, queries, k=5).collect()
+    }
+
+    def got(n_probes):
+        return {
+            (r["query_id"], r["vec_id"])
+            for r in lsh_bucketed_knn(
+                emb, queries, dim=64, k=5, n_planes=8, n_probes=n_probes
+            ).collect()
+        }
+
+    one, four, nine = got(1), got(4), got(9)
+    base = {
+        (r["query_id"], r["vec_id"])
+        for r in lsh_bucketed_knn(emb, queries, dim=64, k=5, n_planes=8).collect()
+    }
+    assert one == base
+    r1 = len(one & exact) / len(exact)
+    r4 = len(four & exact) / len(exact)
+    r9 = len(nine & exact) / len(exact)
+    assert r1 <= r4 <= r9
+    assert len(nine) >= len(one)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        lsh_bucketed_knn(emb, queries, dim=64, n_planes=8, n_probes=10)
+    with _pytest.raises(ValueError):
+        lsh_bucketed_knn(emb, queries, dim=64, n_probes=0)
