@@ -142,3 +142,78 @@ def degree_stats(
     if directed:
         ends = ends.unionByName(e.select(F.col("dst").alias("id")))
     return ends.groupBy("id").agg(F.count(F.lit(1)).alias("degree"))
+
+
+def triangle_counts(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+) -> DataFrame:
+    """Exact per-node triangle counts + local clustering coefficient via
+    the degree-oriented edge join (the node-iterator++ / MapReduce
+    triangle algorithm of Suri & Vassilvitskii, WWW'11): orient every
+    undirected edge from its lower-(degree, id) endpoint to the higher,
+    enumerate wedges only at each edge's LOW endpoint, and close them
+    against the oriented edge set.
+
+    Why this survives scale: un-oriented wedge enumeration is
+    sum(deg²) — a single celebrity node with degree 10M generates 10¹⁴
+    wedges. Orientation caps every out-degree at O(sqrt(m)) (a node of
+    rank r has at most m/r lower-rank neighbors), so total wedges are
+    O(m^1.5) regardless of skew — the classical bound, achieved here
+    with two self-joins and no driver state. Ranks are encoded as
+    ``degree * 10^11 + id`` longs so the comparison stays a plain
+    integer predicate (portable to the SQL oracle).
+
+    Input edges may be directed/duplicated/self-looped; they are
+    canonicalized first. Returns ``(id, degree, triangles, coeff)`` for
+    every node with degree >= 1, where coeff = 2*triangles /
+    (degree * (degree - 1)) and 0.0 for degree-1 nodes."""
+    a, b = F.least(F.col(src), F.col(dst)), F.greatest(F.col(src), F.col(dst))
+    und = (
+        edges.filter(F.col(src) != F.col(dst))
+        .select(a.alias("a"), b.alias("b"))
+        .distinct()
+    )
+    deg = (
+        und.select(F.col("a").alias("id"))
+        .unionByName(und.select(F.col("b").alias("id")))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    RANK = 100_000_000_000
+    ranked = deg.select(
+        "id", "degree", (F.col("degree") * F.lit(RANK) + F.col("id")).alias("rk")
+    )
+    # orient a->b by rank; attach ranks via two keyed joins (node table)
+    ra = ranked.select(F.col("id").alias("a"), F.col("rk").alias("rka"))
+    rb = ranked.select(F.col("id").alias("b"), F.col("rk").alias("rkb"))
+    withrk = und.join(ra, "a").join(rb, "b")
+    oriented = withrk.select(
+        F.when(F.col("rka") < F.col("rkb"), F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(F.col("rka") < F.col("rkb"), F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(F.col("rka") < F.col("rkb"), F.col("rkb")).otherwise(F.col("rka")).alias("rkv"),
+    )
+    e1 = oriented.select("u", F.col("v").alias("x"), F.col("rkv").alias("rkx"))
+    e2 = oriented.select("u", F.col("v").alias("y"), F.col("rkv").alias("rky"))
+    wedges = e1.join(e2, "u").filter(F.col("rkx") < F.col("rky"))
+    closer = oriented.select(F.col("u").alias("x"), F.col("v").alias("y"))
+    tri = wedges.join(closer, ["x", "y"]).select("u", "x", "y")
+    per_node = (
+        tri.select(F.explode(F.array("u", "x", "y")).alias("id"))
+        .groupBy("id")
+        .agg(F.count(F.lit(1)).alias("triangles"))
+    )
+    return deg.join(per_node, "id", "left").select(
+        "id",
+        "degree",
+        F.coalesce("triangles", F.lit(0)).alias("triangles"),
+        F.when(
+            F.col("degree") >= 2,
+            2.0
+            * F.coalesce("triangles", F.lit(0))
+            / (F.col("degree") * (F.col("degree") - 1)),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("coeff"),
+    )

@@ -3741,6 +3741,53 @@ def q_ewma_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "event_id", F.round("ewma", 6).alias("ewma"))
 
 
+@register(
+    "triangle_counts",
+    """
+    WITH raw AS (
+      SELECT user_id AS s, event_id % 3000 AS d FROM events
+    ),
+    und AS (
+      SELECT DISTINCT LEAST(s, d) AS a, GREATEST(s, d) AS b FROM raw WHERE s <> d
+    ),
+    deg AS (
+      SELECT id, COUNT(*) AS degree FROM (
+        SELECT a AS id FROM und UNION ALL SELECT b AS id FROM und
+      ) GROUP BY id
+    ),
+    tri AS (
+      SELECT e1.a AS x, e1.b AS y, e2.b AS z
+      FROM und e1 JOIN und e2 ON e2.a = e1.b JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+    ),
+    per_node AS (
+      SELECT id, COUNT(*) AS triangles FROM (
+        SELECT x AS id FROM tri UNION ALL SELECT y AS id FROM tri UNION ALL SELECT z AS id FROM tri
+      ) GROUP BY id
+    )
+    SELECT deg.id, deg.degree, COALESCE(per_node.triangles, 0) AS triangles,
+           ROUND(CASE WHEN deg.degree >= 2
+                 THEN 2.0 * COALESCE(per_node.triangles, 0) / (deg.degree * (deg.degree - 1))
+                 ELSE 0.0 END, 6) AS coeff
+    FROM deg LEFT JOIN per_node USING (id)
+    """,
+)
+def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-node triangle counts + clustering coefficient
+    (extensions.graph.triangle_counts) over the user/event interaction
+    graph. The engine runs the degree-ORIENTED wedge join (Suri &
+    Vassilvitskii: every out-degree capped at O(sqrt(m)), wedge work
+    O(m^1.5) under any skew); the oracle counts triangles with the naive
+    canonical a<b<c triple join — two different plans, one exact answer,
+    so a lost or double-counted triangle anywhere hash-mismatches."""
+    from epic_pandas_spark.extensions.graph import triangle_counts
+
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("user_id").alias("src"), (F.col("event_id") % 3000).alias("dst")
+    )
+    out = triangle_counts(ev)
+    return out.select("id", "degree", "triangles", F.round("coeff", 6).alias("coeff"))
+
+
 @register("pagerank_events", None)  # iterative linear algebra — no SQL
 # oracle; exact numpy power-iteration + closed-form star witnesses in
 # tests/test_graph.py. The query self-witnesses mass conservation.

@@ -90,3 +90,55 @@ def test_pagerank_eager_and_lazy_rounds_identical(spark):
         assert set(lazy) == set(eager), directed
         for k in lazy:
             assert abs(lazy[k] - eager[k]) < 1e-12, (directed, k)
+
+
+def test_triangle_counts_closed_forms(spark):
+    """K4 (every node: 3 triangles, coeff 1), a 4-cycle (0 triangles),
+    and a star (0 triangles) — closed forms covering dense, sparse, and
+    skewed-hub shapes. Input arrives dirty (duplicates, both directions,
+    self-loops) to prove canonicalization."""
+    from epic_pandas_spark.extensions.graph import triangle_counts
+
+    k4 = [(i, j) for i in range(4) for j in range(4) if i != j]  # both dirs
+    cyc = [(10, 11), (11, 12), (12, 13), (13, 10), (10, 10)]  # + self-loop
+    star = [(20, 21), (20, 22), (20, 23), (21, 20)]  # + reverse dup
+    df = spark.createDataFrame(k4 + cyc + star, "src long, dst long")
+    got = {
+        r["id"]: (r["degree"], r["triangles"], round(r["coeff"], 9))
+        for r in triangle_counts(df).collect()
+    }
+    for i in range(4):
+        assert got[i] == (3, 3, 1.0)
+    for i in (10, 11, 12, 13):
+        assert got[i] == (2, 0, 0.0)
+    assert got[20] == (3, 0, 0.0)
+    for i in (21, 22, 23):
+        assert got[i] == (1, 0, 0.0)
+
+
+def test_triangle_counts_random_graph_vs_networkx_free_model(spark):
+    """Model-based: per-node triangle counts on a random graph must equal
+    a brute-force O(n^3) Python count (no networkx needed)."""
+    import itertools
+    import random
+
+    from epic_pandas_spark.extensions.graph import triangle_counts
+
+    rng = random.Random(7)
+    nodes = list(range(30))
+    edges = {tuple(sorted(e)) for e in
+             (rng.sample(nodes, 2) for _ in range(120))}
+    tri = {n: 0 for n in nodes}
+    deg = {n: 0 for n in nodes}
+    for a, b in edges:
+        deg[a] += 1
+        deg[b] += 1
+    for a, b, c in itertools.combinations(nodes, 3):
+        if ((a, b) in edges and (b, c) in edges and (a, c) in edges):
+            tri[a] += 1
+            tri[b] += 1
+            tri[c] += 1
+    df = spark.createDataFrame(sorted(edges), "src long, dst long")
+    got = {r["id"]: (r["degree"], r["triangles"]) for r in triangle_counts(df).collect()}
+    want = {n: (deg[n], tri[n]) for n in nodes if deg[n] > 0}
+    assert got == want
