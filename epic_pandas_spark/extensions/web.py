@@ -1,0 +1,128 @@
+"""Web-corpus URL curation — canonicalization and host/domain extraction
+as PURE column expressions (JVM-side regex + higher-order array
+functions; no UDF, no shuffle, no driver round-trip).
+
+Web-scale curation pipelines (C4, RefinedWeb, Gopher/MassiveWeb) key
+almost everything on a canonical URL: URL-level dedup, per-domain caps,
+domain blocklists, and provenance joins all break when the same page
+appears as `HTTPS://Site.com:443/a/?utm_source=feed#top` and
+`https://site.com/a`. The reference engine has no web tier (this is an
+extension obligation like the dedup/similarity families); the
+normalization steps follow RFC 3986 §6 plus the de-facto
+tracking-parameter strip used by the public curation pipelines.
+
+Normalization applied by :func:`canonicalize_url_expr`:
+
+1. trim surrounding whitespace; drop the fragment (``#...``);
+2. lowercase the scheme and the host;
+3. strip the default port (``:80`` for http, ``:443`` for https) —
+   non-default ports are kept;
+4. strip a single trailing slash from the path; an empty path becomes
+   ``/`` (so ``host`` and ``host/`` collide, per RFC 3986 §6.2.3);
+5. drop tracking query parameters (``utm_*`` and the well-known click
+   identifiers below), sort the survivors byte-lexicographically, and
+   drop the ``?`` entirely when none survive.
+
+Deliberately NOT done (documented scope): percent-encoding
+normalization, IDN/punycode folding, and path dot-segment removal —
+each needs a real URL parser, and at curation scale the five steps
+above capture the aliasing that actually occurs in crawl data.
+
+At 100 TB: everything here is a chain of regexp/array expressions
+evaluated inline in the scan projection — it adds zero jobs, zero
+shuffles, and keeps URL dedup/caps on the same single-shuffle plans as
+the rest of the curation tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# Click/campaign identifiers stripped by the public curation pipelines;
+# utm_* is matched by prefix separately.
+TRACKING_PARAMS = (
+    "fbclid",
+    "gclid",
+    "gclsrc",
+    "dclid",
+    "msclkid",
+    "mc_cid",
+    "mc_eid",
+    "igshid",
+    "ref_src",
+    "spm",
+)
+
+_SCHEME_RE = r"^([a-zA-Z][a-zA-Z0-9+.-]*)://"
+_AUTHORITY_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://([^/?#]*)"
+_PATH_RE = r"^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?#]*([^?#]*)"
+_QUERY_RE = r"\?([^#]*)"
+
+
+def _defragmented(url: Column) -> Column:
+    return F.substring_index(F.trim(url), "#", 1)
+
+
+def url_scheme_expr(url) -> Column:
+    """Lowercased scheme of ``url`` ('' when absent)."""
+    return F.lower(F.regexp_extract(_defragmented(F.col(url) if isinstance(url, str) else url), _SCHEME_RE, 1))
+
+
+def url_host_expr(url) -> Column:
+    """Lowercased host of ``url`` — authority minus any ``:port`` and
+    any ``user@`` prefix ('' when the URL has no ``scheme://``)."""
+    u = F.col(url) if isinstance(url, str) else url
+    auth = F.regexp_extract(_defragmented(u), _AUTHORITY_RE, 1)
+    host = F.substring_index(F.substring_index(auth, "@", -1), ":", 1)
+    return F.lower(host)
+
+
+def registrable_domain_expr(url) -> Column:
+    """Last-two-labels approximation of the registrable domain
+    (``news.site.example.com`` → ``example.com``). DEVIATION from a full
+    Public Suffix List lookup (multi-label suffixes like ``co.uk``
+    collapse to the suffix itself); the PSL is a 15k-line moving dataset
+    — callers that need it can join one as a broadcast dim against
+    :func:`url_host_expr` output."""
+    host = url_host_expr(url)
+    two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
+    return F.when(two != "", two).otherwise(host)
+
+
+def canonicalize_url_expr(url) -> Column:
+    """Canonical form of ``url`` per the module contract — a single
+    expression tree (regex extracts + ``filter``/``array_sort``/
+    ``array_join`` over the split query string), fully JVM-evaluated."""
+    u = _defragmented(F.col(url) if isinstance(url, str) else url)
+
+    scheme = F.lower(F.regexp_extract(u, _SCHEME_RE, 1))
+    auth = F.regexp_extract(u, _AUTHORITY_RE, 1)
+    userinfo = F.when(auth.contains("@"), F.concat(F.substring_index(auth, "@", 1), F.lit("@"))).otherwise(F.lit(""))
+    hostport = F.substring_index(auth, "@", -1)
+    host = F.lower(F.substring_index(hostport, ":", 1))
+    port = F.when(hostport.contains(":"), F.substring_index(hostport, ":", -1)).otherwise(F.lit(""))
+    default_port = F.when(
+        ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443")), F.lit(True)
+    ).otherwise(F.lit(False))
+    port_part = F.when((port == "") | default_port, F.lit("")).otherwise(F.concat(F.lit(":"), port))
+
+    raw_path = F.regexp_extract(u, _PATH_RE, 1)
+    # strip one trailing slash; empty path -> '/'
+    path = F.when(
+        (raw_path == "") | (raw_path == "/"), F.lit("/")
+    ).otherwise(F.regexp_replace(raw_path, r"/$", ""))
+
+    qs = F.regexp_extract(u, _QUERY_RE, 1)
+    params = F.filter(
+        F.split(qs, "&"),
+        lambda p: (p != "")
+        & ~F.startswith(F.substring_index(p, "=", 1), F.lit("utm_"))
+        & ~F.substring_index(p, "=", 1).isin(*TRACKING_PARAMS),
+    )
+    query_part = F.when(
+        F.size(params) > 0, F.concat(F.lit("?"), F.array_join(F.array_sort(params), "&"))
+    ).otherwise(F.lit(""))
+
+    return F.when(
+        scheme == "", F.trim(F.col(url) if isinstance(url, str) else url)
+    ).otherwise(F.concat(scheme, F.lit("://"), userinfo, host, port_part, path, query_part))

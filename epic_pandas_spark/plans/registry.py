@@ -3210,6 +3210,148 @@ def q_random_projection_distortion(spark: SparkSession, sf_dir: str) -> DataFram
         ).alias("within_bound"),
     )
 
+@register("pca_project", None)  # eigendecomposition → rows-only; self-witnessing
+def q_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed PCA (extensions.decomposition) of the embeddings table
+    to 8 components — the data-adaptive width reduction beside the seeded
+    JL twin above. Self-witnessing in-plan: the sample variance of each
+    projected coordinate must equal that component's eigenvalue (that IS
+    what PCA means), so every bench run re-checks the decomposition
+    against an independent var_samp aggregate — `rel_err` ~ 0 or the
+    query is wrong. Fit is one sufficient-stats pass (per-partition BLAS
+    Gram partials, in-plan posexplode tree reduction, d^2+d cells
+    collected); projection one GEMM pandas-UDF pass; no reference analog
+    (the reference has no embedding tier)."""
+    from epic_pandas_spark.extensions.decomposition import pca_fit, pca_transform
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    model = pca_fit(emb, "embedding", n_components=8)
+    proj = pca_transform(emb, model, "embedding")
+    ev = spark.createDataFrame(
+        [
+            (
+                i,
+                float(model["explained_variance"][i]),
+                float(model["explained_variance_ratio"][i]),
+            )
+            for i in range(len(model["explained_variance"]))
+        ],
+        "component int, explained_variance double, ratio double",
+    )
+    comp_var = (
+        proj.select(F.posexplode("pca").alias("component", "val"))
+        .groupBy("component")
+        .agg(F.var_samp("val").alias("projected_variance"))
+    )
+    return (
+        ev.join(comp_var, "component")
+        .select(
+            "component",
+            F.round("explained_variance", 6).alias("explained_variance"),
+            F.round("ratio", 6).alias("ratio"),
+            (
+                F.abs(F.col("projected_variance") - F.col("explained_variance"))
+                / F.col("explained_variance")
+                < F.lit(1e-6)
+            ).alias("variance_witness"),
+        )
+        .orderBy("component")
+    )
+
+@register(
+    "url_canonicalize",
+    """
+    WITH urls AS (
+      SELECT doc_id, source,
+             (CASE doc_id % 3 WHEN 0 THEN 'https://' WHEN 1 THEN 'HTTPS://'
+                   ELSE 'http://' END)
+             || (CASE WHEN doc_id % 4 = 0 THEN upper(source) ELSE source END)
+             || '.Example.COM'
+             || (CASE WHEN doc_id % 5 = 0 THEN ':443'
+                      WHEN doc_id % 5 = 1 THEN ':8080' ELSE '' END)
+             || '/articles/' || CAST(doc_id % 50 AS VARCHAR)
+             || (CASE WHEN doc_id % 2 = 0 THEN '/' ELSE '' END)
+             || (CASE WHEN doc_id % 3 = 0
+                      THEN '?utm_source=feed&id=' || CAST(doc_id % 7 AS VARCHAR)
+                           || '&utm_campaign=x'
+                      WHEN doc_id % 3 = 1
+                      THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) || '&fbclid=abc'
+                      ELSE '' END)
+             || (CASE WHEN doc_id % 6 = 0 THEN '#section-2' ELSE '' END) AS raw
+      FROM documents
+    ),
+    -- the oracle derives the canonical form INDEPENDENTLY from the
+    -- controlled construction (RFC 3986 component algebra), not by
+    -- re-running the engine's regex pipeline
+    canon AS (
+      SELECT doc_id,
+             lower(source) || '.example.com' AS host,
+             'http' || (CASE WHEN doc_id % 3 IN (0, 1) THEN 's' ELSE '' END)
+             || '://' || lower(source) || '.example.com'
+             || (CASE WHEN doc_id % 5 = 1 THEN ':8080'
+                      WHEN doc_id % 5 = 0 AND doc_id % 3 = 2 THEN ':443'
+                      ELSE '' END)
+             || '/articles/' || CAST(doc_id % 50 AS VARCHAR)
+             || (CASE WHEN doc_id % 3 IN (0, 1)
+                      THEN '?id=' || CAST(doc_id % 7 AS VARCHAR) ELSE '' END)
+               AS canonical
+      FROM urls
+    )
+    SELECT host,
+           COUNT(*) AS n_docs,
+           COUNT(DISTINCT canonical) AS n_urls,
+           MIN(canonical) AS first_url
+    FROM canon GROUP BY host
+    """,
+)
+def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Web-curation URL canonicalization (extensions.web) — documents
+    wrapped into deterministically messy URLs (mixed-case scheme/host,
+    default vs explicit ports, trailing slashes, utm_*/fbclid tracking
+    params, fragments), canonicalized with the expression-only
+    normalizer, then aggregated per host (URL-level dedup counts, the
+    RefinedWeb-style curation key). The DuckDB oracle derives the
+    expected canonical strings independently from the construction
+    algebra, so every normalization rule is cross-checked, not
+    mirrored. Expression-only: zero extra jobs/shuffles beyond the one
+    grouped aggregate."""
+    from epic_pandas_spark.extensions.web import canonicalize_url_expr, url_host_expr
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = F.col("doc_id")
+    raw = F.concat(
+        F.when(d % 3 == 0, F.lit("https://"))
+        .when(d % 3 == 1, F.lit("HTTPS://"))
+        .otherwise(F.lit("http://")),
+        F.when(d % 4 == 0, F.upper("source")).otherwise(F.col("source")),
+        F.lit(".Example.COM"),
+        F.when(d % 5 == 0, F.lit(":443")).when(d % 5 == 1, F.lit(":8080")).otherwise(F.lit("")),
+        F.lit("/articles/"),
+        (d % 50).cast("string"),
+        F.when(d % 2 == 0, F.lit("/")).otherwise(F.lit("")),
+        F.when(
+            d % 3 == 0,
+            F.concat(F.lit("?utm_source=feed&id="), (d % 7).cast("string"), F.lit("&utm_campaign=x")),
+        )
+        .when(d % 3 == 1, F.concat(F.lit("?id="), (d % 7).cast("string"), F.lit("&fbclid=abc")))
+        .otherwise(F.lit("")),
+        F.when(d % 6 == 0, F.lit("#section-2")).otherwise(F.lit("")),
+    )
+    urls = docs.select(F.col("doc_id"), raw.alias("raw"))
+    return (
+        urls.select(
+            url_host_expr("raw").alias("host"),
+            canonicalize_url_expr("raw").alias("canonical"),
+        )
+        .groupBy("host")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("canonical").alias("n_urls"),
+            F.min("canonical").alias("first_url"),
+        )
+    )
+
+
 @register(
     "bm25_topk",
     """

@@ -397,3 +397,50 @@ def test_dsir_select_prefers_target_like_docs(spark):
 
     with _pytest.raises(ValueError):
         dsir_select(sdf, tdf, "text", "doc_id", k=5, mode="bogus")
+
+
+def test_canonicalize_url_hand_cases(spark):
+    from epic_pandas_spark.extensions.web import (
+        canonicalize_url_expr,
+        registrable_domain_expr,
+        url_host_expr,
+        url_scheme_expr,
+    )
+
+    cases = [
+        # (raw, canonical, host, domain)
+        ("HTTPS://Example.COM:443/a/?utm_source=x#top", "https://example.com/a", "example.com", "example.com"),
+        ("https://example.com/a", "https://example.com/a", "example.com", "example.com"),
+        ("http://example.com:80/", "http://example.com/", "example.com", "example.com"),
+        ("http://example.com:8080/x", "http://example.com:8080/x", "example.com", "example.com"),
+        ("https://news.site.example.com", "https://news.site.example.com/", "news.site.example.com", "example.com"),
+        ("  https://a.io/p/?b=2&a=1&fbclid=zz  ", "https://a.io/p?a=1&b=2", "a.io", "a.io"),
+        ("https://a.io/p?utm_campaign=c&utm_medium=m", "https://a.io/p", "a.io", "a.io"),
+        ("https://user:pw@Host.io:443/q", "https://user:pw@host.io/q", "host.io", "host.io"),
+        ("ftp://Files.example.org:21/data/", "ftp://files.example.org:21/data", "files.example.org", "example.org"),
+        ("not a url", "not a url", "", ""),
+        ("https://localhost/x/", "https://localhost/x", "localhost", "localhost"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "raw string")
+    out = df.select(
+        "raw",
+        canonicalize_url_expr("raw").alias("canon"),
+        url_host_expr("raw").alias("host"),
+        registrable_domain_expr("raw").alias("domain"),
+        url_scheme_expr("raw").alias("scheme"),
+    ).collect()
+    got = {r["raw"]: r for r in out}
+    for raw, canon, host, domain in cases:
+        r = got[raw]
+        assert r["canon"] == canon, (raw, r["canon"], canon)
+        assert r["host"] == host, (raw, r["host"], host)
+        assert r["domain"] == domain, (raw, r["domain"], domain)
+    assert got["HTTPS://Example.COM:443/a/?utm_source=x#top"]["scheme"] == "https"
+    # idempotence: canonicalizing a canonical URL is a no-op
+    out2 = (
+        df.select(canonicalize_url_expr("raw").alias("c1"))
+        .select("c1", canonicalize_url_expr("c1").alias("c2"))
+        .collect()
+    )
+    for r in out2:
+        assert r["c1"] == r["c2"], r

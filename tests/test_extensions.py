@@ -1276,3 +1276,89 @@ def test_lsh_multiprobe_recall_never_worse(spark):
         lsh_bucketed_knn(emb, queries, dim=64, n_planes=8, n_probes=10)
     with _pytest.raises(ValueError):
         lsh_bucketed_knn(emb, queries, dim=64, n_probes=0)
+
+
+def test_pca_matches_numpy_exactly(spark):
+    import numpy as np
+    from epic_pandas_spark.extensions.decomposition import pca_fit, pca_transform
+
+    rng = np.random.default_rng(7)
+    # anisotropic data: stretch 3 directions so the spectrum is unambiguous
+    base = rng.standard_normal((300, 16))
+    base[:, 0] *= 9.0
+    base[:, 3] *= 5.0
+    base[:, 7] *= 2.5
+    base += rng.standard_normal(16)  # non-zero mean
+    rows = [(i, [float(x) for x in base[i]]) for i in range(300)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # float32 storage: fit on what Spark actually holds
+    x = np.vstack([np.asarray(v, dtype=np.float32).astype(np.float64) for _, v in rows])
+
+    model = pca_fit(df, "embedding", n_components=4)
+    assert model["n_rows"] == 300
+
+    cov = np.cov(x, rowvar=False, ddof=1)
+    w, v = np.linalg.eigh(cov)
+    order = np.argsort(w)[::-1][:4]
+    np.testing.assert_allclose(model["explained_variance"], w[order], rtol=1e-9)
+    np.testing.assert_allclose(model["mean"], x.mean(axis=0), rtol=0, atol=1e-9)
+    # components match up to the documented sign convention
+    expect = v[:, order]
+    flip = np.sign(expect[np.abs(expect).argmax(axis=0), np.arange(4)])
+    np.testing.assert_allclose(model["components"], expect * flip, atol=1e-8)
+    # column-orthonormal
+    np.testing.assert_allclose(
+        model["components"].T @ model["components"], np.eye(4), atol=1e-10
+    )
+    # ratios descend and sum to <= 1
+    r = model["explained_variance_ratio"]
+    assert all(r[i] >= r[i + 1] for i in range(3)) and 0 < r.sum() <= 1 + 1e-12
+
+    out = pca_transform(df, model, "embedding").collect()
+    got = np.vstack(
+        [r["pca"] for r in sorted(out, key=lambda r: r["vec_id"])]
+    )
+    np.testing.assert_allclose(got, (x - x.mean(axis=0)) @ (expect * flip), atol=1e-7)
+
+
+def test_pca_determinism_and_variance_concentration(spark):
+    import numpy as np
+    from epic_pandas_spark.extensions.decomposition import pca_fit
+
+    rng = np.random.default_rng(3)
+    base = rng.standard_normal((150, 8))
+    base[:, 2] *= 20.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(150)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>").repartition(7)
+    m1 = pca_fit(df, "embedding", n_components=2)
+    m2 = pca_fit(df.repartition(3), "embedding", n_components=2)
+    # partitioning must not change the statistics (exact in-plan reduction)
+    np.testing.assert_allclose(m1["components"], m2["components"], atol=1e-9)
+    # the stretched axis dominates component 0
+    assert abs(m1["components"][2, 0]) > 0.99
+    assert m1["explained_variance_ratio"][0] > 0.9
+
+
+def test_pca_whiten_identity_covariance(spark):
+    import numpy as np
+    from epic_pandas_spark.extensions.decomposition import pca_fit, pca_transform
+
+    rng = np.random.default_rng(11)
+    base = rng.standard_normal((400, 10))
+    base[:, 1] *= 12.0
+    base[:, 4] *= 6.0
+    rows = [(i, [float(x) for x in base[i]]) for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    model = pca_fit(df, "embedding", n_components=5)
+    out = pca_transform(df, model, "embedding", whiten=True).collect()
+    y = np.vstack([r["pca"] for r in out])
+    # whitened output: identity sample covariance (ddof matches the fit)
+    np.testing.assert_allclose(np.cov(y, rowvar=False, ddof=1), np.eye(5), atol=1e-6)
+
+
+def test_pca_raises_on_empty(spark):
+    df = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    from epic_pandas_spark.extensions.decomposition import pca_fit
+
+    with pytest.raises(ValueError):
+        pca_fit(df, "embedding", n_components=2)
