@@ -52,6 +52,9 @@ AUDIT_QUERIES = [
     "tpch_q12",           # fact-fact join + one-pass conditional agg
     "cms_heavy_hitters",  # CMS partials + exact verify on survivors only
     "semantic_dedup",     # one vector shuffle into the per-cluster prune
+    "triangle_counts",    # degree-oriented wedge self-join: edge pairs, no payloads
+    "pca_project",        # sufficient-stats: d^2+d cells per partition, flat in rows
+    "ivf_pq_knn",         # PQ codes (n_sub small ints) shuffle instead of float vectors
 ]
 
 

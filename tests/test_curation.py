@@ -444,3 +444,52 @@ def test_canonicalize_url_hand_cases(spark):
     )
     for r in out2:
         assert r["c1"] == r["c2"], r
+
+
+def test_canonicalize_url_equivalence_classes(spark):
+    """Every messy variant of the same logical URL (scheme/host case,
+    default port, trailing slash, tracking params in any position,
+    fragment) must collapse to ONE canonical string; distinct logical
+    URLs must stay distinct."""
+    import itertools
+
+    from pyspark.sql import functions as F
+
+    from epic_pandas_spark.extensions.web import canonicalize_url_expr
+
+    rows = []
+    for li, (host, path, realq) in enumerate(
+        [
+            ("site-a.com", "/x/y", "id=1"),
+            ("site-a.com", "/x/y", "id=2"),
+            ("b.example.org", "/", ""),
+            ("b.example.org", "/p", "a=1&b=2"),
+        ]
+    ):
+        for scheme, port, slash, track, frag in itertools.product(
+            ["https://", "HTTPS://", "HttpS://"],
+            ["", ":443"],
+            ["", "/"] if path != "/" else [""],
+            ["", "utm_source=x", "fbclid=zz"],
+            ["", "#frag"],
+        ):
+            qparts = [p for p in (realq, track) if p]
+            # tracking param first or last — order must not matter
+            for qp in {tuple(qparts), tuple(reversed(qparts))}:
+                q = ("?" + "&".join(qp)) if qp else ""
+                rows.append((li, scheme + host.upper() + port + path + slash + q + frag))
+                rows.append((li, scheme + host + port + path + slash + q + frag))
+    df = spark.createDataFrame(rows, "lid int, raw string")
+    agg = (
+        df.select("lid", canonicalize_url_expr("raw").alias("c"))
+        .groupBy("lid")
+        .agg(F.countDistinct("c").alias("n"), F.min("c").alias("canon"))
+        .collect()
+    )
+    by_lid = {r["lid"]: r for r in agg}
+    assert len(by_lid) == 4
+    for lid, r in by_lid.items():
+        assert r["n"] == 1, (lid, r)
+    # distinct logical URLs stay distinct
+    canons = {r["canon"] for r in by_lid.values()}
+    assert len(canons) == 4, canons
