@@ -70,9 +70,16 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
         return elapsed
 
+    # optional comma-separated subset (debugging / incremental artifact
+    # top-ups); default runs the whole registry
+    only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
+    subset = {q for q in only.split(",") if q} if only else None
+
     timings: dict[str, float] = {}
     failed: list[str] = []
     for name, (fn, _sql) in sorted(REGISTRY.items()):
+        if subset is not None and name not in subset:
+            continue
         t = run(fn, name)
         if t is None:
             failed.append(name)
