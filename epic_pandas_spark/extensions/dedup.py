@@ -1186,7 +1186,12 @@ def remove_repeated_spans(
         .agg(*stats)
         .filter(F.col("__df") >= min_doc_freq)
     )
-    hits = pos.join(flagged, on="__gh")
+    # flagged is corpus-proportional (one row per duplicated gram — the
+    # planted-dup + Zipf-head gram population grows with the corpus), so
+    # it must never broadcast; its hash key is uniform, so a per-partition
+    # shuffled-hash build is the scale-safe strategy (measured at sf10:
+    # the static planner otherwise broadcast-collected 2.1 GiB of grams)
+    hits = pos.join(flagged.hint("shuffle_hash"), on="__gh")
     if keep_first:
         hits = hits.filter(F.col("__id") != F.col("__owner"))
     hits = hits.select("__id", "__p", (F.col("__p") + F.col("__glen")).alias("__e"))
@@ -1202,8 +1207,14 @@ def remove_repeated_spans(
         F.min("__p").alias("__s"), F.max("__e").alias("__se")
     )
 
-    # kept segments: before/between spans via lag, plus the per-doc tail
-    with_text = spans.join(docs_n, on="__id")
+    # kept segments: before/between spans via lag, plus the per-doc tail.
+    # MERGE hint: the text side must NEVER broadcast — normalized text
+    # compresses far below the auto-broadcast threshold in parquet but
+    # explodes to corpus-sized bytes when the build side materializes on
+    # the driver (measured at sf10: a 91 MB documents.parquet became a
+    # 2.1 GiB broadcast collect and killed the job). Same for the
+    # rebuilt-text join below.
+    with_text = spans.join(docs_n.hint("merge"), on="__id")
     w2 = Window.partitionBy("__id").orderBy("__s")
     heads = with_text.select(
         "__id",
@@ -1234,7 +1245,7 @@ def remove_repeated_spans(
         )
     )
 
-    out = docs_n.join(rebuilt, on="__id", how="left").select(
+    out = docs_n.join(rebuilt.hint("merge"), on="__id", how="left").select(
         F.col("__id").alias(id_col),
         F.coalesce(F.col("__clean"), F.col("__t")).alias(out_col),
         (F.col("__len") - F.length(F.coalesce(F.col("__clean"), F.col("__t"))))
