@@ -93,6 +93,16 @@ def main() -> None:
     # growth factors that exceed the 10x row growth for a stated,
     # data-shape reason rather than a plan defect
     NOTES = {
+        "ivf_pq_knn": (
+            "growth off a near-zero base (0.04 MB -> 2 MB): candidate "
+            "PQ codes are n_sub smallints per (query, candidate) pair, "
+            "and the per-query candidate set tracks cluster size, which "
+            "is corpus/n_centroids under a fixed codebook - linear in "
+            "rows by design, with the remainder AQE partition-count "
+            "variance on MB-scale totals. Scaling n_centroids with the "
+            "corpus (the IVF design regime) keeps candidate sets, and "
+            "these bytes, bounded."
+        ),
         "cms_heavy_hitters": (
             "regime artifact of the FIXED absolute min_count (40): the "
             "auto-derived width grows with the data (2^16 -> 2^20 "
