@@ -3824,6 +3824,34 @@ def q_bpe_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("unigram_tokenize", None)  # EM-trained LM: rows-only; self-witnessing
+def q_unigram_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram-LM (SentencePiece-style) tokenizer, trained with full
+    forward-backward EM on the distinct-word table (functions.unigram;
+    Kudo 1804.10959) and applied with Viterbi in one shuffle-free Arrow
+    pass. Rows-only (an EM fixed point has no SQL oracle; exact
+    three-way parity — pure-Python reference == driver kernel == Spark
+    loop, bit-stable via integer micro-count quantization — is pinned in
+    pytest). Self-witnessing in-plan: `reconstructs` asserts the token
+    concatenation equals the normalized text with whitespace removed —
+    any segmentation bug (lattice, tie-break, unknown-char fallback)
+    flips it to false and shows in the value hash."""
+    from epic_pandas_spark.functions.unigram import unigram_encode, unigram_train
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    vocab = unigram_train(docs, "text", vocab_size=150, max_piece_len=5)
+    enc = unigram_encode(docs, "text", vocab)
+    return enc.select(
+        "doc_id",
+        F.size("tokens").alias("n_tokens"),
+        F.lit(len(vocab)).alias("vocab_size"),
+        (
+            F.array_join("tokens", "")
+            == F.regexp_replace(F.lower(F.trim("text")), r"\s+", "")
+        ).alias("reconstructs"),
+    )
+
+
 @register(
     "video_scene_changes",
     """

@@ -69,3 +69,103 @@ def test_bpe_train_early_stop_and_validation(spark):
         bpe_train(df, "text", n_merges=0)
     with pytest.raises(ValueError):
         bpe_train(df, "text", n_merges=1, mode="nope")
+
+
+# ---------------------------------------------------------------------------
+# unigram-LM (SentencePiece-style) tokenizer
+
+
+def test_unigram_em_kernel_hand_case():
+    """One word 'abab' with vocab {a, b, ab}: forward-backward posteriors
+    hand-checkable — 'ab' spans must carry mass, and total expected
+    piece characters must equal the word length."""
+    import math
+
+    from epic_pandas_spark.functions.unigram import _em_expected_counts, _Q
+
+    logp = {"a": math.log(0.25), "b": math.log(0.25), "ab": math.log(0.5)}
+    q = _em_expected_counts("abab", 1, logp, max_len=2)
+    counts = {p: v / _Q for p, v in q.items()}
+    assert counts["ab"] > 1.0  # the dominant segmentation uses ab twice
+    # expected characters covered == len(word): sum over pieces of
+    # E[count] * len(piece)
+    total_chars = sum(c * len(p) for p, c in counts.items())
+    assert abs(total_chars - 4.0) < 1e-6
+
+
+def test_unigram_viterbi_hand_cases():
+    import math
+
+    from epic_pandas_spark.functions.unigram import _viterbi
+
+    logp = {"a": math.log(0.2), "b": math.log(0.2), "ab": math.log(0.6)}
+    assert _viterbi("abab", logp, 2) == ["ab", "ab"]
+    # unknown char falls back to a single-char token, encoding stays total
+    assert _viterbi("axb", logp, 2) == ["a", "x", "b"]
+    assert _viterbi("", logp, 2) == []
+
+
+def test_unigram_train_parity_local_distributed_reference(spark):
+    """The quantized integer EM makes all three paths EXACTLY equal:
+    pure-Python reference == driver-kernel (auto/local) == Spark
+    distributed loop, including under a different partitioning."""
+    texts = [
+        "low low low low low",
+        "lower lower newest newest newest newest newest newest",
+        "widest widest widest wide wide new",
+    ]
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    from epic_pandas_spark.functions.unigram import (
+        unigram_train,
+        unigram_train_reference,
+    )
+
+    want = unigram_train_reference(texts, vocab_size=30, max_piece_len=6)
+    local = unigram_train(df, "text", vocab_size=30, max_piece_len=6, mode="local")
+    dist = unigram_train(
+        df, "text", vocab_size=30, max_piece_len=6, mode="distributed"
+    )
+    dist2 = unigram_train(
+        df.repartition(7), "text", vocab_size=30, max_piece_len=6, mode="distributed"
+    )
+    assert local == want
+    assert dist == want
+    assert dist2 == want
+    assert len(want) <= 30
+    # probabilities normalize
+    import math
+
+    assert abs(sum(math.exp(lp) for lp in want.values()) - 1.0) < 1e-9
+
+
+def test_unigram_encode_reconstruction_and_vocab(spark):
+    from epic_pandas_spark.functions.unigram import unigram_encode, unigram_train
+    from epic_pandas_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").limit(80).select("doc_id", "text")
+    vocab = unigram_train(docs, "text", vocab_size=120, max_piece_len=5)
+    assert len(vocab) <= 120
+    enc = unigram_encode(docs, "text", vocab)
+    rows = enc.select("text", "tokens").collect()
+    assert rows
+    for r in rows:
+        rebuilt = "".join(r["tokens"])
+        import re
+
+        want = re.sub(r"\s+", "", r["text"].lower().strip())
+        assert rebuilt == want
+        for t in r["tokens"]:
+            assert t in vocab or len(t) == 1  # unknown chars pass as singles
+    # multi-char pieces actually got used (the LM learned something)
+    assert any(len(t) > 1 for r in rows for t in r["tokens"])
+
+
+def test_unigram_train_rejects_bad_args(spark):
+    from epic_pandas_spark.functions.unigram import unigram_train
+
+    df = spark.createDataFrame([("a b",)], "text string")
+    with pytest.raises(ValueError):
+        unigram_train(df, "text", vocab_size=1)
+    with pytest.raises(ValueError):
+        unigram_train(df, "text", mode="bogus")
