@@ -149,7 +149,10 @@ def pca_transform(
     (useful before cosine/Euclidean indexing when the spectrum is
     skewed); components with eigenvalue <= 0 map to 0 rather than inf.
     The scaling folds into the broadcast matrix — same single GEMM.
-    """
+
+    Null vectors project to null (``pca_fit`` skips them when fitting,
+    so fit+transform over the SAME frame never crashes mid-job on a
+    null embedding)."""
     mean = np.asarray(model["mean"], dtype=np.float64)
     comps = np.asarray(model["components"], dtype=np.float64)
     if whiten:
@@ -161,9 +164,14 @@ def pca_transform(
     def _project(vs: pd.Series) -> pd.Series:
         if len(vs) == 0:
             return pd.Series([], dtype=object)
-        x = np.vstack(vs.to_numpy())
-        y = (x - mean) @ comps
-        return pd.Series(list(y))
+        mask = vs.notna().to_numpy()
+        out = np.full(len(vs), None, dtype=object)
+        if mask.any():
+            x = np.vstack(vs[mask].to_numpy())
+            y = (x - mean) @ comps
+            for k, row in zip(np.nonzero(mask)[0], y):
+                out[k] = row
+        return pd.Series(out)
 
     return df.withColumn(out_col, _project(F.col(vec_col).cast("array<double>")))
 

@@ -161,9 +161,11 @@ def triangle_counts(
     wedges. Orientation caps every out-degree at O(sqrt(m)) (a node of
     rank r has at most m/r lower-rank neighbors), so total wedges are
     O(m^1.5) regardless of skew — the classical bound, achieved here
-    with two self-joins and no driver state. Ranks are encoded as
-    ``degree * 10^11 + id`` longs so the comparison stays a plain
-    integer predicate (portable to the SQL oracle).
+    with two self-joins and no driver state. Ranks are compared as a
+    ``struct(degree, id)`` column (Spark structs order
+    lexicographically), so any orderable id type works — string ids,
+    negative ids, snowflake-scale longs — with no packing overflow and
+    no collision between distinct nodes.
 
     Input edges may be directed/duplicated/self-looped; they are
     canonicalized first. Returns ``(id, degree, triangles, coeff)`` for
@@ -181,9 +183,11 @@ def triangle_counts(
         .groupBy("id")
         .agg(F.count(F.lit(1)).alias("degree"))
     )
-    RANK = 100_000_000_000
+    # lexicographic (degree, id) rank — a struct comparison, not a packed
+    # long: packing degree*1e11+id collides/overflows for snowflake-scale
+    # ids and breaks entirely for string ids
     ranked = deg.select(
-        "id", "degree", (F.col("degree") * F.lit(RANK) + F.col("id")).alias("rk")
+        "id", "degree", F.struct(F.col("degree"), F.col("id")).alias("rk")
     )
     # orient a->b by rank; attach ranks via two keyed joins (node table)
     ra = ranked.select(F.col("id").alias("a"), F.col("rk").alias("rka"))

@@ -68,13 +68,37 @@ def url_scheme_expr(url) -> Column:
     return F.lower(F.regexp_extract(_defragmented(F.col(url) if isinstance(url, str) else url), _SCHEME_RE, 1))
 
 
+def _host_of(hostport: Column) -> Column:
+    """Host part of a ``host[:port]`` authority. Bracketed IPv6 literals
+    (``[::1]:8080``) keep their brackets and never split on the colons
+    INSIDE the brackets — RFC 3986 §3.2.2 reserves ``[``/``]`` exactly so
+    the port colon is distinguishable."""
+    return F.when(
+        F.startswith(hostport, F.lit("[")),
+        F.regexp_extract(hostport, r"^(\[[^\]]*\])", 1),
+    ).otherwise(F.substring_index(hostport, ":", 1))
+
+
+def _port_of(hostport: Column) -> Column:
+    """Port part ('' when absent), IPv6-bracket aware."""
+    return F.when(
+        F.startswith(hostport, F.lit("[")),
+        F.regexp_extract(hostport, r"^\[[^\]]*\]:(.+)$", 1),
+    ).otherwise(
+        F.when(
+            hostport.contains(":"), F.substring_index(hostport, ":", -1)
+        ).otherwise(F.lit(""))
+    )
+
+
 def url_host_expr(url) -> Column:
     """Lowercased host of ``url`` — authority minus any ``:port`` and
-    any ``user@`` prefix ('' when the URL has no ``scheme://``)."""
+    any ``user@`` prefix ('' when the URL has no ``scheme://``).
+    Bracketed IPv6 literals are returned brackets-and-all (lowercased),
+    with the port correctly split after the closing bracket."""
     u = F.col(url) if isinstance(url, str) else url
     auth = F.regexp_extract(_defragmented(u), _AUTHORITY_RE, 1)
-    host = F.substring_index(F.substring_index(auth, "@", -1), ":", 1)
-    return F.lower(host)
+    return F.lower(_host_of(F.substring_index(auth, "@", -1)))
 
 
 def registrable_domain_expr(url) -> Column:
@@ -82,11 +106,14 @@ def registrable_domain_expr(url) -> Column:
     (``news.site.example.com`` → ``example.com``). DEVIATION from a full
     Public Suffix List lookup (multi-label suffixes like ``co.uk``
     collapse to the suffix itself); the PSL is a 15k-line moving dataset
-    — callers that need it can join one as a broadcast dim against
-    :func:`url_host_expr` output."""
+    — see :func:`psl_domain_expr` for the broadcast-dim longest-match
+    join against a real suffix table. IP literals (bracketed IPv6)
+    pass through unchanged — they have no registrable domain."""
     host = url_host_expr(url)
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
-    return F.when(two != "", two).otherwise(host)
+    return F.when(F.startswith(host, F.lit("[")), host).otherwise(
+        F.when(two != "", two).otherwise(host)
+    )
 
 
 def canonicalize_url_expr(url) -> Column:
@@ -99,8 +126,8 @@ def canonicalize_url_expr(url) -> Column:
     auth = F.regexp_extract(u, _AUTHORITY_RE, 1)
     userinfo = F.when(auth.contains("@"), F.concat(F.substring_index(auth, "@", 1), F.lit("@"))).otherwise(F.lit(""))
     hostport = F.substring_index(auth, "@", -1)
-    host = F.lower(F.substring_index(hostport, ":", 1))
-    port = F.when(hostport.contains(":"), F.substring_index(hostport, ":", -1)).otherwise(F.lit(""))
+    host = F.lower(_host_of(hostport))
+    port = _port_of(hostport)
     default_port = F.when(
         ((scheme == "http") & (port == "80")) | ((scheme == "https") & (port == "443")), F.lit(True)
     ).otherwise(F.lit(False))

@@ -198,6 +198,21 @@ def _renormalize(counts: dict) -> dict:
     return {p: math.log(c) - lt for p, c in counts.items() if c > 0}
 
 
+def _floor_chars(counts: dict, vocab) -> dict:
+    """Floor every single-character piece of the current vocab at 1
+    micro-count so the module contract holds: chars ALWAYS survive EM
+    (a char whose quantized expected count rounds to 0 would otherwise
+    silently vanish from the trained vocab, leaving totality to the
+    Viterbi UNK penalty instead of a learned probability). Shared by the
+    distributed trainer and the pure-Python reference — parity is
+    structural."""
+    out = dict(counts)
+    for p in vocab:
+        if len(p) == 1 and out.get(p, 0) <= 0:
+            out[p] = 1
+    return out
+
+
 def unigram_train(
     df: DataFrame,
     text_col: str,
@@ -265,7 +280,7 @@ def unigram_train(
 
     while True:
         for _ in range(em_rounds_per_prune):
-            logp = _renormalize(e_step(logp))
+            logp = _renormalize(_floor_chars(e_step(logp), logp))
         if len(logp) <= vocab_size:
             break
         # prune lowest-mass multi-char pieces (chars are load-bearing)
@@ -322,7 +337,7 @@ def unigram_train_reference(
             for w, c in freq.items():
                 for p, q in _em_expected_counts(w, c, logp, max_piece_len).items():
                     acc[p] = acc.get(p, 0) + q
-            logp = _renormalize(acc)
+            logp = _renormalize(_floor_chars(acc, logp))
         if len(logp) <= vocab_size:
             break
         multi = sorted(

@@ -60,13 +60,26 @@ def zip_with_index(df: DataFrame, name: str = DEFAULT_KEY) -> DataFrame:
     no single-partition shuffle): one small job counts rows per partition
     (each task ships back one long), the cumulative offsets broadcast,
     and a ``mapInArrow`` pass stamps ``offset + local_position`` onto
-    each batch. Same two-job shape — and the same stable-recomputation
-    assumption — as RDD ``zipWithIndex``, but rows never leave the
-    JVM/Arrow representation. Only for when the reference's RangeIndex
-    contiguity is semantically required; prefer ``with_row_key``."""
+    each batch. Same two-job shape as RDD ``zipWithIndex``, but rows
+    never leave the JVM/Arrow representation. Only for when the
+    reference's RangeIndex contiguity is semantically required; prefer
+    ``with_row_key``.
+
+    Unlike RDD ``zipWithIndex`` (two jobs over ONE pinned RDD lineage),
+    the two executions here must observe the same partition layout. When
+    the plan contains an exchange, AQE coalescing can re-plan between
+    the counting job and the stamping job, silently producing duplicate
+    or non-contiguous ids — so such plans are pinned with an eager
+    ``localCheckpoint`` first (materializes once; acceptable for an
+    operator whose contract is a global contiguous numbering). Plans
+    with no exchange (scans, maps, filters) skip the checkpoint; their
+    residual assumption is a deterministic, partition-stable source —
+    same as RDD zipWithIndex."""
     import pyarrow as pa
     from pyspark import TaskContext
 
+    if "Exchange" in df._jdf.queryExecution().executedPlan().toString():
+        df = df.localCheckpoint(eager=True)
     counts = (
         df.groupBy(F.spark_partition_id().alias("__pid"))
         .agg(F.count(F.lit(1)).alias("__n"))

@@ -169,3 +169,40 @@ def test_unigram_train_rejects_bad_args(spark):
         unigram_train(df, "text", vocab_size=1)
     with pytest.raises(ValueError):
         unigram_train(df, "text", mode="bogus")
+
+
+def test_unigram_chars_always_survive_em():
+    """Module contract: single characters are floored at 1 micro-count
+    each EM round, so a char whose quantized posterior rounds to 0 stays
+    in the vocab with a learned (tiny) probability instead of silently
+    vanishing and relying on the Viterbi UNK penalty."""
+    from epic_pandas_spark.functions.unigram import _floor_chars
+
+    floored = _floor_chars({"ab": 100, "a": 0, "b": 5}, {"ab", "a", "b", "c"})
+    assert floored == {"ab": 100, "a": 1, "b": 5, "c": 1}
+    # multi-char zero pieces are NOT floored — they stay at 0 and
+    # _renormalize's c > 0 filter drops them (legitimate death)
+    assert _floor_chars({"cd": 0, "a": 1}, {"cd", "a"})["cd"] == 0
+    # already-positive chars untouched
+    assert _floor_chars({"a": 7}, {"a"})["a"] == 7
+
+
+def test_unigram_train_keeps_all_corpus_chars(spark):
+    """End-to-end: every character of the corpus appears in the trained
+    vocab even under aggressive pruning, and the distributed path stays
+    in exact parity with the pure-Python reference after the floor."""
+    from epic_pandas_spark.functions.unigram import (
+        unigram_train,
+        unigram_train_reference,
+    )
+
+    texts = ["ababab ababab abab", "ababab qq", "abababab z"] * 4
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    kw = dict(vocab_size=6, max_piece_len=4, em_rounds_per_prune=3)
+    got = unigram_train(df, "text", mode="local", **kw)
+    ref = unigram_train_reference(texts, **kw)
+    assert set(got) == set(ref)
+    for p in got:
+        assert abs(got[p] - ref[p]) < 1e-12, p
+    corpus_chars = {c for t in texts for c in t.replace(" ", "")}
+    assert corpus_chars <= set(got)

@@ -493,3 +493,40 @@ def test_canonicalize_url_equivalence_classes(spark):
     # distinct logical URLs stay distinct
     canons = {r["canon"] for r in by_lid.values()}
     assert len(canons) == 4, canons
+
+
+def test_url_ipv6_literals(spark):
+    """Bracketed IPv6 authorities: host keeps its brackets, the port is
+    split after the closing bracket (never on the colons inside), default
+    ports are stripped, and registrable_domain passes IP literals
+    through — RFC 3986 §3.2.2."""
+    from epic_pandas_spark.extensions.web import (
+        canonicalize_url_expr,
+        registrable_domain_expr,
+        url_host_expr,
+    )
+
+    cases = [
+        # (raw, canon, host, domain)
+        ("https://[::1]:8080/x", "https://[::1]:8080/x", "[::1]", "[::1]"),
+        ("https://[::1]:443/x/", "https://[::1]/x", "[::1]", "[::1]"),
+        ("http://[2001:DB8::1]/a?utm_source=t", "http://[2001:db8::1]/a",
+         "[2001:db8::1]", "[2001:db8::1]"),
+        ("https://u@[2001:db8::2]:9443/p", "https://u@[2001:db8::2]:9443/p",
+         "[2001:db8::2]", "[2001:db8::2]"),
+    ]
+    df = spark.createDataFrame([(c[0],) for c in cases], "raw string")
+    got = {
+        r["raw"]: r
+        for r in df.select(
+            "raw",
+            canonicalize_url_expr("raw").alias("canon"),
+            url_host_expr("raw").alias("host"),
+            registrable_domain_expr("raw").alias("domain"),
+        ).collect()
+    }
+    for raw, canon, host, domain in cases:
+        r = got[raw]
+        assert r["canon"] == canon, (raw, r["canon"])
+        assert r["host"] == host, (raw, r["host"])
+        assert r["domain"] == domain, (raw, r["domain"])

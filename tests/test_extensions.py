@@ -1362,3 +1362,23 @@ def test_pca_raises_on_empty(spark):
 
     with pytest.raises(ValueError):
         pca_fit(df, "embedding", n_components=2)
+
+
+def test_pca_transform_null_vectors_project_to_null(spark):
+    """pca_fit skips null embeddings; pca_transform must map them to
+    null (not crash np.vstack mid-job), so fit+transform over the SAME
+    frame round-trips."""
+    import numpy as np
+
+    from epic_pandas_spark.extensions.decomposition import pca_fit, pca_transform
+
+    rng = np.random.default_rng(5)
+    rows = [(i, [float(x) for x in rng.normal(size=6)]) for i in range(40)]
+    rows += [(100, None), (101, None)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    model = pca_fit(df, "embedding", n_components=3)
+    out = {r["vec_id"]: r["pca"] for r in
+           pca_transform(df, model, "embedding").collect()}
+    assert out[100] is None and out[101] is None
+    assert len(out) == 42
+    assert all(len(v) == 3 for k, v in out.items() if k < 100)

@@ -142,3 +142,31 @@ def test_triangle_counts_random_graph_vs_networkx_free_model(spark):
     got = {r["id"]: (r["degree"], r["triangles"]) for r in triangle_counts(df).collect()}
     want = {n: (deg[n], tri[n]) for n in nodes if deg[n] > 0}
     assert got == want
+
+
+def test_triangle_counts_snowflake_and_string_ids(spark):
+    """Rank comparison is a (degree, id) struct, not a packed long — so
+    snowflake-scale ids (~1e18, which overflow/collide under
+    degree*1e11+id packing) and string ids both count exactly."""
+    from epic_pandas_spark.extensions.graph import triangle_counts
+
+    base = 4_611_686_018_427_387_904  # 2^62
+    big = [(base, base + 1), (base + 1, base + 2), (base + 2, base)]
+    got = {
+        r["id"]: (r["degree"], r["triangles"])
+        for r in triangle_counts(
+            spark.createDataFrame(big, "src long, dst long")
+        ).collect()
+    }
+    assert got == {base: (2, 1), base + 1: (2, 1), base + 2: (2, 1)}
+
+    s_edges = [("alpha", "beta"), ("beta", "gamma"), ("gamma", "alpha"),
+               ("gamma", "delta")]
+    got_s = {
+        r["id"]: (r["degree"], r["triangles"])
+        for r in triangle_counts(
+            spark.createDataFrame(s_edges, "src string, dst string")
+        ).collect()
+    }
+    assert got_s == {"alpha": (2, 1), "beta": (2, 1), "gamma": (3, 1),
+                     "delta": (1, 0)}

@@ -1776,3 +1776,22 @@ def test_zip_with_index_arrow_contiguous_many_partitions(spark):
     assert {r["id"] * 2 == r["v"] for r in rows} == {True}
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan
+
+
+def test_zip_with_index_pins_layout_behind_exchanges(spark):
+    """A plan containing an exchange (groupBy) is localCheckpoint-pinned
+    before the two-job count+stamp, so AQE re-planning between the jobs
+    can't produce duplicate or missing ids. Ids must still be exactly
+    0..n-1 with values intact."""
+    from epic_pandas_spark.keyed import zip_with_index
+
+    df = (
+        spark.range(0, 2000)
+        .withColumn("g", F.col("id") % 97)
+        .groupBy("g")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("id").alias("s"))
+    )
+    out = zip_with_index(df, name="pos")
+    rows = out.collect()
+    assert sorted(r["pos"] for r in rows) == list(range(97))
+    assert sum(r["s"] for r in rows) == sum(range(2000))
