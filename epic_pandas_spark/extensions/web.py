@@ -116,6 +116,127 @@ def registrable_domain_expr(url) -> Column:
     )
 
 
+# Vendored subset of well-known public suffixes (facts about the DNS,
+# assembled from common knowledge — NOT a copy of the PSL file): the
+# multi-label suffixes that actually mis-key under the last-two-labels
+# approximation, plus one wildcard and its exception so the full rule
+# algebra is exercised. Callers with a real PSL snapshot pass its lines
+# to parse_psl_rules instead — same format ('!' exception, '*.'
+# wildcard, comments and blank lines ignored).
+DEFAULT_PSL_RULES = (
+    "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au",
+    "co.jp", "ne.jp", "or.jp", "ac.jp", "go.jp",
+    "com.br", "net.br", "org.br", "gov.br",
+    "com.cn", "net.cn", "org.cn", "gov.cn",
+    "co.in", "net.in", "org.in", "gov.in",
+    "co.nz", "net.nz", "org.nz",
+    "co.za", "org.za", "com.mx", "com.ar", "com.tr", "com.sg",
+    "co.kr", "or.kr", "com.tw", "com.hk", "com.my", "co.id",
+    "*.ck", "!www.ck",
+)
+
+
+def parse_psl_rules(spark, lines=None):
+    """Parse Public-Suffix-List-format rules into the broadcast dim
+    consumed by :func:`psl_registrable_domain`: columns ``(base, kind)``
+    where ``base`` is the rule's literal label suffix (wildcards store
+    the part after ``*.``) and ``kind`` ∈ {normal, wildcard, exception}.
+    ``lines`` defaults to the vendored :data:`DEFAULT_PSL_RULES` subset;
+    pass the lines of a full PSL snapshot for production keying.
+    Comments (``//``) and blank lines are ignored, per the PSL format."""
+    rows = []
+    for ln in lines if lines is not None else DEFAULT_PSL_RULES:
+        r = ln.strip().lower()
+        if not r or r.startswith("//"):
+            continue
+        if r.startswith("!"):
+            rows.append((r[1:], "exception"))
+        elif r.startswith("*."):
+            rows.append((r[2:], "wildcard"))
+        else:
+            rows.append((r, "normal"))
+    return spark.createDataFrame(rows, "base string, kind string")
+
+
+def psl_registrable_domain(
+    df,
+    host_col: str,
+    psl=None,
+    out_col: str = "registrable_domain",
+    max_suffix_labels: int = 4,
+):
+    """Append the TRUE registrable domain (public suffix + one label)
+    of ``host_col`` as ``out_col``, resolving multi-label suffixes via
+    the standard PSL algorithm: exception rules prevail, else the
+    longest matching rule (wildcard ``*.base`` counts as base-length+1),
+    else the implicit ``*`` default (unknown TLD = 1 label). Hosts that
+    ARE a public suffix, IP literals, and dotless hosts yield null.
+
+    100 TB shape: the PSL dim (≤ ~15k rows) broadcasts, and each of the
+    ``max_suffix_labels`` candidate lengths is one broadcast HASH join —
+    a map-side lookup chain with ZERO shuffles of the corpus and no
+    explode/re-aggregate round-trip. ``max_suffix_labels`` = 4 covers
+    every rule in the vendored subset and all but a handful of the full
+    PSL; raise it when loading a snapshot with longer rules."""
+    spark = df.sparkSession
+    # one row per base with kind flags: a full PSL can carry the same
+    # base under several kinds, and a non-unique join key would
+    # DUPLICATE corpus rows. The folded dim is collected once (bounded:
+    # one row per distinct suffix base, ≤ ~15k for the full PSL) and
+    # rebuilt as a LOCAL relation, so each per-k join is a broadcast of
+    # an in-memory table — the corpus plan carries zero exchanges and
+    # the rule aggregation never re-computes per join.
+    folded = (
+        (psl if psl is not None else parse_psl_rules(spark))
+        .groupBy(F.lower(F.col("base")).alias("base"))
+        .agg(
+            F.max(F.col("kind") == "normal").alias("nrm"),
+            F.max(F.col("kind") == "wildcard").alias("wld"),
+            F.max(F.col("kind") == "exception").alias("exc"),
+        )
+        .collect()
+    )
+    rules = spark.createDataFrame(
+        [(r["base"], r["nrm"], r["wld"], r["exc"]) for r in folded],
+        "base string, nrm boolean, wld boolean, exc boolean",
+    )
+    host = F.lower(F.col(host_col))
+    labels = F.split(host, r"\.")
+    out = df.withColumn("__labels", labels).withColumn("__n", F.size(labels))
+    n = F.col("__n")
+    eff_lens, exc_lens, drop = [], [], ["__labels", "__n"]
+    for k in range(1, max_suffix_labels + 1):
+        cand = F.when(
+            (n >= k) & ~F.startswith(host, F.lit("[")),
+            F.array_join(F.slice(F.col("__labels"), -k, k), "."),
+        )
+        dim = F.broadcast(
+            rules.select(
+                F.col("base").alias(f"__b{k}"),
+                F.col("nrm").alias(f"__nrm{k}"),
+                F.col("wld").alias(f"__wld{k}"),
+                F.col("exc").alias(f"__exc{k}"),
+            )
+        )
+        out = out.join(dim, cand == F.col(f"__b{k}"), "left")
+        eff_lens.append(F.when(F.col(f"__nrm{k}"), F.lit(k)))
+        # '*.base' (k base labels) matches a (k+1)-label suffix — only
+        # when the host actually has a label in the wildcard position
+        eff_lens.append(F.when(F.col(f"__wld{k}") & (n > k), F.lit(k + 1)))
+        exc_lens.append(F.when(F.col(f"__exc{k}"), F.lit(k - 1)))
+        drop += [f"__b{k}", f"__nrm{k}", f"__wld{k}", f"__exc{k}"]
+    # PSL algorithm: an exception rule prevails outright (its suffix is
+    # the rule minus the leftmost label); else the longest match; else
+    # the implicit '*' rule (unknown TLD = 1 label)
+    eff = F.coalesce(F.greatest(*exc_lens), F.greatest(*eff_lens, F.lit(1)))
+    dom = F.when(
+        (n > eff) & ~F.startswith(host, F.lit("[")),
+        F.array_join(F.slice(F.col("__labels"), -(eff + F.lit(1)), eff + F.lit(1)), "."),
+    )
+    return out.withColumn(out_col, dom).drop(*drop)
+
+
 def canonicalize_url_expr(url) -> Column:
     """Canonical form of ``url`` per the module contract — a single
     expression tree (regex extracts + ``filter``/``array_sort``/

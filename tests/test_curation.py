@@ -530,3 +530,51 @@ def test_url_ipv6_literals(spark):
         assert r["canon"] == canon, (raw, r["canon"])
         assert r["host"] == host, (raw, r["host"])
         assert r["domain"] == domain, (raw, r["domain"])
+
+
+def test_psl_registrable_domain_rule_algebra(spark):
+    """Full PSL rule algebra: normal multi-label suffixes, wildcard
+    (*.ck), exception (!www.ck), implicit-* default for unknown TLDs,
+    public-suffix-only hosts -> null, IP literals and dotless hosts ->
+    null; duplicate bases across kinds in a caller-supplied table must
+    NOT duplicate rows."""
+    from epic_pandas_spark.extensions.web import (
+        parse_psl_rules,
+        psl_registrable_domain,
+    )
+
+    cases = {
+        "example.co.uk": "example.co.uk",
+        "news.bbc.co.uk": "bbc.co.uk",
+        "co.uk": None,                      # is itself a public suffix
+        "example.com": "example.com",       # implicit '*' default rule
+        "a.b.example.com": "example.com",
+        "foo.bar.ck": "foo.bar.ck",         # *.ck: bar.ck is the suffix
+        "bar.ck": None,                     # *.ck: host IS a suffix
+        "www.ck": "www.ck",                 # !www.ck exception
+        "foo.www.ck": "www.ck",
+        "shop.example.com.au": "example.com.au",
+        "localhost": None,
+        "[::1]": None,
+        "UPPER.Example.CO.UK": "example.co.uk",
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    out = {r["host"]: r["registrable_domain"]
+           for r in psl_registrable_domain(df, "host").collect()}
+    assert out == cases
+
+    # caller-supplied rules in PSL file format, with a comment line and a
+    # base that appears under two kinds (must not duplicate corpus rows)
+    rules = parse_psl_rules(
+        spark, ["// comment", "", "co.uk", "*.co.uk", "!special.co.uk"]
+    )
+    df2 = spark.createDataFrame(
+        [("a.b.co.uk",), ("x.special.co.uk",)], "host string"
+    )
+    got = psl_registrable_domain(df2, "host", psl=rules).collect()
+    assert len(got) == 2  # no row duplication from the dual-kind base
+    vals = {r["host"]: r["registrable_domain"] for r in got}
+    # *.co.uk: b.co.uk is a suffix -> registrable = a.b.co.uk;
+    # !special.co.uk prevails -> registrable = special.co.uk
+    assert vals == {"a.b.co.uk": "a.b.co.uk",
+                    "x.special.co.uk": "special.co.uk"}

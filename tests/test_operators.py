@@ -575,6 +575,67 @@ def test_quantiles_auto_routing_and_parity(spark):
         quantiles(li, "l_extendedprice", [0.5], names=["a", "b"])
 
 
+def test_grouped_hist_quantiles_bound_and_codegen(spark):
+    """mode='hist': per-group estimates honor the sketch guarantee
+    (within one bin width of the closed interval between the floor(t)
+    and ceil(t) order statistics), degenerate all-equal columns return
+    the constant, auto+by routes to hist above the crossover, and the
+    data-path aggregate is a codegen HashAggregate — NO
+    ObjectHashAggregate (the grouped-GK tax this path exists to
+    remove)."""
+    import math
+
+    import numpy as np
+
+    from epic_pandas_spark.operators.stats import quantiles
+    from epic_pandas_spark.session import load_table
+    from tests.conftest import SF_DIR
+
+    li = load_table(spark, SF_DIR, "lineitem")
+    n_bins = 2000
+    probs = [0.0, 0.5, 0.95, 1.0]
+    hist = quantiles(
+        li, "l_extendedprice", probs, by=["l_returnflag"], mode="hist",
+        accuracy=n_bins, names=["p0", "p50", "p95", "p100"],
+    )
+    got = {r["l_returnflag"]: r for r in hist.collect()}
+    rows = li.select("l_returnflag", "l_extendedprice").collect()
+    by_g: dict = {}
+    for r in rows:
+        by_g.setdefault(r["l_returnflag"], []).append(float(r["l_extendedprice"]))
+    allv = [v for vs in by_g.values() for v in vs]
+    width = (max(allv) - min(allv)) / n_bins
+    for g, vs in by_g.items():
+        vs.sort()
+        for p, name in zip(probs, ["p0", "p50", "p95", "p100"]):
+            t = 1 + p * (len(vs) - 1)
+            lo_stat = vs[max(0, math.floor(t) - 1)]
+            hi_stat = vs[min(len(vs) - 1, math.ceil(t) - 1)]
+            est = got[g][name]
+            assert lo_stat - width <= est <= hi_stat + width, (g, name, est)
+
+    # degenerate: every value identical -> every prob returns it exactly
+    const = spark.createDataFrame([("a", 7.5)] * 9, "g string, v double")
+    row = quantiles(const, "v", [0.0, 0.5, 1.0], by=["g"], mode="hist",
+                    names=["a", "b", "c"]).first()
+    assert (row["a"], row["b"], row["c"]) == (7.5, 7.5, 7.5)
+
+    # auto + by above the crossover routes to hist (not grouped GK)
+    routed = quantiles(
+        li, "l_extendedprice", [0.5], by=["l_returnflag"], mode="auto",
+        exact_max_bytes=1, names=["med"],
+    )
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "ObjectHashAggregate" not in plan
+    assert "percentile" not in plan.lower()
+    med = {r["l_returnflag"]: r["med"] for r in routed.collect()}
+    exact = {
+        g: float(np.quantile(np.array(vs), 0.5)) for g, vs in by_g.items()
+    }
+    for g in exact:
+        assert abs(med[g] - exact[g]) / exact[g] < 0.01, g
+
+
 def test_salted_agg_matches_plain_groupby(spark):
     from epic_pandas_spark.operators.skew import salted_agg
     from epic_pandas_spark.session import load_table
