@@ -606,6 +606,40 @@ def dsir_importance_weights(
     )
 
 
+def dsir_score_stream(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    ratio_table: DataFrame,
+    n_buckets: int = 1 << 16,
+    ratio_scale: int = 1_000_000,
+    bucket_expr=None,
+) -> DataFrame:
+    """Streaming DSIR scorer — weight documents ARRIVING AS A STREAM
+    against a persisted importance model (the ratio table fitted
+    offline by :func:`dsir_log_ratio_table`, e.g. written to parquet at
+    training time and read back as a static frame).
+
+    Same pattern as streaming decontamination's static eval set: the
+    model is a ≤ ``n_buckets``-row static dim, so the probe is a
+    stream-static broadcast join — each micro-batch's gram stream looks
+    the model up map-side, then one keyed streaming aggregate sums the
+    quantized ratios per document. Because the per-gram contributions
+    are scaled INTEGERS, the streaming sum is exactly associative
+    across micro-batches: a document split over batches accumulates to
+    the identical ``logw_scaled`` the batch twin computes, bit for bit.
+    Run with output mode ``update``/``complete`` (streaming agg).
+
+    The plan is IDENTICAL to :func:`dsir_importance_weights` — Spark's
+    incrementalizer turns the same declarative plan into the stateful
+    streaming form; this wrapper exists to document the contract
+    (static model, stream-safe expressions only) and anchor the
+    stream==batch equivalence test."""
+    return dsir_importance_weights(
+        stream_df, text_col, id_col, ratio_table, n_buckets, ratio_scale, bucket_expr
+    )
+
+
 def dsir_select(
     df: DataFrame,
     target: DataFrame,

@@ -290,6 +290,38 @@ def tune_lsh_bands(
     return best_bands
 
 
+def bands_for_recall(
+    threshold: float,
+    n_hashes: int = 32,
+    min_recall: float = 0.999,
+) -> int:
+    """Fewest bands whose S-curve collision probability AT the
+    threshold is ≥ ``min_recall`` — the right tuning when an exact
+    verification stage follows (as in :func:`minhash_lsh_pairs`, which
+    always verifies): false positives only cost verification work while
+    false negatives are unrecoverable, so minimize candidate volume
+    subject to a recall floor rather than balancing the two error
+    masses like :func:`tune_lsh_bands`. Fewer bands = longer rows =
+    steeper curve = fewer sub-threshold candidates, so the first
+    divisor meeting the floor is also the precision-maximal one.
+    Falls back to ``n_hashes`` bands (r=1: collision probability
+    ``1-(1-s)^n``) when no divisor meets the floor. At τ=0.8, 32
+    hashes, the default floor derives bands=16 — the hand-tuned value
+    the flagship pipeline shipped with, now computed from the
+    threshold. Driver-side arithmetic; costs nothing at any scale."""
+    if not 0 < threshold < 1:
+        raise ValueError("threshold must be in (0, 1)")
+    if not 0 < min_recall < 1:
+        raise ValueError("min_recall must be in (0, 1)")
+    for bands in range(1, n_hashes + 1):
+        if n_hashes % bands:
+            continue
+        r = n_hashes // bands
+        if 1.0 - (1.0 - threshold**r) ** bands >= min_recall:
+            return bands
+    return n_hashes
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     text_col: str,
@@ -313,9 +345,15 @@ def minhash_lsh_pairs(
     ``bands="auto"`` picks the band count from the threshold via
     :func:`tune_lsh_bands` (S-curve FP+FN minimization) — high
     thresholds get fewer, longer bands (cheap and precise), low
-    thresholds more, shorter ones (recall before verification)."""
+    thresholds more, shorter ones (recall before verification).
+    ``bands="auto-recall"`` uses :func:`bands_for_recall` instead —
+    fewest bands with ≥99.9% collision probability at the threshold,
+    the right objective HERE because the exact-Jaccard verification
+    below makes false positives harmless."""
     if bands == "auto":
         bands = tune_lsh_bands(threshold, n_hashes)
+    elif bands == "auto-recall":
+        bands = bands_for_recall(threshold, n_hashes)
     if n_hashes % bands != 0:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands

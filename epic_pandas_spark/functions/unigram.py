@@ -30,12 +30,13 @@ Algorithm shape and why it scales (mirrors the BPE design):
 - **M-step** collects the new vocab-sized count table (the same
   bounded-collect class as k-means centroids: |vocab| rows, never
   corpus rows) and renormalizes log-probs on the driver.
-- **Prune** after each ``em_rounds_per_prune`` rounds: drop the
-  lowest-expected-count pieces (never single chars) until
-  ``vocab_size`` remains. DEVIATION from SentencePiece's exact
-  likelihood-loss criterion (which needs a second lattice pass per
-  candidate); expected-count pruning is the standard practical
-  approximation and is documented here deliberately.
+- **Prune** after each ``em_rounds_per_prune`` rounds (never single
+  chars) until ``vocab_size`` remains. ``prune="count"`` (default)
+  drops the lowest-expected-count pieces — the standard practical
+  approximation; ``prune="likelihood"`` applies SentencePiece's EXACT
+  loss criterion (likelihood drop when each piece re-segments via its
+  best alternative — a second lattice pass per candidate over the
+  candidate's own string, vocab-sized driver work).
 - **Encode** = Viterbi segmentation (max log-prob path) in one
   Arrow-batched pass, vocab in the closure, no shuffle.
 
@@ -97,6 +98,13 @@ def _seed_vocab(words: DataFrame, max_piece_len: int, seed_size: int) -> list:
         .select(F.substring("w", F.col("p"), F.col("l")).alias("piece"), "cnt", "l")
         .groupBy("piece")
         .agg(F.sum(F.col("cnt") * F.col("l")).alias("score"))
+        # materialize once (lazily, on the first collect): the top-N and
+        # the single-char collects would otherwise EACH re-run the
+        # positions x lengths double-explode + grouped sum over the
+        # distinct-word table. The checkpointed state is the (piece,
+        # score) aggregate — bounded by distinct substrings, never
+        # corpus rows.
+        .localCheckpoint(eager=False)
     )
     top = [
         r["piece"]
@@ -190,6 +198,56 @@ def _viterbi(word: str, logp: dict, max_len: int) -> list:
     return out[::-1]
 
 
+def _alt_logprob(piece: str, logp: dict, max_len: int) -> float:
+    """Log-prob of the best segmentation of ``piece`` EXCLUDING the
+    single-piece segmentation itself — SentencePiece's 'alternative'
+    score in its exact prune criterion. Unknown chars take the Viterbi
+    UNK penalty so the alternative always exists."""
+    n = len(piece)
+    NEG = -math.inf
+    UNK = -1e9
+    best = [NEG] * (n + 1)
+    best[0] = 0.0
+    for j in range(1, n + 1):
+        for i in range(max(0, j - max_len), j):
+            if i == 0 and j == n:
+                continue  # the piece itself is not an alternative
+            lp = logp.get(piece[i:j])
+            if lp is None and j - i == 1:
+                lp = UNK
+            if lp is None or best[i] == NEG:
+                continue
+            s = best[i] + lp
+            if s > best[j]:
+                best[j] = s
+    return best[n]
+
+
+def _prune_order(logp: dict, counts: dict, max_len: int, prune: str) -> list:
+    """Multi-char pieces in prune order (drop from the front), as
+    (key, piece) tuples. Shared verbatim by the distributed trainer and
+    the pure-Python reference so parity is structural.
+
+    ``prune='count'``: lowest expected mass first (the standard
+    practical approximation — sort key is the current log-prob).
+    ``prune='likelihood'``: SentencePiece's exact loss — for each piece,
+    the corpus log-likelihood drop if every occurrence re-segmented via
+    the piece's best ALTERNATIVE segmentation:
+    ``loss = E[count] * (logp(piece) - alt_logprob(piece))``; the
+    lowest-loss pieces (cheapest to remove) prune first. One extra
+    lattice pass per piece over the piece's own ≤max_len string —
+    vocab-sized driver work, nothing touches the corpus."""
+    if prune == "count":
+        items = ((lp, p) for p, lp in logp.items() if len(p) > 1)
+    else:
+        items = (
+            (counts.get(p, 0) * (lp - _alt_logprob(p, logp, max_len)), p)
+            for p, lp in logp.items()
+            if len(p) > 1
+        )
+    return sorted(items, key=lambda t: (t[0], t[1]))
+
+
 def _renormalize(counts: dict) -> dict:
     total = sum(counts.values())
     if total <= 0:
@@ -223,6 +281,7 @@ def unigram_train(
     prune_frac: float = 0.25,
     mode: str = "auto",
     local_vocab_threshold: int = 2_000_000,
+    prune: str = "count",
 ) -> dict:
     """Learn a unigram-LM piece vocabulary; returns ``{piece: log_prob}``
     of size ≤ ``vocab_size`` (single characters always survive pruning).
@@ -232,11 +291,20 @@ def unigram_train(
     it fits under ``local_vocab_threshold`` (identical semantics — the
     kernel is the same function the distributed E-step calls, and the
     integer quantization makes both paths EXACTLY equal); ``"distributed"``
-    forces the Spark EM loop; ``"local"`` forces the driver kernel."""
+    forces the Spark EM loop; ``"local"`` forces the driver kernel.
+
+    ``prune='count'`` (default) drops the lowest-expected-mass pieces —
+    the standard practical approximation. ``prune='likelihood'`` applies
+    SentencePiece's exact loss criterion (see :func:`_prune_order`):
+    a second lattice pass per candidate piece over the piece's OWN
+    string, so the exact mode costs vocab-sized driver work per prune
+    round and still never touches the corpus."""
     if vocab_size < 2:
         raise ValueError("vocab_size must be >= 2")
     if mode not in ("auto", "local", "distributed"):
         raise ValueError("mode must be auto, local, or distributed")
+    if prune not in ("count", "likelihood"):
+        raise ValueError("prune must be 'count' or 'likelihood'")
 
     freq_df = _word_freq_table(df, text_col).localCheckpoint(eager=True)
     seed = _seed_vocab(freq_df, max_piece_len, seed_size=vocab_size * seed_multiplier)
@@ -280,14 +348,12 @@ def unigram_train(
 
     while True:
         for _ in range(em_rounds_per_prune):
-            logp = _renormalize(_floor_chars(e_step(logp), logp))
+            counts = _floor_chars(e_step(logp), logp)
+            logp = _renormalize(counts)
         if len(logp) <= vocab_size:
             break
-        # prune lowest-mass multi-char pieces (chars are load-bearing)
-        multi = sorted(
-            ((lp, p) for p, lp in logp.items() if len(p) > 1),
-            key=lambda t: (t[0], t[1]),
-        )
+        # prune multi-char pieces (chars are load-bearing)
+        multi = _prune_order(logp, counts, max_piece_len, prune)
         n_single = sum(1 for p in logp if len(p) == 1)
         target_multi = max(0, vocab_size - n_single)
         n_drop = max(
@@ -331,19 +397,18 @@ def unigram_train_reference(
     logp = {p: -math.log(len(vocab)) for p in vocab}
     em_rounds = kw.get("em_rounds_per_prune", 2)
     prune_frac = kw.get("prune_frac", 0.25)
+    prune = kw.get("prune", "count")
     while True:
         for _ in range(em_rounds):
             acc: dict = {}
             for w, c in freq.items():
                 for p, q in _em_expected_counts(w, c, logp, max_piece_len).items():
                     acc[p] = acc.get(p, 0) + q
-            logp = _renormalize(_floor_chars(acc, logp))
+            acc = _floor_chars(acc, logp)
+            logp = _renormalize(acc)
         if len(logp) <= vocab_size:
             break
-        multi = sorted(
-            ((lp, p) for p, lp in logp.items() if len(p) > 1),
-            key=lambda t: (t[0], t[1]),
-        )
+        multi = _prune_order(logp, acc, max_piece_len, prune)
         n_single = sum(1 for p in logp if len(p) == 1)
         target_multi = max(0, vocab_size - n_single)
         n_drop = max(

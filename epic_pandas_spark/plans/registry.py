@@ -961,11 +961,17 @@ def q_near_dedup_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     (banded LSH join, pointer-doubled CC); the oracle replays identical
     semantics in DuckDB with exact all-pairs Jaccard and a recursive-CTE
     transitive closure — so the approximate candidate generation is held
-    to the exact answer end-to-end, not just per stage."""
+    to the exact answer end-to-end, not just per stage. The band count
+    is DERIVED from the threshold (bands="auto-recall": fewest bands
+    with ≥99.9% S-curve collision at τ — which resolves to the 16 the
+    pipeline previously hand-pinned), so changing τ re-tunes the
+    candidate join instead of silently degrading recall."""
     from epic_pandas_spark.extensions.dedup import connected_components, minhash_lsh_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    pairs = minhash_lsh_pairs(docs, "text", "doc_id", threshold=0.8, n_hashes=32, bands=16)
+    pairs = minhash_lsh_pairs(
+        docs, "text", "doc_id", threshold=0.8, n_hashes=32, bands="auto-recall"
+    )
     # algorithm="auto": probes the (checkpointed) pair count and picks
     # minlabel below 10M edges — per-round fixed cost dominates tiny
     # graphs — and star's shrinking-shuffle rounds above it (the 100 TB

@@ -206,3 +206,49 @@ def test_unigram_train_keeps_all_corpus_chars(spark):
         assert abs(got[p] - ref[p]) < 1e-12, p
     corpus_chars = {c for t in texts for c in t.replace(" ", "")}
     assert corpus_chars <= set(got)
+
+
+def test_unigram_likelihood_prune_parity_and_semantics(spark):
+    """prune='likelihood' (SentencePiece's exact loss): the distributed
+    trainer stays in EXACT parity with the pure-Python reference, the
+    trained vocab hits the size budget with all chars kept, and the loss
+    itself behaves: a piece whose occurrences are fully explained by a
+    cheap alternative segmentation prunes before one that is not."""
+    import math
+
+    from epic_pandas_spark.functions.unigram import (
+        _alt_logprob,
+        _prune_order,
+        unigram_train,
+        unigram_train_reference,
+    )
+
+    texts = ["abcabc abcabc xyz", "abcabc xyz qq", "zz abcabc"] * 5
+    df = spark.createDataFrame([(t,) for t in texts], "text string")
+    kw = dict(vocab_size=8, max_piece_len=4, em_rounds_per_prune=2,
+              prune="likelihood")
+    got = unigram_train(df, "text", mode="local", **kw)
+    ref = unigram_train_reference(texts, **kw)
+    assert set(got) == set(ref)
+    for p in got:
+        assert abs(got[p] - ref[p]) < 1e-12, p
+    assert len(got) <= 8
+    corpus_chars = {c for t in texts for c in t.replace(" ", "")}
+    assert corpus_chars <= set(got)
+    # distributed twin: identical to local (integer-quantized EM)
+    dist = unigram_train(df, "text", mode="distributed", **kw)
+    assert set(dist) == set(got)
+    for p in got:
+        assert abs(dist[p] - got[p]) < 1e-12, p
+
+    # alt_logprob: the single-piece segmentation is excluded; with chars
+    # at log 1/4 each, the best alternative for 'ab' is a+b = 2*log(1/4)
+    lp = {"a": math.log(0.25), "b": math.log(0.25), "ab": math.log(0.5)}
+    assert abs(_alt_logprob("ab", lp, 2) - 2 * math.log(0.25)) < 1e-12
+    # loss ordering: equal counts, but 'ab' has a CHEAP alternative
+    # (high-prob chars) while 'cd' has an expensive one -> 'ab' first
+    lp2 = {"a": math.log(0.4), "b": math.log(0.4),
+           "c": math.log(0.01), "d": math.log(0.01),
+           "ab": math.log(0.09), "cd": math.log(0.09)}
+    order = _prune_order(lp2, {"ab": 100, "cd": 100}, 2, "likelihood")
+    assert [p for _, p in order] == ["ab", "cd"]

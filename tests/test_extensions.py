@@ -1382,3 +1382,29 @@ def test_pca_transform_null_vectors_project_to_null(spark):
     assert out[100] is None and out[101] is None
     assert len(out) == 42
     assert all(len(v) == 3 for k, v in out.items() if k < 100)
+
+
+def test_bands_for_recall_floor_semantics():
+    """bands_for_recall: fewest divisor bands meeting the S-curve recall
+    floor at the threshold; falls back to r=1 when nothing meets it;
+    derives the flagship's hand-tuned 16 at tau=0.8 / 32 hashes."""
+    import pytest as _pytest
+
+    from epic_pandas_spark.extensions.dedup import bands_for_recall
+
+    assert bands_for_recall(0.8, 32) == 16
+    # the chosen band count actually meets the floor, the next-fewer
+    # divisor does not
+    for t in (0.5, 0.7, 0.9):
+        b = bands_for_recall(t, 32, min_recall=0.999)
+        r = 32 // b
+        assert 1 - (1 - t**r) ** b >= 0.999
+        smaller = [x for x in range(1, b) if 32 % x == 0]
+        for x in smaller:
+            assert 1 - (1 - t ** (32 // x)) ** x < 0.999
+    # impossible floor (low threshold, few hashes) -> r=1 fallback
+    assert bands_for_recall(0.05, 4, min_recall=0.999) == 4
+    with _pytest.raises(ValueError):
+        bands_for_recall(1.5, 32)
+    with _pytest.raises(ValueError):
+        bands_for_recall(0.8, 32, min_recall=0.0)

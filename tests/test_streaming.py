@@ -445,3 +445,58 @@ def test_stateful_running_totals_tws_matches_batch(spark, tmp_path):
         assert got == want
     finally:
         q.stop()
+
+
+def test_streaming_dsir_scores_match_batch(spark, tmp_path):
+    """DSIR over a document STREAM against a PERSISTED model: the ratio
+    table is fitted in batch, round-tripped through parquet (the
+    model-persistence path), and a parquet-source stream scores against
+    it via dsir_score_stream. Integer-quantized per-gram ratios make the
+    streaming sum exactly associative across micro-batches, so every
+    document's logw_scaled must equal the batch twin's BIT FOR BIT."""
+    from epic_pandas_spark.extensions.curation import (
+        dsir_importance_weights,
+        dsir_log_ratio_table,
+        dsir_score_stream,
+        md5_bucket_expr,
+    )
+
+    batch = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    target = batch.filter(F.col("doc_id") % 7 == 0)
+    n_buckets = 1 << 12
+    bexpr = md5_bucket_expr(n_buckets)
+    model_path = str(tmp_path / "dsir_model")
+    dsir_log_ratio_table(
+        batch, target, "text", n_buckets=n_buckets, bucket_expr=bexpr
+    ).write.parquet(model_path)
+    model = spark.read.parquet(model_path)  # the persisted-model path
+
+    stream = (
+        spark.readStream.schema(
+            spark.read.parquet(f"{SF_DIR}/documents.parquet").schema
+        )
+        .option("pathGlobFilter", "documents.parquet")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(SF_DIR)
+        .select("doc_id", "text")
+    )
+    scored = dsir_score_stream(
+        stream, "text", "doc_id", model, n_buckets=n_buckets, bucket_expr=bexpr
+    )
+    q = run_stream_to_memory(scored, "dsir_stream_out", output_mode="complete")
+    try:
+        got = {
+            r["doc_id"]: r["logw_scaled"]
+            for r in spark.sql("SELECT * FROM dsir_stream_out").collect()
+        }
+        want = {
+            r["doc_id"]: r["logw_scaled"]
+            for r in dsir_importance_weights(
+                batch, "text", "doc_id", model,
+                n_buckets=n_buckets, bucket_expr=bexpr,
+            ).collect()
+        }
+        assert got == want
+        assert got, "stream produced no scores"
+    finally:
+        q.stop()
