@@ -140,6 +140,7 @@ def quantiles(
     accuracy: int = 10000,
     exact_max_bytes: int = 8 << 20,
     names: Sequence[str] | None = None,
+    bins: str = "global",
 ) -> DataFrame:
     """Percentiles with size-aware exact/sketch routing.
 
@@ -161,8 +162,13 @@ def quantiles(
     interpolation on the tiny (≤ groups × n_bins rows) histogram table.
     Error is bounded by BIN WIDTH (value error ≤ range/``accuracy``),
     not rank — the right trade for grouped quantiles over well-ranged
-    columns; heavy-tailed ranges should raise ``accuracy`` or stay on
-    the GK path.
+    columns. ``bins="global"`` (default) shares one set of edges across
+    all groups (one extra tiny aggregate); ``bins="per_group"`` fits
+    each group's edges to ITS min/max, so a narrow-range group keeps
+    full resolution even when another group stretches the global range
+    by 1000× — at the cost of a per-group stats join instead of a 1-row
+    broadcast. Heavy-tailed ranges WITHIN a group should raise
+    ``accuracy`` or stay on the GK path.
 
     ``mode="auto"`` (default) routes on Catalyst's optimized-plan size
     estimate of just the scanned columns (parquet footer bytes scaled by
@@ -194,7 +200,9 @@ def quantiles(
         else:
             mode = "hist" if group_cols else "approx"
     if mode == "hist":
-        return _hist_quantiles(scanned, value_col, probs, names, group_cols, accuracy)
+        return _hist_quantiles(
+            scanned, value_col, probs, names, group_cols, accuracy, bins=bins
+        )
     if mode == "exact":
         arr = F.percentile(value_col, F.lit(probs))
     else:
@@ -211,6 +219,7 @@ def _hist_quantiles(
     names: Sequence[str],
     group_cols: list,
     n_bins: int,
+    bins: str = "global",
 ) -> DataFrame:
     """Shared-bin histogram quantile sketch, fully codegen on the data
     path. Every arithmetic step is written as an explicit IEEE-double
@@ -231,14 +240,27 @@ def _hist_quantiles(
     Degenerate all-equal columns (hi == lo) return lo for every prob.
     Guarantee: the estimate lies within one bin width of the CLOSED
     VALUE INTERVAL between the floor(t)-th and ceil(t)-th order
-    statistics — i.e. rank error < 1 plus value error ≤ range/n_bins.
-    In a value-sparse region the exact continuous quantile interpolates
-    across the gap while the sketch snaps to the occupied bucket, so the
-    raw value difference can exceed a bin width there (it is still
-    inside the two order statistics ± one bin)."""
+    statistics — i.e. rank error < 1 plus value error ≤ range/n_bins
+    (range is per-group under ``bins="per_group"``). In a value-sparse
+    region the exact continuous quantile interpolates across the gap
+    while the sketch snaps to the occupied bucket, so the raw value
+    difference can exceed a bin width there (it is still inside the two
+    order statistics ± one bin)."""
+    if bins not in ("global", "per_group"):
+        raise ValueError("bins must be 'global' or 'per_group'")
     v = F.col(value_col).cast("double")
     data = scanned.filter(F.col(value_col).isNotNull())
-    stats = data.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+    if bins == "per_group" and group_cols:
+        # per-group edges: a (groups)-row stats dim joined back on the
+        # group key — broadcast-eligible whenever groups ≪ corpus (the
+        # normal case; Catalyst/AQE picks the strategy from its size)
+        stats = data.groupBy(*group_cols).agg(
+            F.min(v).alias("__lo"), F.max(v).alias("__hi")
+        )
+        withb = data.join(stats, on=group_cols)
+    else:
+        stats = data.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
+        withb = data.crossJoin(F.broadcast(stats))
     lo, hi = F.col("__lo"), F.col("__hi")
     span = hi - lo
     nb = F.lit(float(n_bins))
@@ -246,10 +268,8 @@ def _hist_quantiles(
         span > 0,
         F.least(F.lit(n_bins).cast("bigint"), F.floor((v - lo) * nb / span) + 1),
     ).otherwise(F.lit(1).cast("bigint"))
-    hist = (
-        data.crossJoin(F.broadcast(stats))
-        .groupBy(*group_cols, lo, hi, bucket.alias("__bin"))
-        .agg(F.count(F.lit(1)).alias("__cnt"))
+    hist = withb.groupBy(*group_cols, lo, hi, bucket.alias("__bin")).agg(
+        F.count(F.lit(1)).alias("__cnt")
     )
     wg = Window.partitionBy(*group_cols) if group_cols else Window.partitionBy(F.lit(1))
     h = hist.select(

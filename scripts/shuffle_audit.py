@@ -46,6 +46,7 @@ AUDIT_QUERIES = [
     "global_shuffle",     # the one op whose JOB is to move every row
     "sessionize",         # window on (user, ts): keys + epoch longs
     "grouped_quantiles",  # exact percentile: values shuffle once
+    "grouped_quantiles_hist",  # histogram sketch: (group, bin) longs only
     "bm25_topk",          # pre-shuffle term filter -> TakeOrdered
     "salted_join_revenue",  # skew-salted join
     "tpch_q2",            # derived-offer aggregate + broadcast min self-join

@@ -1856,3 +1856,45 @@ def test_zip_with_index_pins_layout_behind_exchanges(spark):
     rows = out.collect()
     assert sorted(r["pos"] for r in rows) == list(range(97))
     assert sum(r["s"] for r in rows) == sum(range(2000))
+
+
+def test_hist_quantiles_per_group_bins(spark):
+    """bins='per_group': a narrow-range group keeps full resolution when
+    another group stretches the global range 1000x — its error bound is
+    ITS range/n_bins, which shared global edges cannot deliver; an
+    all-equal group returns its constant exactly (per-group span 0)."""
+    import numpy as np
+
+    from epic_pandas_spark.operators.stats import quantiles
+
+    rng = np.random.default_rng(11)
+    narrow = [("narrow", float(x)) for x in rng.uniform(0.0, 1.0, 4000)]
+    wide = [("wide", float(x)) for x in rng.uniform(0.0, 1000.0, 4000)]
+    const = [("const", 3.25)] * 50
+    df = spark.createDataFrame(narrow + wide + const, "g string, v double")
+    n_bins = 200
+    out = {
+        r["g"]: r
+        for r in quantiles(
+            df, "v", [0.5, 0.9], by=["g"], mode="hist", accuracy=n_bins,
+            names=["q50", "q90"], bins="per_group",
+        ).collect()
+    }
+    for g, vals in (("narrow", [x for _, x in narrow]),
+                    ("wide", [x for _, x in wide])):
+        vals = sorted(vals)
+        width = (vals[-1] - vals[0]) / n_bins
+        for p, name in ((0.5, "q50"), (0.9, "q90")):
+            t = 1 + p * (len(vals) - 1)
+            lo_s = vals[max(0, int(np.floor(t)) - 1)]
+            hi_s = vals[min(len(vals) - 1, int(np.ceil(t)) - 1)]
+            assert lo_s - width <= out[g][name] <= hi_s + width, (g, name)
+    # narrow group's bound under per-group edges is 0.005 (its range/200),
+    # 1000x tighter than the global-edge bound of ~5
+    assert abs(out["narrow"]["q50"] - 0.5) < 0.05
+    assert (out["const"]["q50"], out["const"]["q90"]) == (3.25, 3.25)
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="bins"):
+        quantiles(df, "v", [0.5], by=["g"], mode="hist", bins="nope")
