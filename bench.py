@@ -75,12 +75,21 @@ def main() -> None:
     only = os.environ.get("SPARK_GRAFT_BENCH_ONLY")
     subset = {q for q in only.split(",") if q} if only else None
 
+    # repeat>1 reruns each selected query and reports the LAST timing —
+    # the warm-session number. A single solo query otherwise pays the
+    # session's lazy init (codegen compile, Arrow runtime, Python worker
+    # spawn) that a 150-query session amortizes away, which inflates
+    # sub-second queries ~3-5x and would masquerade as a regression in
+    # solo-confirmation runs (scripts/bench_map.py sets this to 2).
+    repeat = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEAT", "1")))
+
     timings: dict[str, float] = {}
     failed: list[str] = []
     for name, (fn, _sql) in sorted(REGISTRY.items()):
         if subset is not None and name not in subset:
             continue
-        t = run(fn, name)
+        for _ in range(repeat):
+            t = run(fn, name)
         if t is None:
             failed.append(name)
         else:

@@ -28,11 +28,17 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def run_bench(only: list[str] | None = None) -> dict:
-    """One bench.py run in a FRESH JVM (fresh python, fresh session)."""
+    """One bench.py run in a FRESH JVM (fresh python, fresh session).
+    Solo runs set SPARK_GRAFT_BENCH_REPEAT=2 so the recorded number is
+    the WARM second execution — a single cold query otherwise pays the
+    session's lazy init (codegen/Arrow/Python-worker spawn), which
+    inflates sub-second queries several-fold and would read as a fake
+    'confirmed regression'."""
     env = dict(os.environ)
     env.setdefault("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     if only:
         env["SPARK_GRAFT_BENCH_ONLY"] = ",".join(only)
+        env["SPARK_GRAFT_BENCH_REPEAT"] = "2"
     proc = subprocess.run(
         [sys.executable, os.path.join(REPO, "bench.py")],
         capture_output=True, text=True, env=env, cwd=REPO,
