@@ -270,6 +270,79 @@ def resample_mixture(
     return out
 
 
+def resample_mixture_tokens(
+    df: DataFrame,
+    domain_col: str,
+    token_col: str,
+    id_col: str,
+    weights: dict,
+    n_tokens: int,
+    seed: int = 42,
+    allow_short: bool = False,
+) -> DataFrame:
+    """Token-budget domain mixture: select documents per domain, in a
+    seeded deterministic order, until each domain's TOKEN quota is
+    reached — mixtures in training recipes are specified in tokens, not
+    documents, and document lengths differ wildly across domains, so
+    row-count resampling (:func:`resample_mixture`) systematically
+    over-serves verbose domains.
+
+    Quotas = largest-remainder allocation of ``n_tokens`` by
+    ``weights`` (same exact rule as stratified sampling). Within each
+    domain, documents are ordered by the portable seeded hash
+    ``int(md5(id || seed)[:8], 16)`` (ties → id), and a document is
+    kept while the tokens BEFORE it are under the quota — so each
+    domain lands in ``[quota, quota + max_doc_tokens)``: documents are
+    atomic and the last one may overshoot, the standard convention.
+    The md5 order makes the exact keep set reproducible in any engine
+    (the registry oracle replays it in DuckDB row for row).
+
+    Domains whose total tokens fall short of quota raise, unless
+    ``allow_short=True`` (keep everything they have — the 'epoch the
+    rare domain' decision is then explicit, via resample_mixture's
+    with-replacement upsampling on rows, not silent).
+
+    Plan: one |domains|-row availability aggregate, one shuffle on the
+    domain for the per-domain ordered cumsum window, broadcast quota
+    dim. Driver state is |domains| numbers, never rows."""
+    quotas = allocate_counts(weights, n_tokens)
+    avail = {
+        r["v"]: r["t"]
+        for r in df.groupBy(F.col(domain_col).alias("v"))
+        .agg(F.coalesce(F.sum(token_col), F.lit(0)).alias("t"))
+        .collect()  # bounded: one row per domain
+    }
+    short = {k: q for k, q in quotas.items() if q > avail.get(k, 0)}
+    if short and not allow_short:
+        raise ValueError(
+            f"domains {sorted(short)} hold fewer tokens than their quota "
+            f"(pass allow_short=True to keep all they have, or upsample "
+            f"rows via resample_mixture(allow_upsample=True))"
+        )
+    spark = df.sparkSession
+    dom_type = dict(df.dtypes)[domain_col]
+    quota = F.broadcast(
+        spark.createDataFrame(
+            [(k, int(v)) for k, v in quotas.items()],
+            f"{domain_col} {dom_type}, __quota long",
+        )
+    )
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.col(id_col).cast("string"), F.lit(str(seed)))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    w = Window.partitionBy(domain_col).orderBy(F.col("__u").asc(), F.col(id_col).asc())
+    before = F.sum(token_col).over(w) - F.col(token_col)
+    return (
+        df.withColumn("__u", u)
+        .join(quota, on=domain_col, how="inner")
+        .withColumn("__before", before)
+        .filter(F.col("__before") < F.col("__quota"))
+        .select(*df.columns)
+    )
+
+
 def shuffle_rows(df: DataFrame, seed: int = 42, by: list[str] | None = None) -> DataFrame:
     """Deterministic global permutation — the training-order shuffle.
     Rows are totally ordered by ``xxhash64(identity, seed)`` (identity =
@@ -310,6 +383,59 @@ def filter_by_blocklist(
     so the corpus is scanned once and never shuffled."""
     bl = blocklist.select(F.col(block_col or col).alias(col)).distinct()
     return df.join(F.broadcast(bl), on=col, how="left_anti")
+
+
+def filter_by_group_quantile(
+    df: DataFrame,
+    value_col: str,
+    by,
+    prob: float,
+    keep: str = "at_or_above",
+    mode: str = "auto",
+    accuracy: int = 10000,
+    bins: str = "per_group",
+    threshold_col: str | None = None,
+) -> DataFrame:
+    """Per-group quantile-threshold selection — the 'keep documents
+    above their domain's 90th-percentile quality score' step of a
+    quality-filtering pipeline (per-domain thresholds instead of one
+    global cutoff, so a high-quality domain doesn't drown out a noisy
+    one and vice versa).
+
+    Computes the ``prob`` quantile of ``value_col`` within each ``by``
+    group via :func:`epic_pandas_spark.operators.stats.quantiles`
+    (``mode="auto"``: bit-exact under the plan-stat crossover, the
+    codegen histogram sketch above it — per-group bin edges by default,
+    since group value ranges are exactly what differ here), then keeps
+    rows ``at_or_above`` / ``above`` / ``at_or_below`` / ``below`` the
+    group's threshold. ``threshold_col`` optionally retains the
+    threshold on the output rows (provenance/debugging).
+
+    Plan at 100 TB: one aggregate pass builds the (|groups|)-row
+    threshold dim, which joins back broadcast-style; the corpus is
+    scanned twice and shuffled zero times beyond the aggregate's
+    partials. Null values never pass the filter (no rank)."""
+    from epic_pandas_spark.operators.stats import quantiles
+
+    ops = {
+        "at_or_above": lambda v, t: v >= t,
+        "above": lambda v, t: v > t,
+        "at_or_below": lambda v, t: v <= t,
+        "below": lambda v, t: v < t,
+    }
+    if keep not in ops:
+        raise ValueError(f"keep must be one of {sorted(ops)}")
+    group_cols = [by] if isinstance(by, str) else list(by)
+    th = quantiles(
+        df, value_col, [prob], by=group_cols, names=["__th"],
+        mode=mode, accuracy=accuracy, bins=bins,
+    )
+    out = df.join(F.broadcast(th), on=group_cols).filter(
+        ops[keep](F.col(value_col), F.col("__th"))
+    )
+    if threshold_col is not None:
+        return out.withColumnRenamed("__th", threshold_col)
+    return out.drop("__th")
 
 
 def hashed_feature_scores(

@@ -3430,6 +3430,95 @@ def q_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "mixture_resample_tokens",
+    """
+    WITH q AS (
+      SELECT * FROM (VALUES ('en', 8000), ('de', 4000), ('fr', 4000),
+                            ('zh', 2000), ('es', 2000)) AS t(lang, quota)
+    ),
+    u AS (
+      SELECT doc_id, lang, n_chars,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 8)
+                  AS BIGINT) AS u
+      FROM documents
+    ),
+    c AS (
+      SELECT lang, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY lang ORDER BY u, doc_id)
+               - n_chars AS before
+      FROM u
+    )
+    SELECT c.lang, COUNT(*) AS n_docs,
+           CAST(SUM(c.n_chars) AS BIGINT) AS tokens
+    FROM c JOIN q ON c.lang = q.lang
+    WHERE c.before < q.quota
+    GROUP BY c.lang
+    """,
+)
+def q_mixture_resample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-budget mixture (extensions.curation.resample_mixture_tokens):
+    fill each language's TOKEN quota (40/20/20/10/10% of 20k chars) in
+    the portable seeded md5 order — training mixtures are specified in
+    tokens, and row-count resampling over-serves verbose domains. The
+    oracle replays the EXACT keep set in DuckDB (same md5 rank, same
+    ordered cumsum, same keep-while-before<quota rule), so this is a
+    full row-replay hash oracle, not a count contract. allow_short:
+    a domain below quota keeps everything it has (the filter rule
+    already does this; the flag only suppresses the feasibility raise,
+    which matters at tiny scale factors)."""
+    from epic_pandas_spark.extensions.curation import resample_mixture_tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    kept = resample_mixture_tokens(
+        docs,
+        "lang",
+        "n_chars",
+        "doc_id",
+        weights={"en": 0.4, "de": 0.2, "fr": 0.2, "zh": 0.1, "es": 0.1},
+        n_tokens=20_000,
+        seed=42,
+        allow_short=True,
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("tokens")
+    )
+
+
+@register(
+    "group_quantile_filter",
+    """
+    WITH th AS (
+      SELECT lang, quantile_cont(CAST(n_chars AS DOUBLE), 0.9) AS th
+      FROM documents GROUP BY lang
+    )
+    SELECT d.lang, COUNT(*) AS n_kept,
+           CAST(SUM(d.n_chars) AS BIGINT) AS total_chars
+    FROM documents d JOIN th ON d.lang = th.lang
+    WHERE CAST(d.n_chars AS DOUBLE) >= th.th
+    GROUP BY d.lang
+    """,
+)
+def q_group_quantile_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group quantile-threshold selection
+    (extensions.curation.filter_by_group_quantile): keep the documents
+    at or above their OWN language's 90th-percentile length — the
+    per-domain quality-cutoff step of a curation pipeline, where one
+    global threshold would let a verbose domain crowd out a terse one.
+    The threshold dim is |groups| rows (broadcast join back); auto mode
+    is bit-exact at oracle sf and rides the codegen histogram sketch
+    above the crossover. Oracle recomputes the per-lang quantile_cont
+    threshold and the keep set independently."""
+    from epic_pandas_spark.extensions.curation import filter_by_group_quantile
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    kept = filter_by_group_quantile(docs, "n_chars", "lang", 0.9)
+    return kept.groupBy("lang").agg(
+        F.count("*").alias("n_kept"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+@register(
     "psl_registrable_domain",
     """
     -- the oracle derives the registrable domain INDEPENDENTLY from the

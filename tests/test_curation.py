@@ -578,3 +578,71 @@ def test_psl_registrable_domain_rule_algebra(spark):
     # !special.co.uk prevails -> registrable = special.co.uk
     assert vals == {"a.b.co.uk": "a.b.co.uk",
                     "x.special.co.uk": "special.co.uk"}
+
+
+def test_filter_by_group_quantile_semantics(spark):
+    """Per-group threshold: each group's cutoff is its OWN quantile (a
+    global cutoff would keep nothing from the low group); keep modes
+    complement each other; nulls never pass; bad mode raises."""
+    from epic_pandas_spark.extensions.curation import filter_by_group_quantile
+
+    rows = [("lo", float(i)) for i in range(1, 11)]          # 1..10
+    rows += [("hi", float(i)) for i in range(101, 111)]      # 101..110
+    rows += [("hi", None)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    kept = filter_by_group_quantile(df, "v", "g", 0.5, mode="exact")
+    got = sorted((r["g"], r["v"]) for r in kept.collect())
+    # median of 1..10 = 5.5 -> keep 6..10; median of 101..110 -> 106..110
+    assert got == [("hi", float(v)) for v in range(106, 111)] + \
+                  [("lo", float(v)) for v in range(6, 11)]
+    below = filter_by_group_quantile(df, "v", "g", 0.5, keep="below",
+                                     mode="exact")
+    assert below.count() == 10  # the complement (nulls in neither half)
+    with_th = filter_by_group_quantile(
+        df, "v", "g", 0.5, mode="exact", threshold_col="th"
+    )
+    ths = {r["g"]: r["th"] for r in with_th.select("g", "th").distinct().collect()}
+    assert ths == {"lo": 5.5, "hi": 105.5}
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="keep"):
+        filter_by_group_quantile(df, "v", "g", 0.5, keep="nope")
+
+
+def test_resample_mixture_tokens_quota_semantics(spark):
+    """Each domain lands in [quota, quota + max_doc_tokens) when it has
+    enough tokens; atomic-document overshoot is bounded by one doc; the
+    keep set is deterministic across partitionings; short domains raise
+    unless allow_short (then they keep everything)."""
+    from epic_pandas_spark.extensions.curation import resample_mixture_tokens
+
+    rows = [(i, "a", 100) for i in range(50)]        # a: 5000 tokens
+    rows += [(100 + i, "b", 333) for i in range(30)]  # b: 9990 tokens
+    df = spark.createDataFrame(rows, "id long, dom string, tok long")
+    kept = resample_mixture_tokens(
+        df, "dom", "tok", "id", weights={"a": 0.5, "b": 0.5}, n_tokens=4000
+    )
+    sums = {r["dom"]: r["t"] for r in
+            kept.groupBy("dom").agg(F.sum("tok").alias("t")).collect()}
+    assert 2000 <= sums["a"] < 2000 + 100
+    assert 2000 <= sums["b"] < 2000 + 333
+    # deterministic under a different partitioning
+    kept2 = resample_mixture_tokens(
+        df.repartition(7), "dom", "tok", "id",
+        weights={"a": 0.5, "b": 0.5}, n_tokens=4000,
+    )
+    assert sorted(r["id"] for r in kept.collect()) == \
+           sorted(r["id"] for r in kept2.collect())
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="fewer tokens"):
+        resample_mixture_tokens(
+            df, "dom", "tok", "id", weights={"a": 1.0}, n_tokens=6000
+        )
+    allkept = resample_mixture_tokens(
+        df, "dom", "tok", "id", weights={"a": 1.0}, n_tokens=6000,
+        allow_short=True,
+    )
+    assert allkept.filter(F.col("dom") == "a").count() == 50  # keeps all
