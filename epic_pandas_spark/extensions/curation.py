@@ -414,7 +414,9 @@ def filter_by_group_quantile(
     Plan at 100 TB: one aggregate pass builds the (|groups|)-row
     threshold dim, which joins back broadcast-style; the corpus is
     scanned twice and shuffled zero times beyond the aggregate's
-    partials. Null values never pass the filter (no rank)."""
+    partials. Null values never pass the filter (no rank); a NULL group
+    LABEL is a real group (null-safe join, matching the quantile
+    aggregate's own groupBy semantics)."""
     from epic_pandas_spark.operators.stats import quantiles
 
     ops = {
@@ -430,8 +432,16 @@ def filter_by_group_quantile(
         df, value_col, [prob], by=group_cols, names=["__th"],
         mode=mode, accuracy=accuracy, bins=bins,
     )
-    out = df.join(F.broadcast(th), on=group_cols).filter(
-        ops[keep](F.col(value_col), F.col("__th"))
+    for c in group_cols:
+        th = th.withColumnRenamed(c, f"__th_{c}")
+    cond = None
+    for c in group_cols:
+        e = F.col(c).eqNullSafe(F.col(f"__th_{c}"))
+        cond = e if cond is None else (cond & e)
+    out = (
+        df.join(F.broadcast(th), cond)
+        .filter(ops[keep](F.col(value_col), F.col("__th")))
+        .drop(*[f"__th_{c}" for c in group_cols])
     )
     if threshold_col is not None:
         return out.withColumnRenamed("__th", threshold_col)

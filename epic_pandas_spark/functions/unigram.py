@@ -305,6 +305,8 @@ def unigram_train(
         raise ValueError("mode must be auto, local, or distributed")
     if prune not in ("count", "likelihood"):
         raise ValueError("prune must be 'count' or 'likelihood'")
+    if em_rounds_per_prune < 1:
+        raise ValueError("em_rounds_per_prune must be >= 1")
 
     freq_df = _word_freq_table(df, text_col).localCheckpoint(eager=True)
     seed = _seed_vocab(freq_df, max_piece_len, seed_size=vocab_size * seed_multiplier)

@@ -253,11 +253,20 @@ def _hist_quantiles(
     if bins == "per_group" and group_cols:
         # per-group edges: a (groups)-row stats dim joined back on the
         # group key — broadcast-eligible whenever groups ≪ corpus (the
-        # normal case; Catalyst/AQE picks the strategy from its size)
+        # normal case; Catalyst/AQE picks the strategy from its size).
+        # eqNullSafe: a null group label is a real group everywhere else
+        # in this function (groupBy/window keep it), so a plain equi-join
+        # here would silently drop its rows.
         stats = data.groupBy(*group_cols).agg(
             F.min(v).alias("__lo"), F.max(v).alias("__hi")
         )
-        withb = data.join(stats, on=group_cols)
+        for c in group_cols:
+            stats = stats.withColumnRenamed(c, f"__st_{c}")
+        cond = None
+        for c in group_cols:
+            e = F.col(c).eqNullSafe(F.col(f"__st_{c}"))
+            cond = e if cond is None else (cond & e)
+        withb = data.join(stats, cond).drop(*[f"__st_{c}" for c in group_cols])
     else:
         stats = data.agg(F.min(v).alias("__lo"), F.max(v).alias("__hi"))
         withb = data.crossJoin(F.broadcast(stats))

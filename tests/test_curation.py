@@ -646,3 +646,25 @@ def test_resample_mixture_tokens_quota_semantics(spark):
         allow_short=True,
     )
     assert allkept.filter(F.col("dom") == "a").count() == 50  # keeps all
+
+
+def test_filter_by_group_quantile_null_group_label(spark):
+    """A NULL group label is a real group: its rows get their own
+    threshold instead of silently vanishing through a non-null-safe
+    join (and the same null-safe contract holds for per-group hist
+    bins)."""
+    from epic_pandas_spark.extensions.curation import filter_by_group_quantile
+
+    rows = [("a", float(i)) for i in range(1, 11)]
+    rows += [(None, float(i)) for i in range(1, 11)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    kept = filter_by_group_quantile(df, "v", "g", 0.5, mode="exact")
+    got = sorted(((r["g"], r["v"]) for r in kept.collect()),
+                 key=lambda t: (t[0] or "", t[1]))
+    assert [t for t in got if t[0] is None] == [(None, float(i)) for i in range(6, 11)]
+    assert [t for t in got if t[0] == "a"] == [("a", float(i)) for i in range(6, 11)]
+    # hist + per_group bins keeps the null group too
+    kept_h = filter_by_group_quantile(
+        df, "v", "g", 0.5, mode="hist", accuracy=1000, bins="per_group"
+    )
+    assert kept_h.filter(F.col("g").isNull()).count() == 5
