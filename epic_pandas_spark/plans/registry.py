@@ -2732,6 +2732,65 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_perplexity",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '') AS w
+      FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id, p.v AS v, p.u AS u
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w)),
+                                         i -> struct_pack(v := w[i], u := w[i-1]))) AS p
+            FROM d)
+    ),
+    tr AS (SELECT v, u FROM t2 WHERE doc_id % 10 = 0 AND doc_id < 50000),
+    uni AS (SELECT v, COUNT(*) AS c FROM tr GROUP BY v),
+    tot AS (SELECT SUM(c)::DOUBLE AS n, COUNT(*)::DOUBLE AS vs FROM uni),
+    bi AS (SELECT u, v, COUNT(*) AS c FROM tr WHERE u IS NOT NULL GROUP BY u, v),
+    scored AS (
+      SELECT t2.doc_id,
+             CASE WHEN t2.u IS NULL
+                    THEN ln((COALESCE(cv.c, 0) + 1) / (tot.n + tot.vs))
+                  WHEN b.c IS NOT NULL
+                    THEN ln(b.c::DOUBLE / cu.c)
+                  ELSE ln(0.4) + ln((COALESCE(cv.c, 0) + 1) / (tot.n + tot.vs))
+             END AS logp
+      FROM t2
+      CROSS JOIN tot
+      LEFT JOIN uni cv ON t2.v = cv.v
+      LEFT JOIN uni cu ON t2.u = cu.v
+      LEFT JOIN bi b ON t2.u = b.u AND t2.v = b.v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(logp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering signal (functions.ngram_lm): train
+    a bigram Stupid-Backoff LM (Brants et al. 2007) on a FIXED reference
+    slice (every 10th doc, capped at doc_id < 50000 — the CCNet shape: a
+    Wikipedia-like reference corpus that does NOT grow with the scored
+    data), then score every document's per-token average log-prob. Count
+    tables broadcast because the cap bounds them; the scored corpus never
+    shuffles its text — only the (v, u) token stream moves through three
+    broadcast-hash joins in one codegen stage. The oracle compares
+    n_tokens + avg_logprob (6dp); `perplexity = exp(-avg)` is an API
+    output but amplifies fp-order drift ~|ppl|×, so it stays out of the
+    hash (same drift discipline as the money-DECIMAL convention above)."""
+    from epic_pandas_spark.functions.ngram_lm import ngram_lm_score, ngram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 50000))
+    model = ngram_lm_train(train, "text", order=2)
+    out = ngram_lm_score(docs, "text", "doc_id", model, strategy="broadcast")
+    return out.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
+@register(
     "semantic_decontamination",
     """
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

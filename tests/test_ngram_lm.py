@@ -1,0 +1,109 @@
+"""Stupid-Backoff n-gram LM: distributed train/score vs the pure-Python
+reference twin, pruning semantics, OOV/backoff paths, edge cases."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from epic_pandas_spark.functions.ngram_lm import (
+    ngram_lm_score,
+    ngram_lm_score_reference,
+    ngram_lm_train,
+)
+
+TRAIN = [
+    "the cat sat on the mat",
+    "the dog sat on the log",
+    "a cat and a dog",
+    "the   CAT  sat ",  # normalization: case + whitespace
+]
+SCORE = [
+    (0, "the cat sat on the mat"),      # all bigrams seen
+    (1, "the zebra sat"),               # OOV word -> backoff + add-one
+    (2, "cat dog"),                     # seen words, unseen bigram
+    (3, "zzz"),                         # single OOV token (unigram path)
+    (4, "the"),                         # single seen token
+]
+
+
+def _spark_scores(spark, order=2, min_count=1):
+    train = spark.createDataFrame([(t,) for t in TRAIN], "text string")
+    docs = spark.createDataFrame(SCORE, "doc_id long, text string")
+    model = ngram_lm_train(train, "text", order=order, min_count=min_count)
+    out = ngram_lm_score(docs, "text", "doc_id", model)
+    return model, {r["doc_id"]: (r["n_tokens"], r["avg_logprob"], r["perplexity"])
+                   for r in out.collect()}
+
+
+@pytest.mark.parametrize("order,min_count", [(2, 1), (2, 2), (1, 1)])
+def test_parity_vs_reference(spark, order, min_count):
+    _, got = _spark_scores(spark, order=order, min_count=min_count)
+    want = ngram_lm_score_reference(TRAIN, SCORE, order=order, min_count=min_count)
+    assert set(got) == set(want)
+    for did, (n_ref, lp_ref) in want.items():
+        n, lp, ppl = got[did]
+        assert n == n_ref
+        assert lp == pytest.approx(lp_ref, abs=1e-9)
+        assert ppl == pytest.approx(math.exp(-lp_ref), rel=1e-9)
+
+
+def test_model_totals_and_backoff_ordering(spark):
+    model, got = _spark_scores(spark)
+    # totals are the full corpus: 6+6+5+3 tokens
+    assert model.n_tokens == 20
+    assert model.vocab_size == 9
+    # an all-seen-bigrams doc scores higher (less negative) than one that
+    # backs off, which scores higher than pure OOV
+    assert got[0][1] > got[2][1] > got[3][1]
+
+
+def test_pruning_drops_rare_grams_but_keeps_totals(spark):
+    model1, _ = _spark_scores(spark, min_count=1)
+    model2, _ = _spark_scores(spark, min_count=2)
+    assert model2.n_tokens == model1.n_tokens  # totals unpruned
+    assert model2.unigrams.count() < model1.unigrams.count()
+    assert model2.bigrams.count() < model1.bigrams.count()
+    # pruned bigram ("cat","and") must route through backoff: kept bigram
+    # implies kept context (c_uni >= c_bi), so the join denominator exists
+    kept = {(r["u"], r["v"]) for r in model2.bigrams.collect()}
+    assert ("cat", "and") not in kept and ("the", "cat") in kept
+
+
+def test_empty_and_null_docs_absent(spark):
+    train = spark.createDataFrame([(t,) for t in TRAIN], "text string")
+    docs = spark.createDataFrame(
+        [(0, "the cat"), (1, ""), (2, "   "), (3, None)], "doc_id long, text string"
+    )
+    model = ngram_lm_train(train, "text")
+    out = ngram_lm_score(docs, "text", "doc_id", model)
+    assert [r["doc_id"] for r in out.collect()] == [0]
+
+
+def test_strategy_validation_and_shuffle_path(spark):
+    train = spark.createDataFrame([(t,) for t in TRAIN], "text string")
+    docs = spark.createDataFrame(SCORE, "doc_id long, text string")
+    model = ngram_lm_train(train, "text")
+    with pytest.raises(ValueError):
+        ngram_lm_score(docs, "text", "doc_id", model, strategy="bogus")
+    b = {r["doc_id"]: r["avg_logprob"]
+         for r in ngram_lm_score(docs, "text", "doc_id", model, strategy="broadcast").collect()}
+    s = {r["doc_id"]: r["avg_logprob"]
+         for r in ngram_lm_score(docs, "text", "doc_id", model, strategy="shuffle").collect()}
+    assert b.keys() == s.keys()
+    for k in b:
+        assert b[k] == pytest.approx(s[k], abs=1e-12)
+
+
+def test_train_validation(spark):
+    train = spark.createDataFrame([(t,) for t in TRAIN], "text string")
+    with pytest.raises(ValueError):
+        ngram_lm_train(train, "text", order=3)
+    with pytest.raises(ValueError):
+        ngram_lm_train(train, "text", min_count=0)
+    empty = spark.createDataFrame([], "text string")
+    model = ngram_lm_train(empty, "text")
+    with pytest.raises(ValueError):
+        ngram_lm_score(train, "text", "text", model)
