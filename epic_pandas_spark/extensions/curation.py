@@ -26,6 +26,8 @@ Scale design (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 from epic_pandas_spark.functions.text import word_ngrams_expr
@@ -446,6 +448,66 @@ def filter_by_group_quantile(
     if threshold_col is not None:
         return out.withColumnRenamed("__th", threshold_col)
     return out.drop("__th")
+
+
+def bucket_by_group_quantiles(
+    df: DataFrame,
+    value_col: str,
+    by,
+    probs: Sequence[float] = (1 / 3, 2 / 3),
+    labels: Sequence[str] = ("head", "middle", "tail"),
+    mode: str = "auto",
+    accuracy: int = 10000,
+    bins: str = "per_group",
+    bucket_col: str = "bucket",
+) -> DataFrame:
+    """Assign each row a quantile bucket WITHIN its group — the CCNet
+    split: per-language perplexity tertiles labeling each document
+    head/middle/tail of its own language's distribution, so a
+    well-modeled language doesn't push another language's entire corpus
+    into 'tail'.
+
+    ``probs`` are the ascending interior cut points (k cuts -> k+1
+    ``labels``); a row gets ``labels[i]`` for the first threshold with
+    ``value <= t_i``, else the last label, and a null value gets a null
+    bucket (no rank). Thresholds come from
+    :func:`epic_pandas_spark.operators.stats.quantiles` (``mode="auto"``:
+    bit-exact under the plan-stat crossover, codegen histogram sketch
+    above it).
+
+    Plan at 100 TB: identical shape to :func:`filter_by_group_quantile`
+    — one aggregate builds the (|groups|)-row threshold dim, broadcast
+    back with a null-safe group join, and the bucket CASE evaluates
+    inline in the scan; zero extra corpus shuffles."""
+    probs = list(probs)
+    if sorted(probs) != probs or len(set(probs)) != len(probs):
+        raise ValueError("probs must be strictly ascending")
+    if len(labels) != len(probs) + 1:
+        raise ValueError("need exactly len(probs) + 1 labels")
+    from epic_pandas_spark.operators.stats import quantiles
+
+    group_cols = [by] if isinstance(by, str) else list(by)
+    th_names = [f"__t{i}" for i in range(len(probs))]
+    th = quantiles(
+        df, value_col, probs, by=group_cols, names=th_names,
+        mode=mode, accuracy=accuracy, bins=bins,
+    )
+    for c in group_cols:
+        th = th.withColumnRenamed(c, f"__th_{c}")
+    cond = None
+    for c in group_cols:
+        e = F.col(c).eqNullSafe(F.col(f"__th_{c}"))
+        cond = e if cond is None else (cond & e)
+    v = F.col(value_col)
+    bucket = F.when(v.isNull(), F.lit(None).cast("string"))
+    for i, name in enumerate(th_names):
+        bucket = bucket.when(v <= F.col(name), F.lit(labels[i]))
+    bucket = bucket.otherwise(F.lit(labels[-1]))
+    return (
+        df.join(F.broadcast(th), cond)
+        .withColumn(bucket_col, bucket)
+        .drop(*th_names, *[f"__th_{c}" for c in group_cols])
+    )
 
 
 def hashed_feature_scores(

@@ -184,6 +184,13 @@ def quantiles(
     Same data-sized auto discipline as
     ``connected_components(algorithm="auto")`` and ``derive_cms_width``
     — callers keep one API.
+
+    CAVEAT: ``mode="auto"`` trusts Catalyst plan stats, which are only
+    calibrated for scan-rooted inputs (parquet footer bytes × pruning).
+    A join/aggregate-DERIVED frame reports selectivity-heuristic
+    estimates that can be absurd (measured: 15 PB for a 500-row joined
+    frame), misrouting auto to the sketch. Computed inputs should pin
+    ``mode="exact"`` (small data) or ``mode="hist"`` (the scale path).
     """
     if mode not in ("auto", "exact", "approx", "hist"):
         raise ValueError("mode must be 'auto', 'exact', 'approx' or 'hist'")

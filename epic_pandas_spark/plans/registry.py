@@ -2791,6 +2791,85 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "perplexity_buckets",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '') AS w
+      FROM documents
+    ),
+    t2 AS (
+      SELECT doc_id, p.v AS v, p.u AS u
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w)),
+                                         i -> struct_pack(v := w[i], u := w[i-1]))) AS p
+            FROM d)
+    ),
+    tr AS (SELECT v, u FROM t2 WHERE doc_id % 10 = 0 AND doc_id < 50000),
+    uni AS (SELECT v, COUNT(*) AS c FROM tr GROUP BY v),
+    tot AS (SELECT SUM(c)::DOUBLE AS n, COUNT(*)::DOUBLE AS vs FROM uni),
+    bi AS (SELECT u, v, COUNT(*) AS c FROM tr WHERE u IS NOT NULL GROUP BY u, v),
+    scored AS (
+      SELECT t2.doc_id,
+             AVG(CASE WHEN t2.u IS NULL
+                        THEN ln((COALESCE(cv.c, 0) + 1) / (tot.n + tot.vs))
+                      WHEN b.c IS NOT NULL
+                        THEN ln(b.c::DOUBLE / cu.c)
+                      ELSE ln(0.4) + ln((COALESCE(cv.c, 0) + 1) / (tot.n + tot.vs))
+                 END) AS a
+      FROM t2
+      CROSS JOIN tot
+      LEFT JOIN uni cv ON t2.v = cv.v
+      LEFT JOIN uni cu ON t2.u = cu.v
+      LEFT JOIN bi b ON t2.u = b.u AND t2.v = b.v
+      GROUP BY t2.doc_id
+    ),
+    sl AS (SELECT s.doc_id, doc.lang, s.a
+           FROM scored s JOIN documents doc ON s.doc_id = doc.doc_id),
+    th AS (SELECT lang,
+                  quantile_cont(a, 0.3333333333333333) AS t0,
+                  quantile_cont(a, 0.6666666666666666) AS t1
+           FROM sl GROUP BY lang)
+    SELECT sl.doc_id, sl.lang,
+           CASE WHEN sl.a <= th.t0 THEN 'tail'
+                WHEN sl.a <= th.t1 THEN 'middle'
+                ELSE 'head' END AS bucket
+    FROM sl JOIN th ON sl.lang IS NOT DISTINCT FROM th.lang
+    """,
+)
+def q_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet corpus split end to end: score every document with the
+    bigram Stupid-Backoff LM (same fixed reference slice as
+    `ngram_perplexity`), then label each doc head/middle/tail of ITS OWN
+    language's score distribution (per-group tertiles via
+    bucket_by_group_quantiles — low avg_logprob = high perplexity =
+    tail). The scored (doc_id, avg_logprob, lang) frame — 3 columns per
+    doc, tiny next to the text — is localCheckpointed so the LM scoring
+    pass runs ONCE and feeds both the threshold aggregate and the bucket
+    join. Quantile mode is pinned "exact" here because Catalyst's
+    plan-stat estimate of a join-derived frame is selectivity-heuristic
+    garbage (measured: 15 PB for 500 rows), which would misroute
+    mode="auto"'s crossover — the documented rule: auto ONLY on
+    scan-rooted inputs, computed inputs pin exact (oracle scale) or hist
+    (the 100 TB path, value-bounded error). Output has no double
+    columns, so the hash compare is immune to fp-order drift except for
+    measure-zero threshold-boundary ties."""
+    from epic_pandas_spark.extensions.curation import bucket_by_group_quantiles
+    from epic_pandas_spark.functions.ngram_lm import ngram_lm_score, ngram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 50000))
+    model = ngram_lm_train(train, "text", order=2)
+    scored = ngram_lm_score(docs, "text", "doc_id", model).select("doc_id", "avg_logprob")
+    sl = scored.join(docs.select("doc_id", "lang"), "doc_id").localCheckpoint(eager=False)
+    out = bucket_by_group_quantiles(
+        sl, "avg_logprob", "lang",
+        labels=("tail", "middle", "head"), mode="exact",
+    )
+    return out.select("doc_id", "lang", "bucket")
+
+
+@register(
     "semantic_decontamination",
     """
     WITH c AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

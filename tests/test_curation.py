@@ -668,3 +668,56 @@ def test_filter_by_group_quantile_null_group_label(spark):
         df, "v", "g", 0.5, mode="hist", accuracy=1000, bins="per_group"
     )
     assert kept_h.filter(F.col("g").isNull()).count() == 5
+
+
+def test_bucket_by_group_quantiles_tertiles(spark):
+    """Per-group tertile labels: each group of 1..9 splits 3/3/3 at the
+    exact 1/3 and 2/3 interpolated thresholds, independent of the other
+    group's range."""
+    from epic_pandas_spark.extensions.curation import bucket_by_group_quantiles
+
+    rows = [("a", float(i)) for i in range(1, 10)]
+    rows += [("b", float(i * 100)) for i in range(1, 10)]
+    df = spark.createDataFrame(rows, "g string, v double")
+    out = bucket_by_group_quantiles(df, "v", "g", mode="exact")
+    got = {(r["g"], r["v"]): r["bucket"] for r in out.collect()}
+    for g, scale in (("a", 1.0), ("b", 100.0)):
+        # quantile_cont thresholds over 1..9 are 3.666.. and 6.333..
+        assert [got[(g, i * scale)] for i in range(1, 10)] == (
+            ["head"] * 3 + ["middle"] * 3 + ["tail"] * 3
+        )
+
+
+def test_bucket_by_group_quantiles_nulls_and_validation(spark):
+    from epic_pandas_spark.extensions.curation import bucket_by_group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", 1.0), ("a", 2.0), ("a", 3.0), ("a", None), (None, 5.0)],
+        "g string, v double",
+    )
+    out = bucket_by_group_quantiles(df, "v", "g", mode="exact")
+    got = {(r["g"], r["v"]): r["bucket"] for r in out.collect()}
+    assert got[("a", None)] is None          # null value -> null bucket
+    assert got[(None, 5.0)] == "head"        # null group label is a real group
+    assert len(got) == 5                     # no rows dropped
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        bucket_by_group_quantiles(df, "v", "g", probs=(0.5, 0.2))
+    with _pytest.raises(ValueError):
+        bucket_by_group_quantiles(df, "v", "g", labels=("x", "y"))
+
+
+def test_bucket_by_group_quantiles_custom_cuts(spark):
+    """Non-tertile cuts: a single median cut gives len(labels)=2, and the
+    boundary row (v == threshold) takes the lower bucket (<= semantics,
+    matching quantile_cont oracles)."""
+    from epic_pandas_spark.extensions.curation import bucket_by_group_quantiles
+
+    df = spark.createDataFrame(
+        [("a", float(i)) for i in range(1, 6)], "g string, v double"
+    )
+    out = bucket_by_group_quantiles(
+        df, "v", "g", probs=(0.5,), labels=("lo", "hi"), mode="exact"
+    )
+    got = {r["v"]: r["bucket"] for r in out.collect()}
+    assert got == {1.0: "lo", 2.0: "lo", 3.0: "lo", 4.0: "hi", 5.0: "hi"}
