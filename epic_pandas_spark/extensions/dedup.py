@@ -40,16 +40,64 @@ def word_set_expr(text: Column) -> Column:
     )
 
 
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """Keep the smallest-id row per normalized-text group. The shuffle key
-    is the 64-bit fingerprint, so payload movement is O(ids), not O(text)."""
+def exact_dedup(df: DataFrame, text_col: str, id_col: str, keep_by=None) -> DataFrame:
+    """Keep one row per normalized-text group. The shuffle key is the
+    64-bit fingerprint, so payload movement is O(ids), not O(text).
+
+    ``keep_by`` is the retention policy: an optional list of ordering
+    Columns ranking each group's rows best-first (e.g.
+    ``[F.length("text").desc(), F.col("quality").desc()]`` — real
+    pipelines keep the longest / highest-quality raw variant, since
+    normalization collapses case/whitespace variants that differ in
+    original content). ``id_col`` ascending is always appended as the
+    deterministic tie-break; the default policy is smallest-id."""
     fp = fingerprint_expr(F.col(text_col))
-    w = Window.partitionBy("__fp").orderBy(F.col(id_col).asc())
+    order = list(keep_by or []) + [F.col(id_col).asc()]
+    w = Window.partitionBy("__fp").orderBy(*order)
     return (
         df.withColumn("__fp", fp)
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)
         .drop("__fp", "__rn")
+    )
+
+
+def keep_best_per_cluster(
+    df: DataFrame,
+    clusters: DataFrame,
+    id_col: str,
+    keep_by,
+    cluster_col: str = "cluster",
+) -> DataFrame:
+    """Near-dup retention policy: given cluster assignments (e.g.
+    :func:`connected_components` over verified LSH pairs), keep the
+    best row of each cluster by the ``keep_by`` ordering Columns
+    (best-first; ``id_col`` ascending appended as tie-break) and every
+    row with no cluster assignment (singletons — not near-duplicated).
+
+    This replaces the flagship's canonical-min-id keep rule when the
+    corpus carries a quality signal: deduplication should discard the
+    WORSE variants, not whichever happened to get a larger id.
+
+    Plan at 100 TB: one left join against the (id, cluster) assignment
+    table — itself O(clustered ids), usually a small fraction of the
+    corpus, and broadcast-eligible — then a row_number window partitioned
+    by cluster. Unclustered rows short-circuit the window with a
+    constant key=id partition (each its own group), so no giant null
+    partition forms and the window shuffle stays balanced."""
+    order = list(keep_by) + [F.col(id_col).asc()]
+    asg = clusters.select(
+        F.col(id_col).alias("__cid"), F.col(cluster_col).alias("__cluster")
+    )
+    joined = df.join(asg, F.col(id_col) == F.col("__cid"), "left").drop("__cid")
+    # singletons get a unique per-row partition key so the window never
+    # concentrates all of them into one null-key partition
+    part = F.coalesce(F.col("__cluster").cast("string"), F.concat(F.lit("__solo_"), F.col(id_col).cast("string")))
+    w = Window.partitionBy(part).orderBy(*order)
+    return (
+        joined.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__cluster", "__rn")
     )
 
 

@@ -870,6 +870,45 @@ def q_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact_dedup(unioned, "text", "doc_id").select("doc_id")
 
 
+@register(
+    "dedup_keep_longest",
+    """
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, upper(text) || '  ' AS text
+      FROM documents WHERE doc_id % 5 = 0
+    ),
+    r AS (SELECT doc_id,
+                 ROW_NUMBER() OVER (
+                   PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')
+                   ORDER BY length(text) DESC, doc_id ASC) AS rn
+          FROM unioned)
+    SELECT doc_id FROM r WHERE rn = 1
+    """,
+)
+def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup with a RETENTION POLICY (exact_dedup(keep_by=...)):
+    the injected duplicates are case/whitespace variants CARRYING MORE
+    RAW TEXT (uppercased + padded), and the keep rule prefers the
+    longest raw variant instead of the smallest id — deduplication
+    should discard the worse variant, not whichever happened to get a
+    larger id. Same O(ids) fingerprint-keyed shuffle as `dedup_exact`;
+    only the window order changes. Every injected variant must win its
+    group, so the output's id set (vs `dedup_exact`'s) proves the
+    policy executed."""
+    from epic_pandas_spark.extensions.dedup import exact_dedup
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + F.lit(1000000)).alias("doc_id"),
+        F.concat(F.upper("text"), F.lit("  ")).alias("text"),
+    )
+    unioned = docs.unionByName(dups)
+    out = exact_dedup(unioned, "text", "doc_id", keep_by=[F.length("text").desc()])
+    return out.select("doc_id")
+
+
 _JACCARD_PAIRS_SQL = """
     WITH ws AS (
       SELECT doc_id, list_distinct(

@@ -1408,3 +1408,45 @@ def test_bands_for_recall_floor_semantics():
         bands_for_recall(1.5, 32)
     with _pytest.raises(ValueError):
         bands_for_recall(0.8, 32, min_recall=0.0)
+
+
+def test_exact_dedup_keep_by_policy(spark):
+    """keep_by ranks each fingerprint group best-first; id asc is always
+    the appended tie-break."""
+    from epic_pandas_spark.extensions.dedup import exact_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "hello world"),
+            (2, "HELLO   WORLD  "),   # same normalized text, longer raw
+            (3, "hello world"),       # same raw length as id 1 -> id tiebreak
+            (4, "unique doc"),
+        ],
+        "id long, text string",
+    )
+    longest = exact_dedup(df, "text", "id", keep_by=[F.length("text").desc()])
+    assert sorted(r["id"] for r in longest.collect()) == [2, 4]
+    default = exact_dedup(df, "text", "id")
+    assert sorted(r["id"] for r in default.collect()) == [1, 4]
+
+
+def test_keep_best_per_cluster(spark):
+    """Cluster retention: best row per cluster by the given ordering,
+    singletons (no assignment) always kept."""
+    from epic_pandas_spark.extensions.dedup import keep_best_per_cluster
+
+    docs = spark.createDataFrame(
+        [
+            (1, 0.9), (2, 0.5), (3, 0.9),   # cluster A: 0.9 tie -> min id 1
+            (4, 0.1), (5, 0.7),             # cluster B: id 5 wins
+            (6, 0.2),                        # singleton (unassigned)
+        ],
+        "id long, quality double",
+    )
+    clusters = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (3, "A"), (4, "B"), (5, "B")], "id long, cluster string"
+    )
+    kept = keep_best_per_cluster(docs, clusters, "id", [F.col("quality").desc()])
+    assert sorted(r["id"] for r in kept.collect()) == [1, 5, 6]
+    # schema unchanged: helper columns dropped
+    assert kept.columns == ["id", "quality"]
