@@ -101,6 +101,33 @@ def keep_best_per_cluster(
     )
 
 
+def soft_dedup_weights(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weight_col: str = "weight",
+    count_col: str = "n_dups",
+) -> DataFrame:
+    """Soft deduplication: instead of DROPPING duplicates, keep every row
+    and attach a sampling weight ``1 / n`` where ``n`` is the size of the
+    row's exact-duplicate group — so each distinct text contributes one
+    unit of expected mass to a weighted-sampling epoch (the reweighting
+    alternative to hard dedup: duplicated boilerplate is down-sampled,
+    not censored, preserving rare in-duplicate variation).
+
+    Feed ``weight_col`` to ``sample_at_most(weighted=...)`` or a loss
+    weight. Plan: one window count over the 64-bit fingerprint key —
+    same O(ids) shuffle as :func:`exact_dedup`, no join."""
+    fp = fingerprint_expr(F.col(text_col))
+    w = Window.partitionBy("__fp")
+    return (
+        df.withColumn("__fp", fp)
+        .withColumn(count_col, F.count(F.lit(1)).over(w))
+        .withColumn(weight_col, F.lit(1.0) / F.col(count_col))
+        .drop("__fp")
+    )
+
+
 def jaccard_pairs(
     df: DataFrame,
     text_col: str,

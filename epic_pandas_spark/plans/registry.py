@@ -909,6 +909,36 @@ def q_dedup_keep_longest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id")
 
 
+@register(
+    "soft_dedup_weights",
+    """
+    WITH unioned AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL
+      SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 5 = 0
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS BIGINT) AS n_dups,
+           ROUND(1.0 / COUNT(*) OVER (PARTITION BY regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 6) AS weight
+    FROM unioned
+    """,
+)
+def q_soft_dedup_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup on the injected-duplicate corpus: every row kept, each
+    weighted 1/|its exact-dup group| — the reweighting alternative to
+    hard dedup (duplicated boilerplate down-sampled, not censored). One
+    window count over the fingerprint key; weights feed weighted
+    sampling or a loss weight downstream."""
+    from epic_pandas_spark.extensions.dedup import soft_dedup_weights
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dups = docs.filter(F.col("doc_id") % 5 == 0).withColumn(
+        "doc_id", F.col("doc_id") + F.lit(1000000)
+    )
+    out = soft_dedup_weights(docs.unionByName(dups), "text", "doc_id")
+    return out.select("doc_id", "n_dups", F.round("weight", 6).alias("weight"))
+
+
 _JACCARD_PAIRS_SQL = """
     WITH ws AS (
       SELECT doc_id, list_distinct(

@@ -1450,3 +1450,19 @@ def test_keep_best_per_cluster(spark):
     assert sorted(r["id"] for r in kept.collect()) == [1, 5, 6]
     # schema unchanged: helper columns dropped
     assert kept.columns == ["id", "quality"]
+
+
+def test_soft_dedup_weights(spark):
+    from epic_pandas_spark.extensions.dedup import soft_dedup_weights
+
+    df = spark.createDataFrame(
+        [(1, "a b"), (2, "A  B "), (3, "a b"), (4, "unique")],
+        "id long, text string",
+    )
+    out = {r["id"]: (r["n_dups"], r["weight"]) for r in
+           soft_dedup_weights(df, "text", "id").collect()}
+    assert out[1] == (3, pytest.approx(1 / 3))
+    assert out[2] == (3, pytest.approx(1 / 3))
+    assert out[4] == (1, 1.0)
+    # total expected mass == number of distinct texts
+    assert sum(w for _, w in out.values()) == pytest.approx(2.0)
