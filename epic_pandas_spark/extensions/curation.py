@@ -26,6 +26,7 @@ Scale design (100 TB / 1000 executors):
 
 from __future__ import annotations
 
+import math
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
@@ -555,6 +556,172 @@ def hashed_feature_scores(
     return z.select(
         id_col, (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z")))).alias("score")
     )
+
+
+def train_quality_classifier(
+    df: DataFrame,
+    text_col: str,
+    label_col: str,
+    id_col: str,
+    n_buckets: int = 1 << 16,
+    iters: int = 20,
+    lr: float = 5.0,
+    l2: float = 0.0,
+    bucket_expr=None,
+):
+    """Distributed TRAINING for the fastText-style linear quality
+    classifier that :func:`hashed_feature_scores` serves: full-batch
+    gradient descent on logistic loss over hashed mean-pooled
+    bag-of-words features — the wiki-vs-crawl classifier step of a
+    CCNet/LLaMA-style pipeline, trained where the data lives instead of
+    sampling to a driver.
+
+    Model: ``p = sigmoid(bias + sum_b x_b * w_b)`` with
+    ``x_b = count_b / n_tokens`` (so the feature vector of a doc sums to
+    1 — identical to the scorer's ``avg`` pooling). The bias is carried
+    as feature bucket ``-1`` with ``x = 1`` for every doc, which unifies
+    its gradient with the weight gradients (one aggregate, no scalar
+    side-channel). Labels must be 0/1; null-label rows are ignored.
+    Init w = 0, so training is deterministic up to fp summation order.
+
+    Plan at 100 TB: the (doc, bucket, x, y) feature table is built ONCE
+    (one explode + one hash-aggregate + a per-doc window on the already
+    bucket-collapsed table), repartitioned by doc id and eagerly
+    localCheckpointed. Each iteration is then: broadcast-join the
+    ≤``n_buckets``-row weight table (model is KBs, corpus is TBs),
+    per-doc z aggregate and the residual join both reuse the pinned
+    doc-id partitioning (no re-shuffle of the corpus-sized side), and
+    the gradient reduce is ONE bucket-key shuffle of map-side-combined
+    partials (≤ n_buckets rows per task). Weight state never leaves the
+    cluster: w_{t+1} = w_t − lr·(g + l2·w) is a bucket join of two
+    bounded tables, eagerly checkpointed to cut lineage. Driver traffic
+    is a 1-row collect for the bias at the end.
+
+    Returns ``(weights, bias, n_docs)`` — ``weights`` is a
+    ``(bucket, w)`` DataFrame ready for
+    ``hashed_feature_scores(weights=..., bias=...)`` with the same
+    ``n_buckets``/``bucket_expr``."""
+    if iters < 1:
+        raise ValueError("iters must be >= 1")
+    if lr <= 0:
+        raise ValueError("lr must be > 0")
+    spark = df.sparkSession
+
+    toks = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("__did"),
+        F.col(label_col).cast("double").alias("__y"),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    if bucket_expr is None:
+        bucket = F.pmod(F.xxhash64("__tok"), F.lit(n_buckets))
+    else:
+        bucket = bucket_expr(F.col("__tok"))
+    cnt = (
+        toks.select("__did", "__y", bucket.alias("bucket"))
+        .groupBy("__did", "__y", "bucket")
+        .agg(F.count(F.lit(1)).alias("__c"))
+    )
+    # per-doc token totals over the bucket-collapsed table (far smaller
+    # than the raw token stream), then mean-pooled features
+    n_tok = Window.partitionBy("__did")
+    featured = cnt.select(
+        "__did", "__y", "bucket",
+        (F.col("__c") / F.sum("__c").over(n_tok)).alias("__x"),
+    )
+    bias_rows = df.filter(F.col(label_col).isNotNull()).select(
+        F.col(id_col).alias("__did"),
+        F.col(label_col).cast("double").alias("__y"),
+        F.lit(-1).cast("long").alias("bucket"),
+        F.lit(1.0).alias("__x"),
+    )
+    from pyspark import StorageLevel
+
+    # persist (NOT localCheckpoint): InMemoryRelation preserves the pinned
+    # HashPartitioning(__did) in the plan, so every iteration's per-doc
+    # aggregate and residual join reuse it exchange-free; a localCheckpoint
+    # scan reports UnknownPartitioning and re-shuffles the corpus-sized
+    # feature table 2x per iteration (verified in the physical plan)
+    feat = (
+        featured.unionByName(bias_rows)
+        .repartition(F.col("__did"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    try:
+        n_docs = feat.filter(F.col("bucket") == -1).count()
+        if n_docs == 0:
+            raise ValueError("no labeled documents to train on")
+
+        w_df = spark.createDataFrame([], "bucket long, w double")
+        for _ in range(iters):
+            zdf = (
+                feat.join(F.broadcast(w_df), "bucket", "left")
+                .groupBy("__did", "__y")
+                .agg(F.sum(F.col("__x") * F.coalesce(F.col("w"), F.lit(0.0))).alias("__z"))
+            )
+            resid = zdf.select(
+                "__did",
+                (
+                    (F.lit(1.0) / (F.lit(1.0) + F.exp(-F.col("__z"))) - F.col("__y"))
+                    / F.lit(float(n_docs))
+                ).alias("__r"),
+            )
+            grad = (
+                feat.join(resid, "__did")
+                .groupBy("bucket")
+                .agg(F.sum(F.col("__x") * F.col("__r")).alias("__g"))
+            )
+            # every feature bucket appears in every gradient, so grad-left-
+            # join carries the full bucket set from iteration 1 (w starts
+            # empty)
+            decay = F.when(F.col("bucket") == -1, F.lit(0.0)).otherwise(F.lit(float(l2)))
+            w_df = (
+                grad.join(w_df, "bucket", "left")
+                .select(
+                    "bucket",
+                    (
+                        F.coalesce(F.col("w"), F.lit(0.0))
+                        - F.lit(float(lr))
+                        * (F.col("__g") + decay * F.coalesce(F.col("w"), F.lit(0.0)))
+                    ).alias("w"),
+                )
+                .localCheckpoint(eager=True)
+            )
+        bias = w_df.filter(F.col("bucket") == -1).first()["w"]
+    finally:
+        feat.unpersist()
+    return w_df.filter(F.col("bucket") != -1), float(bias), int(n_docs)
+
+
+def train_quality_classifier_reference(
+    feature_docs,
+    n_buckets: int,
+    iters: int = 20,
+    lr: float = 5.0,
+    l2: float = 0.0,
+):
+    """Pure-numpy twin of :func:`train_quality_classifier`'s GD loop for
+    parity tests. ``feature_docs`` is a list of ``({bucket: x}, y)``
+    pairs (bucket -1 = bias must NOT be included; it is added here).
+    Returns ``(weights dict bucket->w, bias)``."""
+    import numpy as np
+
+    w = np.zeros(n_buckets)
+    b = 0.0
+    n = len(feature_docs)
+    for _ in range(iters):
+        gw = np.zeros(n_buckets)
+        gb = 0.0
+        for x, y in feature_docs:
+            z = b + sum(v * w[k] for k, v in x.items())
+            r = (1.0 / (1.0 + math.exp(-z)) - y) / n
+            for k, v in x.items():
+                gw[k] += v * r
+            gb += r
+        w = w - lr * (gw + l2 * w)
+        b = b - lr * gb
+    return {k: w[k] for k in range(n_buckets) if w[k] != 0.0}, b
 
 
 def write_training_shards(

@@ -2859,6 +2859,32 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
 
 
+@register("quality_classifier_train")
+def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed TRAINING of the fastText-style quality classifier
+    (extensions.curation.train_quality_classifier) — the wiki-vs-crawl
+    model-fitting step that `quality_classifier` then serves. Labels:
+    lang == 'en' as the stand-in target domain. Full-batch logistic GD:
+    the hashed mean-pooled feature table builds once (pinned doc-id
+    partitioning, eager checkpoint); each of the 6 iterations is one
+    broadcast model join + co-partitioned residual join + ONE bucket-key
+    gradient shuffle; weight state (≤512+1 rows) never leaves the
+    cluster. Iterative (w_t depends on w_{t-1}) — not SQL-expressible;
+    correctness rides the exact numpy-GD parity + planted-separation
+    pytest witnesses. Output is the deterministic trained weight table
+    (bucket set = buckets present in the corpus)."""
+    from epic_pandas_spark.extensions.curation import train_quality_classifier
+
+    docs = load_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
+    )
+    w_df, bias, _n = train_quality_classifier(
+        labeled, "text", "label", "doc_id", n_buckets=512, iters=6, lr=5.0
+    )
+    return w_df.select("bucket", F.round("w", 6).alias("w")).orderBy("bucket")
+
+
 @register(
     "perplexity_buckets",
     """

@@ -721,3 +721,92 @@ def test_bucket_by_group_quantiles_custom_cuts(spark):
     )
     got = {r["v"]: r["bucket"] for r in out.collect()}
     assert got == {1.0: "lo", 2.0: "lo", 3.0: "lo", 4.0: "hi", 5.0: "hi"}
+
+
+def _train_docs(spark):
+    # planted signal: label-1 docs use 'good'-family tokens, label-0 'bad'
+    rows = []
+    for i in range(30):
+        rows.append((i, f"good great fine token{i % 5}", 1))
+        rows.append((100 + i, f"bad awful poor token{i % 5}", 0))
+    return spark.createDataFrame(rows, "doc_id long, text string, label int")
+
+
+def test_train_quality_classifier_parity_vs_numpy(spark):
+    """The distributed GD loop computes the same weights as a dense
+    numpy replay of the identical math on the identical features."""
+    from epic_pandas_spark.extensions.curation import (
+        train_quality_classifier,
+        train_quality_classifier_reference,
+    )
+
+    df = _train_docs(spark)
+    n_buckets = 64
+    w_df, bias, n_docs = train_quality_classifier(
+        df, "text", "label", "doc_id", n_buckets=n_buckets, iters=10, lr=5.0, l2=0.01
+    )
+    assert n_docs == 60
+    got = {r["bucket"]: r["w"] for r in w_df.collect()}
+
+    # extract the exact feature vectors (same hashing) and replay in numpy
+    feat = (
+        df.selectExpr(
+            "doc_id", "label",
+            "explode(split(regexp_replace(lower(trim(text)), '\\\\s+', ' '), ' ')) tok",
+        )
+        .filter("tok != ''")
+        .selectExpr("doc_id", "label", f"pmod(xxhash64(tok), {n_buckets}) bucket")
+        .groupBy("doc_id", "label", "bucket").count()
+        .collect()
+    )
+    from collections import defaultdict
+    per_doc = defaultdict(lambda: [dict(), 0])
+    for r in feat:
+        per_doc[r["doc_id"]][0][r["bucket"]] = r["count"]
+        per_doc[r["doc_id"]][1] = r["label"]
+    docs = []
+    for cnts, y in per_doc.values():
+        tot = sum(cnts.values())
+        docs.append(({k: v / tot for k, v in cnts.items()}, float(y)))
+    want, want_bias = train_quality_classifier_reference(
+        docs, n_buckets, iters=10, lr=5.0, l2=0.01
+    )
+    assert bias == pytest.approx(want_bias, abs=1e-9)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k] == pytest.approx(want[k], abs=1e-9)
+
+
+def test_train_quality_classifier_separates_and_scores(spark):
+    """End-to-end composition: trained weights fed to
+    hashed_feature_scores separate the planted classes."""
+    from epic_pandas_spark.extensions.curation import (
+        hashed_feature_scores,
+        train_quality_classifier,
+    )
+
+    df = _train_docs(spark)
+    w_df, bias, _ = train_quality_classifier(
+        df, "text", "label", "doc_id", n_buckets=256, iters=40, lr=10.0
+    )
+    scores = hashed_feature_scores(
+        df, "text", "doc_id", w_df.withColumnRenamed("w", "w"),
+        n_buckets=256, bias=bias,
+    )
+    got = {r["doc_id"]: r["score"] for r in scores.collect()}
+    pos = [got[i] for i in range(30)]
+    neg = [got[100 + i] for i in range(30)]
+    assert min(pos) > 0.8 and max(neg) < 0.2
+
+
+def test_train_quality_classifier_validation(spark):
+    from epic_pandas_spark.extensions.curation import train_quality_classifier
+
+    df = _train_docs(spark)
+    with pytest.raises(ValueError):
+        train_quality_classifier(df, "text", "label", "doc_id", iters=0)
+    with pytest.raises(ValueError):
+        train_quality_classifier(df, "text", "label", "doc_id", lr=0)
+    empty = df.filter("label IS NULL")
+    with pytest.raises(ValueError, match="no labeled"):
+        train_quality_classifier(empty, "text", "label", "doc_id")
