@@ -126,6 +126,7 @@ def ngram_lm_score(
     model: NGramLM,
     alpha: float = 0.4,
     strategy: str = "broadcast",
+    quantize_scale: int | None = None,
 ) -> DataFrame:
     """Per-document Stupid-Backoff score: ``(id_col, n_tokens,
     avg_logprob, perplexity)`` with ``perplexity = exp(-avg_logprob)``
@@ -135,7 +136,15 @@ def ngram_lm_score(
     Documents with no tokens (null/empty text) produce no output row.
     ``strategy='broadcast'`` for fixed-reference-corpus models (CCNet
     shape); ``'shuffle'`` pins shuffle_hash joins when the model is
-    corpus-proportional; ``None`` leaves the choice to Catalyst/AQE."""
+    corpus-proportional; ``None`` leaves the choice to Catalyst/AQE.
+
+    ``quantize_scale`` (e.g. 1_000_000) rounds each per-token log-prob
+    to integer micro-nats BEFORE the per-doc sum and adds the exact
+    integer total as a ``logp_scaled`` column (``avg_logprob`` then
+    derives from it). Integer sums are exactly associative, so scores
+    are bit-stable under any partitioning, micro-batching, or
+    accumulation order — the same discipline as DSIR's ratio table, and
+    what makes the streaming twin bit-equal to this batch form."""
     if model.n_tokens <= 0:
         raise ValueError("model has no tokens")
     if strategy not in ("broadcast", "shuffle", None):
@@ -169,6 +178,28 @@ def ngram_lm_score(
         )
     else:
         logp = F.log(p_uni)
+    if quantize_scale is not None:
+        q = F.round(logp * F.lit(float(quantize_scale))).cast("long")
+        out = (
+            j.select(F.col(id_col), q.alias("__q"))
+            .groupBy(id_col)
+            .agg(
+                F.count(F.lit(1)).alias("n_tokens"),
+                F.sum("__q").alias("logp_scaled"),
+            )
+            .withColumn(
+                "avg_logprob",
+                F.col("logp_scaled")
+                / (F.col("n_tokens") * F.lit(float(quantize_scale))),
+            )
+        )
+        return out.select(
+            id_col,
+            "n_tokens",
+            "logp_scaled",
+            "avg_logprob",
+            F.exp(-F.col("avg_logprob")).alias("perplexity"),
+        )
     out = (
         j.select(F.col(id_col), logp.alias("__logp"))
         .groupBy(id_col)
@@ -182,6 +213,61 @@ def ngram_lm_score(
         "n_tokens",
         "avg_logprob",
         F.exp(-F.col("avg_logprob")).alias("perplexity"),
+    )
+
+
+def ngram_lm_save(model: NGramLM, path: str) -> None:
+    """Persist a trained model: count tables as parquet plus a 1-row
+    meta table carrying the scalar totals — the train-offline /
+    score-online handoff (and the only way a STREAMING scorer can see
+    the model: stream-static joins need static frames, not lineage back
+    to a batch training job)."""
+    spark = model.unigrams.sparkSession
+    model.unigrams.write.mode("overwrite").parquet(f"{path}/unigrams")
+    if model.bigrams is not None:
+        model.bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
+    meta = spark.createDataFrame(
+        [(model.n_tokens, model.vocab_size, model.order)],
+        "n_tokens long, vocab_size long, order int",
+    )
+    meta.write.mode("overwrite").parquet(f"{path}/meta")
+
+
+def ngram_lm_load(spark, path: str) -> NGramLM:
+    """Load a model persisted by :func:`ngram_lm_save`."""
+    meta = spark.read.parquet(f"{path}/meta").first()
+    uni = spark.read.parquet(f"{path}/unigrams")
+    bi = spark.read.parquet(f"{path}/bigrams") if meta["order"] == 2 else None
+    return NGramLM(uni, bi, int(meta["n_tokens"]), int(meta["vocab_size"]), int(meta["order"]))
+
+
+def ngram_lm_score_stream(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    model: NGramLM,
+    alpha: float = 0.4,
+    quantize_scale: int = 1_000_000,
+) -> DataFrame:
+    """Streaming perplexity scorer — score documents ARRIVING AS A
+    STREAM against a persisted LM (load with :func:`ngram_lm_load`).
+
+    Same pattern as streaming DSIR: the model is a bounded static dim,
+    so each micro-batch's (token, prev) stream looks it up via
+    stream-static broadcast joins, then one keyed streaming aggregate
+    accumulates ``(n_tokens, logp_scaled)`` per document. The per-token
+    log-probs are quantized to integer micro-nats, so the streaming sum
+    is exactly associative: a document split across micro-batches (e.g.
+    append-style row shards) accumulates to the identical integer total
+    the batch twin computes, bit for bit. Run with output mode
+    ``update``/``complete`` (streaming agg). The plan is IDENTICAL to
+    :func:`ngram_lm_score` — Spark's incrementalizer turns the same
+    declarative plan into the stateful streaming form; this wrapper
+    documents the contract (static model, stream-safe expressions only)
+    and anchors the stream==batch equivalence test."""
+    return ngram_lm_score(
+        stream_df, text_col, id_col, model,
+        alpha=alpha, strategy="broadcast", quantize_scale=quantize_scale,
     )
 
 

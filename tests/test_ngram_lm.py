@@ -107,3 +107,38 @@ def test_train_validation(spark):
     model = ngram_lm_train(empty, "text")
     with pytest.raises(ValueError):
         ngram_lm_score(train, "text", "text", model)
+
+
+def test_quantized_scores_track_float_scores(spark):
+    """quantize_scale adds an exact-integer total whose derived average
+    tracks the float path within quantization error (0.5/scale per
+    token)."""
+    train = spark.createDataFrame([(t,) for t in TRAIN], "text string")
+    docs = spark.createDataFrame(SCORE, "doc_id long, text string")
+    model = ngram_lm_train(train, "text")
+    f = {r["doc_id"]: r["avg_logprob"]
+         for r in ngram_lm_score(docs, "text", "doc_id", model).collect()}
+    rows = ngram_lm_score(
+        docs, "text", "doc_id", model, quantize_scale=1_000_000
+    ).collect()
+    for r in rows:
+        assert r["avg_logprob"] == pytest.approx(f[r["doc_id"]], abs=5e-7)
+        # integer total is consistent with the derived average
+        assert r["avg_logprob"] == r["logp_scaled"] / (r["n_tokens"] * 1_000_000)
+
+
+def test_model_save_load_roundtrip(spark, tmp_path):
+    from epic_pandas_spark.functions.ngram_lm import ngram_lm_load, ngram_lm_save
+
+    train = spark.createDataFrame([(t,) for t in TRAIN], "text string")
+    docs = spark.createDataFrame(SCORE, "doc_id long, text string")
+    model = ngram_lm_train(train, "text")
+    ngram_lm_save(model, str(tmp_path / "m"))
+    loaded = ngram_lm_load(spark, str(tmp_path / "m"))
+    assert (loaded.n_tokens, loaded.vocab_size, loaded.order) == (
+        model.n_tokens, model.vocab_size, model.order)
+    a = {r["doc_id"]: r["avg_logprob"]
+         for r in ngram_lm_score(docs, "text", "doc_id", model).collect()}
+    b = {r["doc_id"]: r["avg_logprob"]
+         for r in ngram_lm_score(docs, "text", "doc_id", loaded).collect()}
+    assert a == b

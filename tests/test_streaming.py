@@ -500,3 +500,63 @@ def test_streaming_dsir_scores_match_batch(spark, tmp_path):
         assert got, "stream produced no scores"
     finally:
         q.stop()
+
+
+def test_streaming_ngram_perplexity_matches_batch(spark, tmp_path):
+    """LM perplexity over a document STREAM against a PERSISTED model
+    (ngram_lm_save/load round-trip). Docs are sharded into two files
+    with the SAME doc_ids (append-style row shards), so with
+    maxFilesPerTrigger=1 every document accumulates across two
+    micro-batches — integer micro-nat quantization makes the streaming
+    sum exactly associative, so (n_tokens, logp_scaled) must equal the
+    batch twin's BIT FOR BIT."""
+    from epic_pandas_spark.functions.ngram_lm import (
+        ngram_lm_load,
+        ngram_lm_save,
+        ngram_lm_score,
+        ngram_lm_score_stream,
+        ngram_lm_train,
+    )
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .filter(F.col("doc_id") < 120)
+    )
+    model_path = str(tmp_path / "lm_model")
+    ngram_lm_save(ngram_lm_train(docs.filter(F.col("doc_id") % 10 == 0), "text"), model_path)
+    model = ngram_lm_load(spark, model_path)  # the persisted-model path
+
+    src = str(tmp_path / "stream_src")
+    shard0 = docs
+    shard1 = docs.select(
+        "doc_id", F.concat(F.lit("appended shard text "), F.col("text")).alias("text")
+    )
+    shard0.coalesce(1).write.parquet(src)
+    shard1.coalesce(1).write.mode("append").parquet(src)
+    both = shard0.unionByName(shard1)
+
+    stream = (
+        spark.readStream.schema(both.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    scored = ngram_lm_score_stream(stream, "text", "doc_id", model).select(
+        "doc_id", "n_tokens", "logp_scaled"
+    )
+    q = run_stream_to_memory(scored, "ngram_stream_out", output_mode="complete")
+    try:
+        got = {
+            r["doc_id"]: (r["n_tokens"], r["logp_scaled"])
+            for r in spark.sql("SELECT * FROM ngram_stream_out").collect()
+        }
+        want = {
+            r["doc_id"]: (r["n_tokens"], r["logp_scaled"])
+            for r in ngram_lm_score(
+                both, "text", "doc_id", model, quantize_scale=1_000_000
+            ).collect()
+        }
+        assert got == want
+        assert got, "stream produced no scores"
+    finally:
+        q.stop()
