@@ -410,3 +410,91 @@ def cms_heavy_hitters(
         .agg(F.count(F.lit(1)).alias("n_occurrences"))
         .filter(F.col("n_occurrences") >= F.lit(min_count))
     )
+
+
+def kmv_sketch(df: DataFrame, key, k: int = 1024, hash_expr=None) -> DataFrame:
+    """Bottom-k (KMV / k-minimum-values) distinct sketch: the ``k``
+    smallest DISTINCT hash values of ``key`` — a k-row, single-column
+    (``h`` long) frame that summarizes a corpus's identity set.
+
+    Like the HLL store above, KMV sketches are bounded and mergeable
+    (union two sketches, keep the bottom k) and PERSIST: keep one per
+    corpus/shard/day and answer "how much of crawl B is already in
+    crawl A" (Jaccard/containment, :func:`kmv_jaccard`) or "how many
+    distinct docs" (:func:`kmv_distinct_estimate`) across many corpus
+    PAIRS without ever re-reading the data — an exact pairwise join at
+    that scale would re-shuffle both corpora per pair.
+
+    Build plan: hash inline in the scan, ONE hash-only shuffle with
+    map-side partial dedup (the shuffle carries 8-byte longs, the same
+    cost class as `n_distinct_hash` / exact dedup — text never moves),
+    then sort+limit = TakeOrdered (per-partition bottom-k, driver merges
+    partitions*k longs, never a full sort). ``hash_expr`` overrides the
+    default xxhash64 (e.g. the md5-arithmetic hash for a SQL-replayable
+    sketch)."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    key = F.col(key) if isinstance(key, str) else key
+    h = hash_expr(key) if hash_expr is not None else F.xxhash64(key)
+    # filter on the KEY, pre-hash: xxhash64(null) is the seed constant
+    # (42), not null, so a post-hash null filter would let null keys
+    # masquerade as a real distinct value
+    return (
+        df.filter(key.isNotNull())
+        .select(h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .groupBy("h")
+        .agg(F.lit(1))
+        .select("h")
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
+    """Union two KMV sketches: distinct bottom-k of the combined hash
+    sets — the sketch of the UNION of the underlying corpora. Operates
+    on <= 2k rows."""
+    return (
+        sketch_a.unionByName(sketch_b)
+        .distinct()
+        .orderBy("h")
+        .limit(k)
+    )
+
+
+def kmv_jaccard(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
+    """Jaccard estimate between the corpora behind two KMV sketches
+    (Beyer et al., SIGMOD'07): take the union sketch's bottom-k, count
+    how many of those hashes appear in BOTH input sketches;
+    ``jaccard_est = n_common / k_used``. Every step runs on <= 2k rows.
+    Returns one row ``(k_used, n_common, jaccard_est)``. Deterministic:
+    same inputs, same integers, bit-stable estimate."""
+    u = kmv_merge(sketch_a, sketch_b, k)
+    common = u.join(sketch_a, "h", "left_semi").join(sketch_b, "h", "left_semi")
+    ku = u.agg(F.count(F.lit(1)).alias("k_used"))
+    nc = common.agg(F.count(F.lit(1)).alias("n_common"))
+    return ku.crossJoin(nc).select(
+        "k_used",
+        "n_common",
+        (F.col("n_common") / F.col("k_used")).alias("jaccard_est"),
+    )
+
+
+def kmv_distinct_estimate(sketch: DataFrame, k: int, hash_bits: int = 64) -> DataFrame:
+    """Distinct-count estimate from a KMV sketch: with hashes uniform on
+    ``[0, 2^hash_bits)`` (signed-shifted for 64), ``n_est =
+    (k - 1) / u_k`` where ``u_k`` is the k-th minimum normalized to
+    (0, 1). If the sketch holds fewer than ``k`` values the count is
+    exact (the sketch IS the distinct set). One aggregate over k rows."""
+    if hash_bits == 64:
+        # xxhash64 spans the full signed range; shift to unsigned [0, 2^64)
+        u = (F.max("h").cast("double") + 9.223372036854776e18) / 1.8446744073709552e19
+    else:
+        u = F.max("h").cast("double") / float(2 ** hash_bits)
+    return sketch.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise((F.count(F.lit(1)) - 1) / u)
+        .alias("n_distinct_est"),
+    )

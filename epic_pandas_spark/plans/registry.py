@@ -2859,6 +2859,52 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
 
 
+@register(
+    "kmv_corpus_jaccard",
+    """
+    WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+               FROM documents WHERE text IS NOT NULL),
+    ha AS (SELECT DISTINCT CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM n),
+    hb AS (SELECT DISTINCT CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM n
+           WHERE doc_id % 2 = 0),
+    sa AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+    sb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+    u AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) ORDER BY h LIMIT 256),
+    c AS (SELECT u.h FROM u
+          WHERE u.h IN (SELECT h FROM sa) AND u.h IN (SELECT h FROM sb))
+    SELECT (SELECT COUNT(*) FROM u)::BIGINT AS k_used,
+           (SELECT COUNT(*) FROM c)::BIGINT AS n_common,
+           ROUND((SELECT COUNT(*) FROM c)::DOUBLE / (SELECT COUNT(*) FROM u), 6) AS jaccard_est
+    """,
+)
+def q_kmv_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-pair overlap from BOUNDED sketches (operators.sketches
+    kmv_sketch/kmv_jaccard, Beyer et al. SIGMOD'07): estimate the
+    Jaccard between the full corpus and its even-doc_id half from two
+    256-value bottom-k sketches — the persisted-summary answer to "how
+    much of crawl B is already in crawl A" that never joins the corpora
+    (each sketch build is one 8-byte-hash shuffle; the estimate runs on
+    ≤512 rows). Hashes use the md5-arithmetic form so the DuckDB oracle
+    replays the EXACT sketch: same bottom-k integers, same counts, same
+    estimate — the sketch itself is hash-compared, not a tolerance
+    band. True Jaccard here is |B|/|A| ≈ 0.5 (B ⊆ A); the estimator's
+    accuracy band is pytest-witnessed separately."""
+    from epic_pandas_spark.operators.sketches import kmv_jaccard, kmv_sketch
+
+    def h60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    a = kmv_sketch(docs.filter(F.col("text").isNotNull()), norm, k=256, hash_expr=h60)
+    b = kmv_sketch(
+        docs.filter(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0)),
+        norm, k=256, hash_expr=h60,
+    )
+    out = kmv_jaccard(a, b, 256)
+    return out.select("k_used", "n_common", F.round("jaccard_est", 6).alias("jaccard_est"))
+
+
 @register("quality_classifier_train")
 def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed TRAINING of the fastText-style quality classifier

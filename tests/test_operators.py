@@ -1898,3 +1898,60 @@ def test_hist_quantiles_per_group_bins(spark):
 
     with _pytest.raises(ValueError, match="bins"):
         quantiles(df, "v", [0.5], by=["g"], mode="hist", bins="nope")
+
+
+def test_kmv_sketch_exact_small_sets(spark):
+    """Below k the sketch IS the distinct hash set: jaccard and distinct
+    estimates are exact."""
+    from epic_pandas_spark.operators.sketches import (
+        kmv_distinct_estimate,
+        kmv_jaccard,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame([(x,) for x in "abcdef"], "v string")
+    b = spark.createDataFrame([(x,) for x in "defghi"], "v string")
+    sa, sb = kmv_sketch(a, "v", k=100), kmv_sketch(b, "v", k=100)
+    r = kmv_jaccard(sa, sb, 100).collect()[0]
+    assert (r["k_used"], r["n_common"]) == (9, 3)
+    assert r["jaccard_est"] == pytest.approx(3 / 9)
+    d = kmv_distinct_estimate(sa, 100).collect()[0]
+    assert (d["k_used"], d["n_distinct_est"]) == (6, 6.0)
+
+
+def test_kmv_jaccard_estimate_accuracy_and_merge(spark):
+    """Above k: estimate within a few standard errors of truth
+    (sigma ~ sqrt(J(1-J)/k)); merging a sketch with itself is a no-op."""
+    from epic_pandas_spark.operators.sketches import kmv_jaccard, kmv_merge, kmv_sketch
+
+    n = 4000
+    a = spark.range(n).selectExpr("concat('item', id) v")
+    b = spark.range(n // 2, n + n // 2).selectExpr("concat('item', id) v")
+    # |A ∩ B| = n/2, |A ∪ B| = 3n/2 -> J = 1/3
+    k = 512
+    sa, sb = kmv_sketch(a, "v", k=k), kmv_sketch(b, "v", k=k)
+    j = kmv_jaccard(sa, sb, k).collect()[0]["jaccard_est"]
+    assert abs(j - 1 / 3) < 4 * (1 / 3 * 2 / 3 / k) ** 0.5
+    merged = kmv_merge(sa, sa, k)
+    assert sorted(r["h"] for r in merged.collect()) == sorted(r["h"] for r in sa.collect())
+
+
+def test_kmv_distinct_estimate_accuracy(spark):
+    from epic_pandas_spark.operators.sketches import kmv_distinct_estimate, kmv_sketch
+
+    n, k = 20000, 1024
+    df = spark.range(n).selectExpr("concat('doc', id) v")
+    est = kmv_distinct_estimate(kmv_sketch(df, "v", k=k), k).collect()[0]
+    assert est["k_used"] == k
+    # KMV relative error ~ 1/sqrt(k-2) ≈ 3.1%; allow 4 sigma
+    assert abs(est["n_distinct_est"] - n) / n < 4 / (k - 2) ** 0.5
+
+
+def test_kmv_sketch_validation_and_nulls(spark):
+    from epic_pandas_spark.operators.sketches import kmv_sketch
+
+    df = spark.createDataFrame([("a",), (None,), ("b",), ("a",)], "v string")
+    sk = kmv_sketch(df, "v", k=10)
+    assert sk.count() == 2  # null dropped, duplicates collapsed
+    with pytest.raises(ValueError):
+        kmv_sketch(df, "v", k=0)
