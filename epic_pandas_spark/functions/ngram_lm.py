@@ -127,11 +127,20 @@ def ngram_lm_score(
     alpha: float = 0.4,
     strategy: str = "broadcast",
     quantize_scale: int | None = None,
+    signals: bool = False,
 ) -> DataFrame:
     """Per-document Stupid-Backoff score: ``(id_col, n_tokens,
     avg_logprob, perplexity)`` with ``perplexity = exp(-avg_logprob)``
     (an unnormalized pseudo-perplexity, monotone in the backoff score —
     the filtering signal, not a true LM perplexity).
+
+    ``signals=True`` adds two novelty diagnostics from the same pass
+    (free: indicator columns folded into the existing aggregate):
+    ``oov_frac`` — fraction of tokens absent from the model vocabulary
+    (high on foreign-language/garbled text even when perplexity is
+    moderate) — and, for order 2, ``backoff_frac`` — fraction of
+    in-context tokens scored through the backoff (unseen bigrams:
+    high on topically novel but well-formed text).
 
     Documents with no tokens (null/empty text) produce no output row.
     ``strategy='broadcast'`` for fixed-reference-corpus models (CCNet
@@ -178,14 +187,35 @@ def ngram_lm_score(
         )
     else:
         logp = F.log(p_uni)
+
+    sig_aggs, sig_cols = [], []
+    if signals:
+        sig_aggs.append(
+            F.avg(F.when(F.col("__c_v").isNull(), 1.0).otherwise(0.0)).alias("oov_frac")
+        )
+        sig_cols.append("oov_frac")
+        if model.order == 2:
+            in_ctx = F.col("u").isNotNull()
+            sig_aggs.append(
+                (
+                    F.sum(F.when(in_ctx & F.col("__c_bi").isNull(), 1).otherwise(0))
+                    / F.greatest(F.sum(F.when(in_ctx, 1).otherwise(0)), F.lit(1))
+                ).alias("backoff_frac")
+            )
+            sig_cols.append("backoff_frac")
+
+    keep = [F.col(id_col), F.col("__c_v")] + (
+        [F.col("u"), F.col("__c_bi")] if model.order == 2 else []
+    )
     if quantize_scale is not None:
         q = F.round(logp * F.lit(float(quantize_scale))).cast("long")
         out = (
-            j.select(F.col(id_col), q.alias("__q"))
+            j.select(*keep, q.alias("__q"))
             .groupBy(id_col)
             .agg(
                 F.count(F.lit(1)).alias("n_tokens"),
                 F.sum("__q").alias("logp_scaled"),
+                *sig_aggs,
             )
             .withColumn(
                 "avg_logprob",
@@ -199,13 +229,15 @@ def ngram_lm_score(
             "logp_scaled",
             "avg_logprob",
             F.exp(-F.col("avg_logprob")).alias("perplexity"),
+            *sig_cols,
         )
     out = (
-        j.select(F.col(id_col), logp.alias("__logp"))
+        j.select(*keep, logp.alias("__logp"))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
             F.avg("__logp").alias("avg_logprob"),
+            *sig_aggs,
         )
     )
     return out.select(
@@ -213,6 +245,7 @@ def ngram_lm_score(
         "n_tokens",
         "avg_logprob",
         F.exp(-F.col("avg_logprob")).alias("perplexity"),
+        *sig_cols,
     )
 
 

@@ -464,20 +464,35 @@ def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
 
 
 def kmv_jaccard(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
-    """Jaccard estimate between the corpora behind two KMV sketches
-    (Beyer et al., SIGMOD'07): take the union sketch's bottom-k, count
-    how many of those hashes appear in BOTH input sketches;
-    ``jaccard_est = n_common / k_used``. Every step runs on <= 2k rows.
-    Returns one row ``(k_used, n_common, jaccard_est)``. Deterministic:
-    same inputs, same integers, bit-stable estimate."""
-    u = kmv_merge(sketch_a, sketch_b, k)
-    common = u.join(sketch_a, "h", "left_semi").join(sketch_b, "h", "left_semi")
+    """Jaccard and containment estimates between the corpora behind two
+    KMV sketches (Beyer et al., SIGMOD'07): take the union sketch's
+    bottom-k — a uniform sample of the UNION's identity space — and
+    count memberships. ``jaccard_est = n_common / k_used``;
+    ``containment_a_est = n_common / n_a`` estimates |A∩B|/|A| ("how
+    much of A is already in B" — the crawl-freshness question), and
+    symmetrically ``containment_b_est``. Every step runs on <= 2k rows.
+    Returns one row ``(k_used, n_a, n_b, n_common, jaccard_est,
+    containment_a_est, containment_b_est)``. Deterministic: same
+    inputs, same integers, bit-stable estimates."""
+    u = kmv_merge(sketch_a, sketch_b, k).localCheckpoint(eager=False)
+    in_a = u.join(sketch_a, "h", "left_semi")
+    in_b = u.join(sketch_b, "h", "left_semi")
+    common = in_a.join(sketch_b, "h", "left_semi")
     ku = u.agg(F.count(F.lit(1)).alias("k_used"))
+    na = in_a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = in_b.agg(F.count(F.lit(1)).alias("n_b"))
     nc = common.agg(F.count(F.lit(1)).alias("n_common"))
-    return ku.crossJoin(nc).select(
-        "k_used",
-        "n_common",
-        (F.col("n_common") / F.col("k_used")).alias("jaccard_est"),
+    return (
+        ku.crossJoin(na).crossJoin(nb).crossJoin(nc)
+        .select(
+            "k_used",
+            "n_a",
+            "n_b",
+            "n_common",
+            (F.col("n_common") / F.col("k_used")).alias("jaccard_est"),
+            (F.col("n_common") / F.col("n_a")).alias("containment_a_est"),
+            (F.col("n_common") / F.col("n_b")).alias("containment_b_est"),
+        )
     )
 
 

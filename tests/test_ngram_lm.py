@@ -142,3 +142,28 @@ def test_model_save_load_roundtrip(spark, tmp_path):
     b = {r["doc_id"]: r["avg_logprob"]
          for r in ngram_lm_score(docs, "text", "doc_id", loaded).collect()}
     assert a == b
+
+
+def test_novelty_signals(spark):
+    """signals=True: oov_frac counts vocabulary misses, backoff_frac
+    counts unseen bigrams among in-context tokens — hand-computed."""
+    train = spark.createDataFrame([(t,) for t in TRAIN], "text string")
+    docs = spark.createDataFrame(
+        [
+            (0, "the cat sat"),        # all tokens known, all bigrams seen
+            (1, "the zebra sat"),      # 1/3 OOV; both bigrams unseen
+            (2, "cat dog"),            # known words, bigram unseen
+        ],
+        "doc_id long, text string",
+    )
+    model = ngram_lm_train(train, "text")
+    got = {r["doc_id"]: (r["oov_frac"], r["backoff_frac"])
+           for r in ngram_lm_score(docs, "text", "doc_id", model, signals=True).collect()}
+    assert got[0] == (pytest.approx(0.0), pytest.approx(0.0))
+    assert got[1] == (pytest.approx(1 / 3), pytest.approx(1.0))
+    assert got[2] == (pytest.approx(0.0), pytest.approx(1.0))
+    # signals compose with quantization
+    q = ngram_lm_score(
+        docs, "text", "doc_id", model, signals=True, quantize_scale=1_000_000
+    ).collect()[0]
+    assert "oov_frac" in q.asDict() and "logp_scaled" in q.asDict()

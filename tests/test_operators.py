@@ -1913,8 +1913,10 @@ def test_kmv_sketch_exact_small_sets(spark):
     b = spark.createDataFrame([(x,) for x in "defghi"], "v string")
     sa, sb = kmv_sketch(a, "v", k=100), kmv_sketch(b, "v", k=100)
     r = kmv_jaccard(sa, sb, 100).collect()[0]
-    assert (r["k_used"], r["n_common"]) == (9, 3)
+    assert (r["k_used"], r["n_a"], r["n_b"], r["n_common"]) == (9, 6, 6, 3)
     assert r["jaccard_est"] == pytest.approx(3 / 9)
+    assert r["containment_a_est"] == pytest.approx(3 / 6)
+    assert r["containment_b_est"] == pytest.approx(3 / 6)
     d = kmv_distinct_estimate(sa, 100).collect()[0]
     assert (d["k_used"], d["n_distinct_est"]) == (6, 6.0)
 
