@@ -56,6 +56,12 @@ AUDIT_QUERIES = [
     "triangle_counts",    # degree-oriented wedge self-join: edge pairs, no payloads
     "pca_project",        # sufficient-stats: d^2+d cells per partition, flat in rows
     "ivf_pq_knn",         # PQ codes (n_sub small ints) shuffle instead of float vectors
+    "ngram_perplexity",   # LM scoring: model broadcast; only the pinned train
+                          # token stream + per-doc agg partials cross the wire
+    "quality_classifier_train",  # per-GD-iteration bucket-key gradient shuffle:
+                          # bounded by n_buckets x partitions, flat in rows
+    "kmv_corpus_jaccard",  # bottom-k sketch build: 8-byte hashes, never text
+    "dedup_keep_longest",  # retention-policy window: (fp, id, len), text pruned
 ]
 
 
