@@ -288,3 +288,70 @@ def rolling_time_agg(
     ).rangeBetween(-window_seconds * 1_000_000, 0)
     value = fns[agg](F.col(col)).over(w)
     return df.withColumn(out_col or f"{col}_rolling_{agg}", value)
+
+
+def global_cumsum(
+    df: DataFrame,
+    col: str,
+    order_by: str,
+    out_col: str | None = None,
+) -> DataFrame:
+    """GLOBAL running total without the single-partition window funnel:
+    ``cumsum`` above documents that an unpartitioned window moves every
+    row to one task — this is the scale path for a truly global
+    cumulative sum over a total order (``order_by`` values must be
+    unique, e.g. a distinct-key aggregate; ties would make the running
+    total order-dependent).
+
+    Same two-job shape as ``zip_with_index`` (keyed.py), generalized
+    from counts to sums: range-partition + sort by ``order_by`` and PIN
+    the layout (eager localCheckpoint — both jobs must observe identical
+    partitions), one bounded job collects the per-partition SUM (one
+    long per task), cumulative offsets broadcast, and a ``mapInArrow``
+    pass stamps ``offset + local running total`` per batch. Rows never
+    funnel through one task and never leave Arrow."""
+    import numpy as np
+    import pyarrow as pa
+    from pyspark import TaskContext
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    out_col = out_col or f"{col}_cumsum"
+    t = (
+        df.repartitionByRange(F.col(order_by))
+        .sortWithinPartitions(order_by)
+        .localCheckpoint(eager=True)
+    )
+    totals = (
+        t.groupBy(F.spark_partition_id().alias("__pid"))
+        .agg(F.sum(F.col(col)).alias("__s"))
+        .collect()  # bounded: one row per partition
+    )
+    offsets: dict[int, float] = {}
+    acc = 0
+    for r in sorted(totals, key=lambda row: row["__pid"]):
+        offsets[r["__pid"]] = acc
+        acc += r["__s"] or 0
+    off_b = t.sparkSession.sparkContext.broadcast(offsets)
+
+    is_integral = dict(t.dtypes)[col] in ("bigint", "int", "smallint", "tinyint")
+    field = StructField(out_col, LongType() if is_integral else DoubleType(), True)
+    out_schema = StructType([*t.schema.fields, field])
+    out_names = [f.name for f in out_schema.fields]
+    np_type = np.int64 if is_integral else np.float64
+    pa_type = pa.int64() if is_integral else pa.float64()
+    col_idx = t.columns.index(col)
+
+    def stamp(batches):
+        import pyarrow.compute as pc
+
+        run = np_type(off_b.value.get(TaskContext.get().partitionId(), 0))
+        for batch in batches:
+            # nulls contribute 0 to the running total (SUM semantics)
+            vals = pc.fill_null(batch.column(col_idx), 0).to_numpy(zero_copy_only=False)
+            cs = np.cumsum(vals.astype(np_type)) + run
+            run = cs[-1] if len(cs) else run
+            yield pa.RecordBatch.from_arrays(
+                [*batch.columns, pa.array(cs, type=pa_type)], names=out_names
+            )
+
+    return t.mapInArrow(stamp, out_schema)

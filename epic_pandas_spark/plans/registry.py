@@ -2905,6 +2905,62 @@ def q_kmv_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("k_used", "n_common", F.round("jaccard_est", 6).alias("jaccard_est"))
 
 
+@register(
+    "classifier_metrics",
+    """
+    WITH d AS (SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+               FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+    t AS (SELECT s, SUM(y) AS np, SUM(1 - y) AS nn FROM d GROUP BY s),
+    c AS (SELECT s, np, nn,
+                 COALESCE(SUM(nn) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below
+          FROM t),
+    a AS (SELECT CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+                 SUM(np * nn_below) AS u_wins, SUM(np * nn) AS u_ties,
+                 CAST(SUM(CASE WHEN s >= 300 THEN np ELSE 0 END) AS BIGINT) AS tp,
+                 CAST(SUM(CASE WHEN s >= 300 THEN nn ELSE 0 END) AS BIGINT) AS fp,
+                 CAST(SUM(CASE WHEN s < 300 THEN nn ELSE 0 END) AS BIGINT) AS tn,
+                 CAST(SUM(CASE WHEN s < 300 THEN np ELSE 0 END) AS BIGINT) AS fn
+          FROM c)
+    SELECT n_pos, n_neg,
+           ROUND((u_wins + 0.5 * u_ties) / (n_pos * n_neg), 6) AS auc,
+           tp, fp, tn, fn,
+           ROUND((tp + tn)::DOUBLE / (n_pos + n_neg), 6) AS accuracy,
+           ROUND(tp::DOUBLE / (tp + fp), 6) AS precision,
+           ROUND(tp::DOUBLE / (tp + fn), 6) AS recall,
+           ROUND(2 * (tp::DOUBLE / (tp + fp)) * (tp::DOUBLE / (tp + fn))
+                 / ((tp::DOUBLE / (tp + fp)) + (tp::DOUBLE / (tp + fn))), 6) AS f1
+    FROM a
+    """,
+)
+def q_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-scale classifier evaluation
+    (operators.stats.binary_classification_metrics): exact tie-corrected
+    AUC (Mann-Whitney U — integer products over the distinct-score
+    table, zero fp-accumulation drift) plus thresholded confusion
+    metrics, for the deterministic scorer "n_chars predicts lang=='en'"
+    at threshold 300. One corpus pass builds the distinct-score table;
+    the cumulative-negatives prefix runs through global_cumsum (range
+    partition + broadcast offsets — never a single-partition window);
+    the oracle recomputes the identical formulas with a window prefix
+    sum. Both sides keep integer scores, so score-equality grouping is
+    exact across engines."""
+    from epic_pandas_spark.operators.stats import binary_classification_metrics
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"), (F.col("lang") == "en").cast("int").alias("y")
+    )
+    out = binary_classification_metrics(docs, "s", "y", threshold=300.0)
+    return out.select(
+        "n_pos", "n_neg", F.round("auc", 6).alias("auc"),
+        "tp", "fp", "tn", "fn",
+        F.round("accuracy", 6).alias("accuracy"),
+        F.round("precision", 6).alias("precision"),
+        F.round("recall", 6).alias("recall"),
+        F.round("f1", 6).alias("f1"),
+    )
+
+
 @register("quality_classifier_train")
 def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed TRAINING of the fastText-style quality classifier

@@ -1957,3 +1957,77 @@ def test_kmv_sketch_validation_and_nulls(spark):
     assert sk.count() == 2  # null dropped, duplicates collapsed
     with pytest.raises(ValueError):
         kmv_sketch(df, "v", k=0)
+
+
+def test_global_cumsum_matches_local(spark):
+    """Range-partitioned + Arrow-stamped global running total == a local
+    pandas cumsum, across many partitions, for long and double cols."""
+    import pandas as pd
+
+    from epic_pandas_spark.operators.windows import global_cumsum
+
+    pdf = pd.DataFrame({"k": range(997), "v": [(i * 37) % 101 for i in range(997)]})
+    df = spark.createDataFrame(pdf).repartition(13)
+    out = global_cumsum(df, "v", "k").orderBy("k").toPandas()
+    assert list(out["v_cumsum"]) == list(pdf["v"].cumsum())
+    assert str(out["v_cumsum"].dtype) == "int64"
+    dbl = df.selectExpr("k", "v * 0.5 AS v")
+    outd = global_cumsum(dbl, "v", "k").orderBy("k").toPandas()
+    assert outd["v_cumsum"].tolist() == pytest.approx((pdf["v"] * 0.5).cumsum().tolist())
+
+
+def test_global_cumsum_null_contributes_zero(spark):
+    from epic_pandas_spark.operators.windows import global_cumsum
+
+    df = spark.createDataFrame([(1, 10), (2, None), (3, 5)], "k long, v long")
+    got = {r["k"]: r["v_cumsum"] for r in global_cumsum(df, "v", "k").collect()}
+    assert got == {1: 10, 2: 10, 3: 15}
+
+
+def _bf_auc(pairs):
+    """Brute-force tie-corrected AUC over (score, label) pairs."""
+    pos = [s for s, y in pairs if y == 1]
+    neg = [s for s, y in pairs if y == 0]
+    wins = sum(1 for p in pos for n in neg if p > n)
+    ties = sum(1 for p in pos for n in neg if p == n)
+    return (wins + 0.5 * ties) / (len(pos) * len(neg))
+
+
+def test_binary_classification_metrics_exact(spark):
+    from epic_pandas_spark.operators.stats import binary_classification_metrics
+
+    pairs = [(i % 7 + (3 if i % 3 == 0 else 0), 1 if (i * 13) % 5 < 2 else 0)
+             for i in range(200)]
+    df = spark.createDataFrame(pairs, "s int, y int").repartition(7)
+    r = binary_classification_metrics(df, "s", "y", threshold=5.0).collect()[0]
+    assert r["auc"] == pytest.approx(_bf_auc(pairs), abs=1e-12)
+    tp = sum(1 for s, y in pairs if y == 1 and s >= 5)
+    fp = sum(1 for s, y in pairs if y == 0 and s >= 5)
+    fn = sum(1 for s, y in pairs if y == 1 and s < 5)
+    tn = sum(1 for s, y in pairs if y == 0 and s < 5)
+    assert (r["tp"], r["fp"], r["tn"], r["fn"]) == (tp, fp, tn, fn)
+    assert r["accuracy"] == pytest.approx((tp + tn) / 200)
+    assert r["precision"] == pytest.approx(tp / (tp + fp))
+    assert r["recall"] == pytest.approx(tp / (tp + fn))
+    p, q = tp / (tp + fp), tp / (tp + fn)
+    assert r["f1"] == pytest.approx(2 * p * q / (p + q))
+
+
+def test_binary_classification_metrics_edges(spark):
+    from epic_pandas_spark.operators.stats import binary_classification_metrics
+
+    # perfect separation -> AUC 1; inverted -> 0; all-tied -> 0.5
+    perfect = spark.createDataFrame([(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "s double, y int")
+    assert binary_classification_metrics(perfect, "s", "y").collect()[0]["auc"] == 1.0
+    inverted = spark.createDataFrame([(4.0, 0), (3.0, 0), (2.0, 1), (1.0, 1)], "s double, y int")
+    assert binary_classification_metrics(inverted, "s", "y").collect()[0]["auc"] == 0.0
+    tied = spark.createDataFrame([(1.0, 0), (1.0, 1), (1.0, 0), (1.0, 1)], "s double, y int")
+    r = tied.transform(lambda d: binary_classification_metrics(d, "s", "y")).collect()[0]
+    assert r["auc"] == 0.5
+    # null scores/labels excluded; no predicted positives -> null precision/f1
+    degen = spark.createDataFrame(
+        [(0.1, 0), (0.2, 1), (None, 1), (0.3, None)], "s double, y int"
+    )
+    r2 = binary_classification_metrics(degen, "s", "y", threshold=9.0).collect()[0]
+    assert (r2["n_pos"], r2["n_neg"], r2["tp"]) == (1, 1, 0)
+    assert r2["precision"] is None and r2["f1"] is None
