@@ -413,3 +413,51 @@ def binary_classification_metrics(
             2 * prec * rec / (prec + rec),
         ).alias("f1"),
     )
+
+
+def roc_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact ROC operating points, one row per DISTINCT score used as
+    the decision threshold (predict positive when ``score >= s``):
+    ``(score, tp, fp, fn, tn, tpr, fpr, precision)`` ordered by
+    descending score — the model-selection companion to
+    :func:`binary_classification_metrics` (pick the threshold, then
+    grade it). Every count is an exact integer (cumulative class
+    counts over the distinct-score table), so tpr/fpr/precision are
+    exact integer ratios — oracle-comparable bit for bit.
+
+    Plan: the same ONE corpus pass -> distinct-score hash aggregate,
+    then two ``global_cumsum`` prefixes (np, nn) over the tiny table
+    (range partition + broadcast offsets; never a single-partition
+    window), and the operating points derive arithmetically. Null
+    scores/labels are excluded."""
+    from epic_pandas_spark.operators.windows import global_cumsum
+
+    y = F.col(label_col).cast("double")
+    t = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("score"))
+        .agg(
+            F.sum(F.when(y == 1.0, 1).otherwise(0)).alias("__np"),
+            F.sum(F.when(y == 1.0, 0).otherwise(1)).alias("__nn"),
+        )
+    )
+    t = global_cumsum(t, "__np", "score", out_col="__cum_np")
+    t = global_cumsum(t, "__nn", "score", out_col="__cum_nn")
+    totals = t.agg(
+        F.sum("__np").alias("__p"), F.sum("__nn").alias("__n")
+    )
+    t = t.crossJoin(F.broadcast(totals))
+    tp = F.col("__p") - (F.col("__cum_np") - F.col("__np"))
+    fp = F.col("__n") - (F.col("__cum_nn") - F.col("__nn"))
+    fn = F.col("__p") - tp
+    tn = F.col("__n") - fp
+    return (
+        t.select(
+            "score",
+            tp.alias("tp"), fp.alias("fp"), fn.alias("fn"), tn.alias("tn"),
+            F.when(F.col("__p") > 0, tp / F.col("__p")).alias("tpr"),
+            F.when(F.col("__n") > 0, fp / F.col("__n")).alias("fpr"),
+            F.when(tp + fp > 0, tp / (tp + fp)).alias("precision"),
+        )
+        .orderBy(F.col("score").desc())
+    )

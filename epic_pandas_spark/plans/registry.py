@@ -2961,6 +2961,53 @@ def q_classifier_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "roc_curve",
+    """
+    WITH d AS (SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+               FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+    t AS (SELECT s, SUM(y) AS np, SUM(1 - y) AS nn FROM d GROUP BY s),
+    c AS (SELECT s, np, nn,
+                 COALESCE(SUM(np) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np_below,
+                 COALESCE(SUM(nn) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below
+          FROM t),
+    tot AS (SELECT SUM(np) AS p, SUM(nn) AS n FROM t)
+    SELECT c.s AS score,
+           CAST(tot.p - c.np_below AS BIGINT) AS tp,
+           CAST(tot.n - c.nn_below AS BIGINT) AS fp,
+           CAST(c.np_below AS BIGINT) AS fn,
+           CAST(c.nn_below AS BIGINT) AS tn,
+           ROUND((tot.p - c.np_below)::DOUBLE / tot.p, 6) AS tpr,
+           ROUND((tot.n - c.nn_below)::DOUBLE / tot.n, 6) AS fpr,
+           ROUND((tot.p - c.np_below)::DOUBLE
+                 / ((tot.p - c.np_below) + (tot.n - c.nn_below)), 6) AS precision
+    FROM c CROSS JOIN tot
+    """,
+)
+def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC operating points (operators.stats.roc_curve) for the
+    deterministic "n_chars predicts lang=='en'" scorer: one row per
+    distinct threshold, every count an exact integer — the oracle
+    recomputes the identical cumulative arithmetic with window prefix
+    sums, so tpr/fpr/precision hash-match at 6dp. Same
+    one-corpus-pass + tiny-table plan as `classifier_metrics`, with two
+    global_cumsum prefixes instead of one."""
+    from epic_pandas_spark.operators.stats import roc_curve
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"), (F.col("lang") == "en").cast("int").alias("y")
+    )
+    out = roc_curve(docs, "s", "y")
+    return out.select(
+        F.col("score"), "tp", "fp", "fn", "tn",
+        F.round("tpr", 6).alias("tpr"),
+        F.round("fpr", 6).alias("fpr"),
+        F.round("precision", 6).alias("precision"),
+    )
+
+
 @register("quality_classifier_train")
 def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed TRAINING of the fastText-style quality classifier

@@ -2031,3 +2031,25 @@ def test_binary_classification_metrics_edges(spark):
     r2 = binary_classification_metrics(degen, "s", "y", threshold=9.0).collect()[0]
     assert (r2["n_pos"], r2["n_neg"], r2["tp"]) == (1, 1, 0)
     assert r2["precision"] is None and r2["f1"] is None
+
+
+def test_roc_curve_brute_force_parity(spark):
+    from epic_pandas_spark.operators.stats import roc_curve
+
+    pairs = [(i % 9, 1 if (i * 7) % 4 == 0 else 0) for i in range(120)]
+    df = spark.createDataFrame(pairs, "s int, y int").repartition(5)
+    rows = roc_curve(df, "s", "y").collect()
+    P = sum(y for _, y in pairs)
+    N = len(pairs) - P
+    assert len(rows) == len({s for s, _ in pairs})
+    for r in rows:
+        s = r["score"]
+        tp = sum(1 for sc, y in pairs if y == 1 and sc >= s)
+        fp = sum(1 for sc, y in pairs if y == 0 and sc >= s)
+        assert (r["tp"], r["fp"], r["fn"], r["tn"]) == (tp, fp, P - tp, N - fp)
+        assert r["tpr"] == pytest.approx(tp / P)
+        assert r["fpr"] == pytest.approx(fp / N)
+    # curve is monotone in both axes as the threshold descends
+    tprs = [r["tpr"] for r in rows]
+    fprs = [r["fpr"] for r in rows]
+    assert tprs == sorted(tprs) and fprs == sorted(fprs)
