@@ -724,6 +724,62 @@ def train_quality_classifier_reference(
     return {k: w[k] for k in range(n_buckets) if w[k] != 0.0}, b
 
 
+def score_stream_with_classifier(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    weights: DataFrame,
+    n_buckets: int = 1 << 18,
+    bias: float = 0.0,
+    bucket_expr=None,
+) -> DataFrame:
+    """Streaming quality scoring — classify documents ARRIVING AS A
+    STREAM against a persisted weight table (fit offline by
+    :func:`train_quality_classifier`, written to parquet, read back as
+    a static frame).
+
+    Same pattern as streaming DSIR / streaming LM perplexity: the model
+    is a bounded static dim, each micro-batch's token stream looks it
+    up via a stream-static broadcast join, and one keyed streaming
+    aggregate accumulates the per-document (weight sum, token count) —
+    the mean pooling then derives inside the same plan, so a document
+    split across micro-batches converges to the batch score as its
+    tokens accumulate. Run with output mode ``update``/``complete``.
+    The plan is IDENTICAL to :func:`hashed_feature_scores` restated
+    with an explicit sum/count (streaming aggregates need the raw
+    accumulators, and F.avg is exactly sum/count anyway); this wrapper
+    documents the contract and anchors the stream==batch test."""
+    toks = stream_df.select(
+        F.col(id_col),
+        F.explode(
+            F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+        ).alias("__tok"),
+    ).filter(F.col("__tok") != "")
+    if bucket_expr is None:
+        bucket = F.pmod(F.xxhash64("__tok"), F.lit(n_buckets))
+    else:
+        bucket = bucket_expr(F.col("__tok"))
+    bucketed = toks.select(id_col, bucket.alias("bucket"))
+    wtab = weights.select(F.col("bucket"), F.col("w").alias("__w"))
+    z = (
+        bucketed.join(F.broadcast(wtab), on="bucket", how="left")
+        .groupBy(id_col)
+        .agg(
+            F.sum(F.coalesce(F.col("__w"), F.lit(0.0))).alias("__wsum"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+        .select(
+            id_col,
+            "n_tokens",
+            (
+                F.lit(1.0)
+                / (F.lit(1.0) + F.exp(-(F.col("__wsum") / F.col("n_tokens") + F.lit(bias))))
+            ).alias("score"),
+        )
+    )
+    return z
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

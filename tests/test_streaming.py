@@ -560,3 +560,55 @@ def test_streaming_ngram_perplexity_matches_batch(spark, tmp_path):
         assert got, "stream produced no scores"
     finally:
         q.stop()
+
+
+def test_streaming_classifier_scores_match_batch(spark, tmp_path):
+    """Quality classification over a document STREAM against a
+    parquet-persisted weight table trained in batch: per-doc scores
+    from the stream-static broadcast plan must equal
+    hashed_feature_scores' batch scores (complete docs per file, so the
+    mean pooling sees the full token set in state)."""
+    from epic_pandas_spark.extensions.curation import (
+        hashed_feature_scores,
+        score_stream_with_classifier,
+        train_quality_classifier,
+    )
+
+    docs = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", "text", (F.col("lang") == "en").cast("int").alias("label"))
+        .filter(F.col("doc_id") < 80)
+    )
+    w_df, bias, _ = train_quality_classifier(
+        docs, "text", "label", "doc_id", n_buckets=1 << 10, iters=5
+    )
+    model_path = str(tmp_path / "clf_model")
+    w_df.write.parquet(model_path)
+    model = spark.read.parquet(model_path)  # the persisted-model path
+
+    src = str(tmp_path / "stream_src")
+    docs.select("doc_id", "text").repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(docs.select("doc_id", "text").schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    scored = score_stream_with_classifier(
+        stream, "text", "doc_id", model, n_buckets=1 << 10, bias=bias
+    )
+    q = run_stream_to_memory(scored, "clf_stream_out", output_mode="complete")
+    try:
+        got = {
+            r["doc_id"]: round(r["score"], 9)
+            for r in spark.sql("SELECT * FROM clf_stream_out").collect()
+        }
+        want = {
+            r["doc_id"]: round(r["score"], 9)
+            for r in hashed_feature_scores(
+                docs, "text", "doc_id", model, n_buckets=1 << 10, bias=bias
+            ).collect()
+        }
+        assert got == want
+        assert got, "stream produced no scores"
+    finally:
+        q.stop()
