@@ -461,3 +461,48 @@ def roc_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
         )
         .orderBy(F.col("score").desc())
     )
+
+
+def grouped_auc(df: DataFrame, score_col: str, label_col: str, by) -> DataFrame:
+    """Per-group exact AUC — the per-domain/per-language evaluation cut
+    of :func:`binary_classification_metrics` ("is the quality model
+    fair across sources, or does one domain's signal carry it?").
+    Returns one row per group: ``(*by, n_pos, n_neg, auc)``; a group
+    with only one class gets a null auc (no rankable pairs). A null
+    group label is a real group (groupBy semantics).
+
+    Same exact integer Mann-Whitney U as the ungrouped form, but the
+    cumulative-negatives prefix is a window PARTITIONED BY the group —
+    each group's distinct-score slice sorts within its own partition,
+    so this scales with groups × distinct-scores-per-group and never
+    funnels through one task (the ungrouped operator needs
+    ``global_cumsum`` precisely because it lacks this partition key)."""
+    group_cols = [by] if isinstance(by, str) else list(by)
+    y = F.col(label_col).cast("double")
+    t = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*group_cols, F.col(score_col).alias("__s"))
+        .agg(
+            F.sum(F.when(y == 1.0, 1).otherwise(0)).alias("__np"),
+            F.sum(F.when(y == 1.0, 0).otherwise(1)).alias("__nn"),
+        )
+    )
+    w = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    t = t.withColumn("__nn_below", F.coalesce(F.sum("__nn").over(w), F.lit(0)))
+    agg = t.groupBy(*group_cols).agg(
+        F.sum("__np").alias("n_pos"),
+        F.sum("__nn").alias("n_neg"),
+        F.sum(F.col("__np") * F.col("__nn_below")).alias("__u_wins"),
+        F.sum(F.col("__np") * F.col("__nn")).alias("__u_ties"),
+    )
+    pn = F.col("n_pos") * F.col("n_neg")
+    return agg.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.when(pn > 0, (F.col("__u_wins") + 0.5 * F.col("__u_ties")) / pn).alias("auc"),
+    )

@@ -3008,6 +3008,46 @@ def q_roc_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouped_auc",
+    """
+    WITH d AS (SELECT source AS g, n_chars AS s,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+               FROM documents
+               WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
+    t AS (SELECT g, s, SUM(y) AS np, SUM(1 - y) AS nn FROM d GROUP BY g, s),
+    c AS (SELECT g, s, np, nn,
+                 COALESCE(SUM(nn) OVER (PARTITION BY g ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below
+          FROM t),
+    a AS (SELECT g, CAST(SUM(np) AS BIGINT) AS n_pos, CAST(SUM(nn) AS BIGINT) AS n_neg,
+                 SUM(np * nn_below) AS u_wins, SUM(np * nn) AS u_ties
+          FROM c GROUP BY g)
+    SELECT g AS source, n_pos, n_neg,
+           ROUND((u_wins + 0.5 * u_ties) / (n_pos * n_neg), 6) AS auc
+    FROM a
+    """,
+)
+def q_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE exact AUC (operators.stats.grouped_auc) of the
+    deterministic "n_chars predicts lang=='en'" scorer — the per-domain
+    fairness cut of classifier evaluation. The cumulative prefix is a
+    window PARTITIONED BY source (each group sorts within its own
+    partition — scalable without global_cumsum, which exists for the
+    ungrouped case that lacks a partition key). Integer U statistic, so
+    the per-group AUCs hash-match the oracle at 6dp."""
+    from epic_pandas_spark.operators.stats import grouped_auc
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    ).select(
+        "source", F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    out = grouped_auc(docs, "s", "y", "source")
+    return out.select("source", "n_pos", "n_neg", F.round("auc", 6).alias("auc"))
+
+
 @register("quality_classifier_train")
 def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed TRAINING of the fastText-style quality classifier

@@ -2053,3 +2053,27 @@ def test_roc_curve_brute_force_parity(spark):
     tprs = [r["tpr"] for r in rows]
     fprs = [r["fpr"] for r in rows]
     assert tprs == sorted(tprs) and fprs == sorted(fprs)
+
+
+def test_grouped_auc_matches_per_group_brute_force(spark):
+    from epic_pandas_spark.operators.stats import grouped_auc
+
+    pairs = [("g%d" % (i % 3), (i * 11) % 13, 1 if (i * 7) % 4 == 0 else 0)
+             for i in range(150)]
+    pairs.append((None, 5, 1))      # null group label is a real group
+    pairs.append((None, 2, 0))
+    df = spark.createDataFrame(pairs, "g string, s int, y int").repartition(6)
+    got = {r["g"]: (r["n_pos"], r["n_neg"], r["auc"])
+           for r in grouped_auc(df, "s", "y", "g").collect()}
+    from collections import defaultdict
+    per = defaultdict(list)
+    for g, s, y in pairs:
+        per[g].append((s, y))
+    for g, rows in per.items():
+        np_, nn_ = sum(y for _, y in rows), sum(1 - y for _, y in rows)
+        assert got[g][:2] == (np_, nn_)
+        assert got[g][2] == pytest.approx(_bf_auc(rows), abs=1e-12)
+    # one-class group -> null auc
+    oneclass = spark.createDataFrame([("a", 1, 1), ("a", 2, 1)], "g string, s int, y int")
+    r = grouped_auc(oneclass, "s", "y", "g").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 0, None)
