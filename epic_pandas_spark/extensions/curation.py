@@ -563,7 +563,7 @@ def train_quality_classifier(
     text_col: str,
     label_col: str,
     id_col: str,
-    n_buckets: int = 1 << 16,
+    n_buckets: int = 1 << 18,
     iters: int = 20,
     lr: float = 5.0,
     l2: float = 0.0,
@@ -600,7 +600,11 @@ def train_quality_classifier(
     Returns ``(weights, bias, n_docs)`` — ``weights`` is a
     ``(bucket, w)`` DataFrame ready for
     ``hashed_feature_scores(weights=..., bias=...)`` with the same
-    ``n_buckets``/``bucket_expr``."""
+    ``n_buckets``/``bucket_expr``. The default ``n_buckets`` (2^18)
+    matches :func:`hashed_feature_scores` and
+    :func:`score_stream_with_classifier` exactly so that training and
+    scoring with defaults share one hashing scheme — a trainer/scorer
+    bucket-count mismatch silently mis-buckets every token."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if lr <= 0:

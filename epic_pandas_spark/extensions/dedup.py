@@ -83,17 +83,29 @@ def keep_best_per_cluster(
     table — itself O(clustered ids), usually a small fraction of the
     corpus, and broadcast-eligible — then a row_number window partitioned
     by cluster. Unclustered rows short-circuit the window with a
-    constant key=id partition (each its own group), so no giant null
-    partition forms and the window shuffle stays balanced."""
+    per-row second partition key (each its own group), so no giant null
+    partition forms and the window shuffle stays balanced.
+
+    ``clusters`` must assign each id to AT MOST one cluster; duplicate
+    (id, cluster) assignments are collapsed defensively (min cluster
+    wins, deterministic) so a double-assigned id can never fan out the
+    corpus join and emit duplicate survivors."""
     order = list(keep_by) + [F.col(id_col).asc()]
-    asg = clusters.select(
-        F.col(id_col).alias("__cid"), F.col(cluster_col).alias("__cluster")
+    asg = (
+        clusters.select(
+            F.col(id_col).alias("__cid"), F.col(cluster_col).alias("__cluster")
+        )
+        .groupBy("__cid")
+        .agg(F.min("__cluster").alias("__cluster"))
     )
     joined = df.join(asg, F.col(id_col) == F.col("__cid"), "left").drop("__cid")
-    # singletons get a unique per-row partition key so the window never
-    # concentrates all of them into one null-key partition
-    part = F.coalesce(F.col("__cluster").cast("string"), F.concat(F.lit("__solo_"), F.col(id_col).cast("string")))
-    w = Window.partitionBy(part).orderBy(*order)
+    # TWO-column partition key: clustered rows share (cluster, null);
+    # each singleton gets (null, id) — its own group. Unlike a coalesced
+    # string-concat key, this cannot collide with a cluster id that
+    # happens to look like the synthetic singleton label, and it never
+    # concentrates singletons into one null-key partition.
+    solo = F.when(F.col("__cluster").isNull(), F.col(id_col))
+    w = Window.partitionBy(F.col("__cluster"), solo).orderBy(*order)
     return (
         joined.withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") == 1)

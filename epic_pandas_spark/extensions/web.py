@@ -179,6 +179,8 @@ def psl_registrable_domain(
     explode/re-aggregate round-trip. ``max_suffix_labels`` = 4 covers
     every rule in the vendored subset and all but a handful of the full
     PSL; raise it when loading a snapshot with longer rules."""
+    if max_suffix_labels < 1:
+        raise ValueError("max_suffix_labels must be >= 1")
     spark = df.sparkSession
     # one row per base with kind flags: a full PSL can carry the same
     # base under several kinds, and a non-unique join key would
@@ -228,8 +230,14 @@ def psl_registrable_domain(
         drop += [f"__b{k}", f"__nrm{k}", f"__wld{k}", f"__exc{k}"]
     # PSL algorithm: an exception rule prevails outright (its suffix is
     # the rule minus the leftmost label); else the longest match; else
-    # the implicit '*' rule (unknown TLD = 1 label)
-    eff = F.coalesce(F.greatest(*exc_lens), F.greatest(*eff_lens, F.lit(1)))
+    # the implicit '*' rule (unknown TLD = 1 label). greatest() requires
+    # >= 2 operands and ignores nulls, so a typed null pads the
+    # exception list (it has exactly max_suffix_labels entries and would
+    # be a 1-element call at max_suffix_labels=1).
+    eff = F.coalesce(
+        F.greatest(*exc_lens, F.lit(None).cast("int")),
+        F.greatest(*eff_lens, F.lit(1)),
+    )
     dom = F.when(
         (n > eff) & ~F.startswith(host, F.lit("[")),
         F.array_join(F.slice(F.col("__labels"), -(eff + F.lit(1)), eff + F.lit(1)), "."),

@@ -501,12 +501,18 @@ def kmv_distinct_estimate(sketch: DataFrame, k: int, hash_bits: int = 64) -> Dat
     ``[0, 2^hash_bits)`` (signed-shifted for 64), ``n_est =
     (k - 1) / u_k`` where ``u_k`` is the k-th minimum normalized to
     (0, 1). If the sketch holds fewer than ``k`` values the count is
-    exact (the sketch IS the distinct set). One aggregate over k rows."""
+    exact (the sketch IS the distinct set). One aggregate over k rows.
+
+    The normalized k-th minimum is clamped to a positive floor of one
+    hash quantum (1 / 2^hash_bits): a degenerate sketch whose max hash
+    normalizes to 0 (possible for hash_bits < 64 when every stored hash
+    is 0 mod the truncation) would otherwise divide by zero."""
     if hash_bits == 64:
         # xxhash64 spans the full signed range; shift to unsigned [0, 2^64)
         u = (F.max("h").cast("double") + 9.223372036854776e18) / 1.8446744073709552e19
     else:
         u = F.max("h").cast("double") / float(2 ** hash_bits)
+    u = F.greatest(u, F.lit(1.0 / float(2 ** min(hash_bits, 64))))
     return sketch.agg(
         F.count(F.lit(1)).alias("k_used"),
         F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))

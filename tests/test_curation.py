@@ -579,6 +579,21 @@ def test_psl_registrable_domain_rule_algebra(spark):
     assert vals == {"a.b.co.uk": "a.b.co.uk",
                     "x.special.co.uk": "special.co.uk"}
 
+    # max_suffix_labels=1 must be well-formed (greatest() needs >= 2
+    # operands; regression for the 1-element exception-list call) and
+    # still resolve 1-label suffixes + the implicit '*' default
+    df3 = spark.createDataFrame(
+        [("example.com",), ("a.example.com",), ("com",)], "host string"
+    )
+    got1 = {r["host"]: r["registrable_domain"]
+            for r in psl_registrable_domain(df3, "host", max_suffix_labels=1).collect()}
+    assert got1 == {"example.com": "example.com",
+                    "a.example.com": "example.com",
+                    "com": None}
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        psl_registrable_domain(df3, "host", max_suffix_labels=0)
+
 
 def test_filter_by_group_quantile_semantics(spark):
     """Per-group threshold: each group's cutoff is its OWN quantile (a

@@ -1452,6 +1452,40 @@ def test_keep_best_per_cluster(spark):
     assert kept.columns == ["id", "quality"]
 
 
+def test_keep_best_per_cluster_adversarial_keys(spark):
+    """Two regression cases from the round-6 advisory: (a) a string
+    cluster id that collides with the old synthetic singleton label must
+    not merge with an actual singleton; (b) an id assigned to two
+    clusters must not fan out the corpus join into duplicate
+    survivors."""
+    from epic_pandas_spark.extensions.dedup import keep_best_per_cluster
+
+    # (a) cluster literally named like the old "__solo_<id>" label
+    docs = spark.createDataFrame(
+        [(6, 0.2), (7, 0.9), (8, 0.1)], "id long, quality double"
+    )
+    clusters = spark.createDataFrame(
+        [(7, "__solo_6"), (8, "__solo_6")], "id string, cluster string"
+    ).select(F.col("id").cast("long"), "cluster")
+    kept = keep_best_per_cluster(docs, clusters, "id", [F.col("quality").desc()])
+    # 6 is a true singleton; 7 wins its (oddly-named) cluster over 8
+    assert sorted(r["id"] for r in kept.collect()) == [6, 7]
+
+    # (b) duplicate assignment: id 2 claimed by both clusters
+    docs2 = spark.createDataFrame(
+        [(1, 0.5), (2, 0.9), (3, 0.7)], "id long, quality double"
+    )
+    clusters2 = spark.createDataFrame(
+        [(1, "A"), (2, "A"), (2, "B"), (3, "B")], "id long, cluster string"
+    )
+    kept2 = keep_best_per_cluster(docs2, clusters2, "id", [F.col("quality").desc()])
+    rows = kept2.collect()
+    # no duplicate survivors: id 2 appears at most once
+    assert sorted(r["id"] for r in rows) == sorted(set(r["id"] for r in rows))
+    # min-cluster collapse puts 2 in A (beats 1); 3 survives B alone
+    assert sorted(r["id"] for r in rows) == [2, 3]
+
+
 def test_soft_dedup_weights(spark):
     from epic_pandas_spark.extensions.dedup import soft_dedup_weights
 

@@ -1949,6 +1949,22 @@ def test_kmv_distinct_estimate_accuracy(spark):
     assert abs(est["n_distinct_est"] - n) / n < 4 / (k - 2) ** 0.5
 
 
+def test_kmv_distinct_estimate_zero_hash_guard(spark):
+    """A degenerate sketch whose max hash normalizes to 0 must yield a
+    finite (floor-clamped) estimate, never a division by zero / null —
+    regression for the hash_bits != 64 branch."""
+    from epic_pandas_spark.operators.sketches import kmv_distinct_estimate
+
+    sk = spark.createDataFrame([(0,), (0,)], "h long").distinct()
+    r = kmv_distinct_estimate(sk, k=1, hash_bits=16).collect()[0]
+    assert r["n_distinct_est"] is not None
+    import math as _math
+    assert _math.isfinite(r["n_distinct_est"])
+    # u clamps to 1/2^16, so (k_used - 1)/u = 0 here (k_used=1 < ... no:
+    # k_used == k == 1 -> estimate path = (1-1)/u = 0.0, finite)
+    assert r["n_distinct_est"] == 0.0
+
+
 def test_kmv_sketch_validation_and_nulls(spark):
     from epic_pandas_spark.operators.sketches import kmv_sketch
 
