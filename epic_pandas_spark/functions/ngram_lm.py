@@ -1,28 +1,36 @@
 """Distributed n-gram language model with Stupid Backoff scoring — the
 perplexity-filtering step of a web-corpus curation pipeline (the CCNet
 recipe: score every document against a LM trained on a fixed reference
-corpus, then keep/bucket by perplexity).
+corpus, then keep/bucket by perplexity; CCNet itself uses a 5-gram model).
 
 Extension tier: no reference analog (SURVEY.md §7.1 step 9). The scoring
 rule is Stupid Backoff (Brants et al. 2007, "Large Language Models in
 Machine Translation"): the canonical distributed-LM score — unnormalized,
 one count-table lookup per order, designed exactly for this
-count-tables-as-distributed-joins shape. With ``order=2``:
+count-tables-as-distributed-joins shape. For any order K:
 
-    S(v | u) = c(u v) / c(u)            if c(u v) > 0
-             = alpha * P1(v)            otherwise (alpha = 0.4)
-    P1(v)    = (c(v) + 1) / (N + |V|)   add-one unigram, total score for
-                                        the first token and any OOV word
+    S(v | u_{K-1}..u_1) = c(u_{K-1}..u_1 v) / c(u_{K-1}..u_1)   if seen
+                        = alpha * S(v | u_{K-2}..u_1)           else
+    S(v)                = (c(v) + 1) / (N + |V|)    add-one unigram: the
+                          floor for the first tokens and any OOV word
 
-Plan at 100 TB: training is two hash-aggregates over one exploded
-(token, prev-token) stream (map-side partials collapse the Zipf head, so
-the shuffle carries ~|vocab| rows per partition); the only collects are
-two scalars (N, |V|). Scoring joins the token stream against the count
-tables on gram keys — broadcast when the model comes from a FIXED
-reference corpus (the CCNet shape: the model does not grow with the
-scored corpus), shuffle-hash otherwise (corpus-proportional sides must
-never auto-broadcast — the remove_repeated_spans lesson). Document text
-never shuffles; only tokens and counts move.
+A token whose document position only provides m < K context words starts
+the chain at order m with NO penalty (the context doesn't exist — that is
+not a backoff); each unseen-gram fall-through multiplies by alpha once,
+so a token scored at order j from available order m carries alpha^(m-j).
+
+Plan at 100 TB: training is K hash-aggregates over ONE exploded
+(token, context...) stream (localCheckpoint, so the corpus is scanned
+once; map-side partials collapse the Zipf head, so each shuffle carries
+~|distinct grams| rows per partition); the only collect is two scalars
+(N, |V|). Each k-gram table is then annotated with its CONTEXT's count by
+one model-sized join at train time (gram_k ⋈ gram_{k-1} — tables, not
+corpus), so scoring needs exactly ONE join per order: the token stream
+probes K count tables on gram keys — broadcast when the model comes from
+a FIXED reference corpus (the CCNet shape: the model does not grow with
+the scored corpus), shuffle-hash otherwise (corpus-proportional sides
+must never auto-broadcast — the remove_repeated_spans lesson). Document
+text never shuffles; only tokens and counts move.
 """
 
 from __future__ import annotations
@@ -32,44 +40,74 @@ from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, functions as F
 
+MAX_ORDER = 5
+
 
 class NGramLM(NamedTuple):
-    """A trained Stupid-Backoff model: count tables + scalar totals.
+    """A trained Stupid-Backoff model: one count table per order plus
+    scalar totals.
 
-    ``unigrams`` is ``(v, c_uni)``; ``bigrams`` is ``(u, v, c_bi)`` (None
-    when order=1). ``n_tokens``/``vocab_size`` are the UNPRUNED totals, so
-    add-one unigram probabilities stay a proper distribution even when the
-    stored tables are pruned."""
+    ``grams[0]`` is the unigram table ``(v, c)``; ``grams[k-1]`` for
+    k >= 2 is the k-gram table ``(u{k-1}, ..., u1, v, c, c_ctx)`` where
+    ``u{j}`` is the token j positions back and ``c_ctx`` is the count of
+    the gram's (k-1)-token context (annotated at train time so scoring
+    is one join per order). ``n_tokens``/``vocab_size`` are the UNPRUNED
+    totals, so add-one unigram probabilities stay a proper distribution
+    even when the stored tables are pruned."""
 
-    unigrams: DataFrame
-    bigrams: DataFrame | None
+    grams: tuple
     n_tokens: int
     vocab_size: int
     order: int
 
+    @property
+    def unigrams(self) -> DataFrame:
+        return self.grams[0]
 
-def _token_pairs_expr(text: Column) -> Column:
-    """array<struct<v,u>> of (token, previous-token) over the normalized
-    whitespace tokenization; u is null for the first token. The split
-    result is let-bound via a one-element transform (interpreted HOF trees
-    do no CSE — see word_ngrams_expr), so the regex runs once per doc."""
+    @property
+    def bigrams(self) -> DataFrame | None:
+        return self.grams[1] if self.order >= 2 else None
+
+
+def _ctx_cols(order: int) -> list[str]:
+    """Context column names, outermost first: [u{K-1}, ..., u1]."""
+    return [f"u{j}" for j in range(order - 1, 0, -1)]
+
+
+def _token_stream_expr(text: Column, order: int) -> Column:
+    """array<struct<v, u1..u{order-1}>> over the normalized whitespace
+    tokenization; u{j} is the token j positions back, null when the
+    position has no such context. The split result is let-bound via a
+    one-element transform (interpreted HOF trees do no CSE — see
+    word_ngrams_expr), so the regex runs once per doc."""
     w = F.filter(
         F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " "),
         lambda t: t != "",
     )
 
     def _body(w0: Column) -> Column:
-        # F.get is 0-based and yields null out-of-bounds (incl. -1), so the
-        # first token's context is null with no ANSI index error
-        return F.transform(w0, lambda t, i: F.struct(t.alias("v"), F.get(w0, i - 1).alias("u")))
+        # F.get is 0-based and yields null out-of-bounds (incl. negative),
+        # so early tokens' missing contexts are null with no ANSI error
+        return F.transform(
+            w0,
+            lambda t, i: F.struct(
+                t.alias("v"),
+                *[F.get(w0, i - j).alias(f"u{j}") for j in range(1, order)],
+            ),
+        )
 
     return F.get(F.transform(F.array(w), _body), 0)
 
 
-def _token_stream(df: DataFrame, text_col: str, id_col: str | None) -> DataFrame:
+def _token_stream(df: DataFrame, text_col: str, id_col: str | None, order: int) -> DataFrame:
     cols = [F.col(id_col)] if id_col else []
-    return df.select(*cols, F.explode(_token_pairs_expr(F.col(text_col))).alias("__p")).select(
-        *([id_col] if id_col else []), F.col("__p.v").alias("v"), F.col("__p.u").alias("u")
+    ctx = [f"u{j}" for j in range(1, order)]
+    return df.select(
+        *cols, F.explode(_token_stream_expr(F.col(text_col), order)).alias("__p")
+    ).select(
+        *([id_col] if id_col else []),
+        F.col("__p.v").alias("v"),
+        *[F.col(f"__p.{u}").alias(u) for u in ctx],
     )
 
 
@@ -79,44 +117,72 @@ def ngram_lm_train(
     order: int = 2,
     min_count: int = 1,
 ) -> NGramLM:
-    """Train the count tables on ``df[text_col]``.
+    """Train the count tables on ``df[text_col]`` for any order 1-5
+    (CCNet's recipe uses 5).
 
-    One exploded (v, u) stream feeds both aggregates (localCheckpoint so
-    the corpus is scanned once); totals are a single two-scalar collect.
-    ``min_count`` prunes the STORED tables only — totals keep the full
-    counts, so pruned/unseen grams fall through to the same add-one
-    unigram floor."""
-    if order not in (1, 2):
-        raise ValueError("order must be 1 or 2")
+    One exploded (v, u1..u{order-1}) stream feeds all ``order``
+    aggregates (localCheckpoint so the corpus is scanned once); totals
+    are a single two-scalar collect. Each k-gram table (k >= 2) is
+    annotated with its context's count via one MODEL-sized join against
+    the (k-1)-gram table — O(|grams|) rows, never the corpus — so
+    scoring probes one table per order. ``min_count`` prunes the STORED
+    tables only — totals keep the full counts, so pruned/unseen grams
+    fall through to the same add-one unigram floor. A pruned gram's
+    context always survives the same pruning (c(context) >= c(gram)),
+    so every stored ratio's denominator exists by construction."""
+    if not (1 <= order <= MAX_ORDER):
+        raise ValueError(f"order must be in 1..{MAX_ORDER}")
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
 
-    toks = _token_stream(df, text_col, None).localCheckpoint(eager=False)
+    toks = _token_stream(df, text_col, None, order).localCheckpoint(eager=False)
     # checkpoint the count tables themselves: scoring joins each table into
     # its own plan subtree, and without a materialized boundary Spark
     # re-runs the aggregation once per join (and the totals collect below
     # pays for the unigram materialization anyway)
     uni = (
         toks.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("c_uni"))
+        .agg(F.count(F.lit(1)).alias("c"))
         .localCheckpoint(eager=False)
     )
     n_tokens, vocab_size = uni.agg(
-        F.sum("c_uni").alias("n"), F.count(F.lit(1)).alias("v")
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
     ).first()
-    bi = None
-    if order == 2:
-        bi = (
-            toks.filter(F.col("u").isNotNull())
-            .groupBy("u", "v")
-            .agg(F.count(F.lit(1)).alias("c_bi"))
+
+    raw: list[DataFrame] = [uni]
+    for k in range(2, order + 1):
+        keys = _ctx_cols(k) + ["v"]
+        gk = (
+            toks.filter(F.col(f"u{k - 1}").isNotNull())
+            .groupBy(*keys)
+            .agg(F.count(F.lit(1)).alias("c"))
             .localCheckpoint(eager=False)
         )
+        raw.append(gk)
+
+    grams: list[DataFrame] = [uni]
+    for k in range(2, order + 1):
+        gk, prev = raw[k - 1], raw[k - 2]
+        # context of (u{k-1},...,u1,v) is the (k-1)-gram (u{k-1},...,u1):
+        # in the (k-1)-gram table its columns (u{k-2},...,u1,v) shift one
+        # position outward — u{j} -> u{j+1}, v -> u1
+        if k == 2:
+            ctx = prev.select(F.col("v").alias("u1"), F.col("c").alias("c_ctx"))
+        else:
+            ctx = prev.select(
+                *[F.col(f"u{j}").alias(f"u{j + 1}") for j in range(k - 2, 0, -1)],
+                F.col("v").alias("u1"),
+                F.col("c").alias("c_ctx"),
+            )
+        # inner join is total: a k-gram's context occurs wherever the
+        # k-gram does, so every row finds its c_ctx. Model-sized join.
+        annotated = gk.join(ctx, on=_ctx_cols(k), how="inner")
         if min_count > 1:
-            bi = bi.filter(F.col("c_bi") >= min_count)
+            annotated = annotated.filter(F.col("c") >= min_count)
+        grams.append(annotated.localCheckpoint(eager=False))
     if min_count > 1:
-        uni = uni.filter(F.col("c_uni") >= min_count)
-    return NGramLM(uni, bi, int(n_tokens or 0), int(vocab_size or 0), order)
+        grams[0] = grams[0].filter(F.col("c") >= min_count)
+    return NGramLM(tuple(grams), int(n_tokens or 0), int(vocab_size or 0), order)
 
 
 def ngram_lm_score(
@@ -138,9 +204,10 @@ def ngram_lm_score(
     (free: indicator columns folded into the existing aggregate):
     ``oov_frac`` — fraction of tokens absent from the model vocabulary
     (high on foreign-language/garbled text even when perplexity is
-    moderate) — and, for order 2, ``backoff_frac`` — fraction of
-    in-context tokens scored through the backoff (unseen bigrams:
-    high on topically novel but well-formed text).
+    moderate) — and, for order >= 2, ``backoff_frac`` — fraction of
+    in-context tokens whose LONGEST AVAILABLE gram was unseen (the
+    token backed off at least once: high on topically novel but
+    well-formed text).
 
     Documents with no tokens (null/empty text) produce no output row.
     ``strategy='broadcast'`` for fixed-reference-corpus models (CCNet
@@ -153,7 +220,12 @@ def ngram_lm_score(
     derives from it). Integer sums are exactly associative, so scores
     are bit-stable under any partitioning, micro-batching, or
     accumulation order — the same discipline as DSIR's ratio table, and
-    what makes the streaming twin bit-equal to this batch form."""
+    what makes the streaming twin bit-equal to this batch form.
+
+    Plan: the token stream probes ONE table per order — K left joins,
+    all broadcast under the default strategy, in one codegen stage;
+    each k-gram row carries its context count (train-time annotation),
+    so no separate denominator joins exist."""
     if model.n_tokens <= 0:
         raise ValueError("model has no tokens")
     if strategy not in ("broadcast", "shuffle", None):
@@ -166,51 +238,72 @@ def ngram_lm_score(
             return d.hint("shuffle_hash")
         return d
 
-    toks = _token_stream(df, text_col, id_col)
-    cv = _side(model.unigrams.select("v", F.col("c_uni").alias("__c_v")))
-    j = toks.join(cv, "v", "left")
-    denom = float(model.n_tokens + model.vocab_size)
-    p_uni = (F.coalesce(F.col("__c_v"), F.lit(0)).cast("double") + 1.0) / F.lit(denom)
-    if model.order == 2:
-        cu = _side(model.unigrams.select(F.col("v").alias("u"), F.col("c_uni").alias("__c_u")))
-        bi = _side(model.bigrams.select("u", "v", F.col("c_bi").alias("__c_bi")))
-        # left joins on a null u never match — the first token of each doc
-        # falls through to the unigram branch, same as the SQL oracle
-        j = j.join(cu, "u", "left").join(bi, ["u", "v"], "left")
-        logp = (
-            F.when(F.col("u").isNull(), F.log(p_uni))
-            .when(
-                F.col("__c_bi").isNotNull(),
-                F.log(F.col("__c_bi").cast("double") / F.col("__c_u")),
+    K = model.order
+    toks = _token_stream(df, text_col, id_col, K)
+    j = toks.join(
+        _side(model.grams[0].select("v", F.col("c").alias("__c1"))), "v", "left"
+    )
+    for k in range(2, K + 1):
+        keys = _ctx_cols(k) + ["v"]
+        tab = _side(
+            model.grams[k - 1].select(
+                *keys, F.col("c").alias(f"__c{k}"), F.col("c_ctx").alias(f"__x{k}")
             )
-            .otherwise(F.lit(math.log(alpha)) + F.log(p_uni))
         )
+        # left joins on null context columns never match — tokens without
+        # enough context fall through to lower orders, as in the SQL oracle
+        j = j.join(tab, keys, "left")
+
+    denom = float(model.n_tokens + model.vocab_size)
+    p_uni = (F.coalesce(F.col("__c1"), F.lit(0)).cast("double") + 1.0) / F.lit(denom)
+    la = F.lit(math.log(alpha))
+    if K >= 2:
+        # m = highest order this position PROVIDES (1 + #non-null contexts);
+        # scoring at order j < m multiplies by alpha^(m-j)
+        m = F.lit(1)
+        for jj in range(1, K):
+            m = m + F.when(F.col(f"u{jj}").isNotNull(), 1).otherwise(0)
+        logp = None
+        for k in range(K, 1, -1):
+            cond = F.col(f"u{k - 1}").isNotNull() & F.col(f"__c{k}").isNotNull()
+            val = (m - F.lit(k)).cast("double") * la + F.log(
+                F.col(f"__c{k}").cast("double") / F.col(f"__x{k}")
+            )
+            logp = F.when(cond, val) if logp is None else logp.when(cond, val)
+        logp = logp.otherwise((m - F.lit(1)).cast("double") * la + F.log(p_uni))
     else:
         logp = F.log(p_uni)
 
     sig_aggs, sig_cols = [], []
     if signals:
         sig_aggs.append(
-            F.avg(F.when(F.col("__c_v").isNull(), 1.0).otherwise(0.0)).alias("oov_frac")
+            F.avg(F.when(F.col("__c1").isNull(), 1.0).otherwise(0.0)).alias("oov_frac")
         )
         sig_cols.append("oov_frac")
-        if model.order == 2:
-            in_ctx = F.col("u").isNotNull()
+        if K >= 2:
+            in_ctx = F.col("u1").isNotNull()
+            # backed off <=> the longest AVAILABLE gram (order m) missed
+            top_missing = None
+            for k in range(K, 1, -1):
+                cond = m == k
+                miss = F.col(f"__c{k}").isNull()
+                top_missing = (
+                    F.when(cond, miss) if top_missing is None else top_missing.when(cond, miss)
+                )
+            top_missing = top_missing.otherwise(F.lit(False))
             sig_aggs.append(
                 (
-                    F.sum(F.when(in_ctx & F.col("__c_bi").isNull(), 1).otherwise(0))
+                    F.sum(F.when(in_ctx & top_missing, 1).otherwise(0))
                     / F.greatest(F.sum(F.when(in_ctx, 1).otherwise(0)), F.lit(1))
                 ).alias("backoff_frac")
             )
             sig_cols.append("backoff_frac")
 
-    keep = [F.col(id_col), F.col("__c_v")] + (
-        [F.col("u"), F.col("__c_bi")] if model.order == 2 else []
-    )
+    keep = [F.col(id_col)]
     if quantize_scale is not None:
         q = F.round(logp * F.lit(float(quantize_scale))).cast("long")
         out = (
-            j.select(*keep, q.alias("__q"))
+            j.select(*keep, q.alias("__q"), *_signal_inputs(K, signals))
             .groupBy(id_col)
             .agg(
                 F.count(F.lit(1)).alias("n_tokens"),
@@ -232,7 +325,7 @@ def ngram_lm_score(
             *sig_cols,
         )
     out = (
-        j.select(*keep, logp.alias("__logp"))
+        j.select(*keep, logp.alias("__logp"), *_signal_inputs(K, signals))
         .groupBy(id_col)
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
@@ -249,16 +342,30 @@ def ngram_lm_score(
     )
 
 
+def _signal_inputs(order: int, signals: bool) -> list[Column]:
+    """Columns the signal aggregates reference, threaded through the
+    pre-aggregation projection (__c1 for oov; context + count columns
+    for backoff detection when order >= 2). Empty when signals are off —
+    the aggregate reads only the logp column then."""
+    if not signals:
+        return []
+    cols = [F.col("__c1")]
+    if order >= 2:
+        cols += [F.col(f"u{j}") for j in range(1, order)]
+        cols += [F.col(f"__c{k}") for k in range(2, order + 1)]
+    return cols
+
+
 def ngram_lm_save(model: NGramLM, path: str) -> None:
-    """Persist a trained model: count tables as parquet plus a 1-row
-    meta table carrying the scalar totals — the train-offline /
+    """Persist a trained model: one parquet table per order plus a
+    1-row meta table carrying the scalar totals — the train-offline /
     score-online handoff (and the only way a STREAMING scorer can see
     the model: stream-static joins need static frames, not lineage back
-    to a batch training job)."""
-    spark = model.unigrams.sparkSession
-    model.unigrams.write.mode("overwrite").parquet(f"{path}/unigrams")
-    if model.bigrams is not None:
-        model.bigrams.write.mode("overwrite").parquet(f"{path}/bigrams")
+    to a batch training job). Layout: ``{path}/gram{k}`` for k=1..order
+    and ``{path}/meta``."""
+    spark = model.grams[0].sparkSession
+    for k, g in enumerate(model.grams, start=1):
+        g.write.mode("overwrite").parquet(f"{path}/gram{k}")
     meta = spark.createDataFrame(
         [(model.n_tokens, model.vocab_size, model.order)],
         "n_tokens long, vocab_size long, order int",
@@ -269,9 +376,9 @@ def ngram_lm_save(model: NGramLM, path: str) -> None:
 def ngram_lm_load(spark, path: str) -> NGramLM:
     """Load a model persisted by :func:`ngram_lm_save`."""
     meta = spark.read.parquet(f"{path}/meta").first()
-    uni = spark.read.parquet(f"{path}/unigrams")
-    bi = spark.read.parquet(f"{path}/bigrams") if meta["order"] == 2 else None
-    return NGramLM(uni, bi, int(meta["n_tokens"]), int(meta["vocab_size"]), int(meta["order"]))
+    order = int(meta["order"])
+    grams = tuple(spark.read.parquet(f"{path}/gram{k}") for k in range(1, order + 1))
+    return NGramLM(grams, int(meta["n_tokens"]), int(meta["vocab_size"]), order)
 
 
 def ngram_lm_score_stream(
@@ -286,7 +393,7 @@ def ngram_lm_score_stream(
     STREAM against a persisted LM (load with :func:`ngram_lm_load`).
 
     Same pattern as streaming DSIR: the model is a bounded static dim,
-    so each micro-batch's (token, prev) stream looks it up via
+    so each micro-batch's (token, contexts) stream looks it up via
     stream-static broadcast joins, then one keyed streaming aggregate
     accumulates ``(n_tokens, logp_scaled)`` per document. The per-token
     log-probs are quantized to integer micro-nats, so the streaming sum
@@ -311,24 +418,26 @@ def ngram_lm_score_reference(
     min_count: int = 1,
     alpha: float = 0.4,
 ) -> dict[object, tuple[int, float]]:
-    """Pure-Python twin of train+score for parity tests: returns
-    ``{id: (n_tokens, avg_logprob)}`` under identical semantics."""
+    """Pure-Python twin of train+score for parity tests (any order
+    1-5): returns ``{id: (n_tokens, avg_logprob)}`` under identical
+    semantics — longest available gram, alpha^(m-j) fall-through,
+    add-one unigram floor."""
     import re
     from collections import Counter
 
     def words(t: str) -> list[str]:
         return [w for w in re.sub(r"\s+", " ", t.strip().lower()).split(" ") if w]
 
-    uni: Counter = Counter()
-    bi: Counter = Counter()
+    counts: list[Counter] = [Counter() for _ in range(order)]
     for t in train_texts:
         ws = words(t)
-        uni.update(ws)
-        bi.update(zip(ws, ws[1:]))
-    n_tokens = sum(uni.values())
-    vocab = len(uni)
-    uni_kept = {w: c for w, c in uni.items() if c >= min_count}
-    bi_kept = {p: c for p, c in bi.items() if c >= min_count}
+        for k in range(1, order + 1):
+            counts[k - 1].update(
+                tuple(ws[i - k + 1 : i + 1]) for i in range(k - 1, len(ws))
+            )
+    n_tokens = sum(counts[0].values())
+    vocab = len(counts[0])
+    kept = [{g: c for g, c in counts[k].items() if c >= min_count} for k in range(order)]
     denom = n_tokens + vocab
     out: dict[object, tuple[int, float]] = {}
     for did, t in score_docs:
@@ -337,15 +446,18 @@ def ngram_lm_score_reference(
             continue
         total = 0.0
         for i, v in enumerate(ws):
-            p1 = (uni_kept.get(v, 0) + 1) / denom
-            if order == 2 and i > 0:
-                u = ws[i - 1]
-                c_bi = bi_kept.get((u, v))
-                if c_bi is not None:
-                    total += math.log(c_bi / uni_kept[u])
-                else:
-                    total += math.log(alpha) + math.log(p1)
-            else:
-                total += math.log(p1)
+            m = min(order, i + 1)
+            lp = None
+            for k in range(m, 1, -1):
+                gram = tuple(ws[i - k + 1 : i + 1])
+                c = kept[k - 1].get(gram)
+                if c is not None:
+                    ctx = kept[k - 2][gram[:-1]]
+                    lp = (m - k) * math.log(alpha) + math.log(c / ctx)
+                    break
+            if lp is None:
+                p1 = (kept[0].get((v,), 0) + 1) / denom
+                lp = (m - 1) * math.log(alpha) + math.log(p1)
+            total += lp
         out[did] = (len(ws), total / len(ws))
     return out

@@ -2860,6 +2860,75 @@ def q_ngram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_perplexity_o3",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '') AS w
+      FROM documents
+    ),
+    t3 AS (
+      SELECT doc_id, p.v AS v, p.u1 AS u1, p.u2 AS u2
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w)),
+                          i -> struct_pack(v := w[i],
+                                           u1 := w[i-1],
+                                           u2 := CASE WHEN i >= 3 THEN w[i-2] END))) AS p
+            FROM d)
+    ),
+    tr AS (SELECT v, u1, u2 FROM t3 WHERE doc_id % 10 = 0 AND doc_id < 50000),
+    uni AS (SELECT v, COUNT(*) AS c FROM tr GROUP BY v),
+    tot AS (SELECT SUM(c)::DOUBLE AS n, COUNT(*)::DOUBLE AS vs FROM uni),
+    bi AS (SELECT u1, v, COUNT(*) AS c FROM tr WHERE u1 IS NOT NULL GROUP BY u1, v),
+    tri AS (SELECT u2, u1, v, COUNT(*) AS c FROM tr WHERE u2 IS NOT NULL GROUP BY u2, u1, v),
+    scored AS (
+      SELECT t3.doc_id,
+             CASE WHEN t3.u2 IS NOT NULL AND g3.c IS NOT NULL
+                    THEN ln(g3.c::DOUBLE / bctx.c)
+                  WHEN t3.u1 IS NOT NULL AND g2.c IS NOT NULL
+                    THEN (CASE WHEN t3.u2 IS NOT NULL THEN ln(0.4) ELSE 0.0 END)
+                         + ln(g2.c::DOUBLE / cu.c)
+                  ELSE (CASE WHEN t3.u2 IS NOT NULL THEN 2.0
+                             WHEN t3.u1 IS NOT NULL THEN 1.0 ELSE 0.0 END) * ln(0.4)
+                       + ln((COALESCE(cv.c, 0) + 1) / (tot.n + tot.vs))
+             END AS logp
+      FROM t3
+      CROSS JOIN tot
+      LEFT JOIN uni cv ON t3.v = cv.v
+      LEFT JOIN uni cu ON t3.u1 = cu.v
+      LEFT JOIN bi g2 ON t3.u1 = g2.u1 AND t3.v = g2.v
+      LEFT JOIN bi bctx ON t3.u2 = bctx.u1 AND t3.u1 = bctx.v
+      LEFT JOIN tri g3 ON t3.u2 = g3.u2 AND t3.u1 = g3.u1 AND t3.v = g3.v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(logp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_ngram_perplexity_o3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram Stupid-Backoff perplexity (functions.ngram_lm at
+    order=3) — the same CCNet recipe as `ngram_perplexity` but with the
+    higher-order chain CCNet actually uses (its production model is a
+    5-gram; order 3 keeps the oracle SQL tractable while exercising the
+    full multi-order machinery: per-order count tables, train-time
+    context-count annotation, alpha^(m-j) fall-through, and the
+    shorter-available-context start at document heads). Each k-gram
+    table carries its context's count from a MODEL-sized train-time
+    join, so scoring is exactly one broadcast-hash join per order —
+    three probes in one codegen stage; the corpus never shuffles.
+    The oracle restates the chain with explicit numerator/denominator
+    joins (tractable at sf0.01's vocabulary; the annotated-table form
+    is the scale path, not a semantics change)."""
+    from epic_pandas_spark.functions.ngram_lm import ngram_lm_score, ngram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 50000))
+    model = ngram_lm_train(train, "text", order=3)
+    out = ngram_lm_score(docs, "text", "doc_id", model, strategy="broadcast")
+    return out.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
+@register(
     "kmv_corpus_jaccard",
     """
     WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t

@@ -38,7 +38,10 @@ def _spark_scores(spark, order=2, min_count=1):
                    for r in out.collect()}
 
 
-@pytest.mark.parametrize("order,min_count", [(2, 1), (2, 2), (1, 1)])
+@pytest.mark.parametrize(
+    "order,min_count",
+    [(2, 1), (2, 2), (1, 1), (3, 1), (3, 2), (4, 1), (5, 1)],
+)
 def test_parity_vs_reference(spark, order, min_count):
     _, got = _spark_scores(spark, order=order, min_count=min_count)
     want = ngram_lm_score_reference(TRAIN, SCORE, order=order, min_count=min_count)
@@ -67,9 +70,11 @@ def test_pruning_drops_rare_grams_but_keeps_totals(spark):
     assert model2.unigrams.count() < model1.unigrams.count()
     assert model2.bigrams.count() < model1.bigrams.count()
     # pruned bigram ("cat","and") must route through backoff: kept bigram
-    # implies kept context (c_uni >= c_bi), so the join denominator exists
-    kept = {(r["u"], r["v"]) for r in model2.bigrams.collect()}
+    # implies kept context (c(u1) >= c(u1,v)), so every stored row's
+    # c_ctx denominator exists
+    kept = {(r["u1"], r["v"]) for r in model2.bigrams.collect()}
     assert ("cat", "and") not in kept and ("the", "cat") in kept
+    assert model2.bigrams.filter(F.col("c_ctx").isNull()).count() == 0
 
 
 def test_empty_and_null_docs_absent(spark):
@@ -100,7 +105,9 @@ def test_strategy_validation_and_shuffle_path(spark):
 def test_train_validation(spark):
     train = spark.createDataFrame([(t,) for t in TRAIN], "text string")
     with pytest.raises(ValueError):
-        ngram_lm_train(train, "text", order=3)
+        ngram_lm_train(train, "text", order=6)
+    with pytest.raises(ValueError):
+        ngram_lm_train(train, "text", order=0)
     with pytest.raises(ValueError):
         ngram_lm_train(train, "text", min_count=0)
     empty = spark.createDataFrame([], "text string")
@@ -167,3 +174,60 @@ def test_novelty_signals(spark):
         docs, "text", "doc_id", model, signals=True, quantize_scale=1_000_000
     ).collect()[0]
     assert "oov_frac" in q.asDict() and "logp_scaled" in q.asDict()
+
+
+def test_higher_order_backoff_chain_hand_computed(spark):
+    """Order-3 fall-through, hand-computed: a token whose trigram is
+    unseen but bigram is seen scores alpha^1 * (bigram ratio); available
+    order < 3 at the second token starts at order 2 with NO penalty."""
+    train = spark.createDataFrame(
+        [("a b c",), ("a b d",), ("x b c",)], "text string"
+    )
+    model = ngram_lm_train(train, "text", order=3)
+    # counts: uni a=2,b=3,c=2,d=1,x=1 (N=9, V=5); bi (a,b)=2,(b,c)=2,(b,d)=1,(x,b)=1
+    # tri (a,b,c)=1,(a,b,d)=1,(x,b,c)=1
+    docs = spark.createDataFrame([(0, "x b d")], "doc_id long, text string")
+    got = ngram_lm_score(docs, "text", "doc_id", model).collect()[0]
+    # token x: order1 floor = (1+1)/14; token b: m=2, (x,b)=1/c(x)=1 -> ln(1)
+    # token d: m=3, tri (x,b,d) unseen -> alpha * bi (b,d)=1 / c(b)=3
+    import math as _m
+    want = (
+        _m.log(2 / 14) + _m.log(1 / 1) + (_m.log(0.4) + _m.log(1 / 3))
+    ) / 3
+    assert got["avg_logprob"] == pytest.approx(want, abs=1e-12)
+    # double fall-through: trigram and bigram both unseen -> alpha^2 * uni
+    docs2 = spark.createDataFrame([(0, "a b x")], "doc_id long, text string")
+    got2 = ngram_lm_score(docs2, "text", "doc_id", model).collect()[0]
+    want2 = (
+        _m.log((2 + 1) / 14)                       # a: floor
+        + _m.log(2 / 2)                            # (a,b): m=2, seen
+        + (2 * _m.log(0.4) + _m.log((1 + 1) / 14)) # x: m=3, tri+bi unseen
+    ) / 3
+    assert got2["avg_logprob"] == pytest.approx(want2, abs=1e-12)
+
+
+def test_higher_order_save_load_and_signals(spark, tmp_path):
+    from epic_pandas_spark.functions.ngram_lm import ngram_lm_load, ngram_lm_save
+
+    train = spark.createDataFrame([(t,) for t in TRAIN], "text string")
+    docs = spark.createDataFrame(SCORE, "doc_id long, text string")
+    model = ngram_lm_train(train, "text", order=4)
+    assert len(model.grams) == 4
+    ngram_lm_save(model, str(tmp_path / "m4"))
+    loaded = ngram_lm_load(spark, str(tmp_path / "m4"))
+    assert loaded.order == 4 and len(loaded.grams) == 4
+    a = {r["doc_id"]: r["avg_logprob"]
+         for r in ngram_lm_score(docs, "text", "doc_id", model).collect()}
+    b = {r["doc_id"]: r["avg_logprob"]
+         for r in ngram_lm_score(docs, "text", "doc_id", loaded).collect()}
+    assert a == b
+    # backoff_frac at order 3: counts tokens whose LONGEST AVAILABLE gram
+    # missed. "the cat sat" all-seen at every order -> 0.0; an unseen
+    # continuation backs off -> > 0
+    m3 = ngram_lm_train(train, "text", order=3)
+    sigs = {r["doc_id"]: r["backoff_frac"] for r in ngram_lm_score(
+        spark.createDataFrame([(0, "the cat sat"), (1, "the cat dog")],
+                              "doc_id long, text string"),
+        "text", "doc_id", m3, signals=True).collect()}
+    assert sigs[0] == pytest.approx(0.0)
+    assert sigs[1] > 0.0
