@@ -316,13 +316,30 @@ def derive_cms_width(n_rows: int, min_count: int) -> int:
     return min(1 << 26, max(1024, 1 << math.ceil(math.log2(target))))
 
 
+def derive_cms_width_for_share(min_share: float) -> int:
+    """Width for a SHARE threshold φ: a φ-heavy-hitter has count ≥ φ·N,
+    and a cell carries ~N/width foreign counts; requiring that to be
+    ≤ (φ·N)/4 gives width ≥ 4/φ — a CONSTANT, independent of data size
+    (rounded to the next power of two, same clamps as
+    :func:`derive_cms_width`). This is the form whose sketch-build
+    shuffle is bounded per task at any corpus size: map-side partials
+    stay dense over a fixed slot space."""
+    import math
+
+    if not (0.0 < min_share < 1.0):
+        raise ValueError("min_share must be in (0, 1)")
+    target = max(1, math.ceil(4.0 / min_share))
+    return min(1 << 26, max(1024, 1 << math.ceil(math.log2(target))))
+
+
 def cms_heavy_hitters(
     df: DataFrame,
     value_col: str,
-    min_count: int,
+    min_count: int | None = None,
     width: int | None = None,
     depth: int = 4,
     n_rows: int | None = None,
+    min_share: float | None = None,
 ) -> DataFrame:
     """Exact heavy hitters through a LOSSLESS CMS prefilter — the
     frequency analog of the Bloom-prefiltered dedup: count the corpus
@@ -340,20 +357,40 @@ def cms_heavy_hitters(
     the win grows with the tail: a power-law corpus with millions of
     near-singleton keys verifies only the head.
 
-    Regime note (measured in SHUFFLE_AUDIT.json): the sketch build is
-    cheap when ``min_count`` is a SHARE of the corpus — φ-heavy-hitters
-    need width ≈ 4/φ, a constant, so map-side partials stay dense and
-    the build shuffle is bounded per task regardless of rows. With a
-    FIXED absolute ``min_count``, the derived width grows with the data
-    and the build's shuffle converges to (never exceeds) the cost of
-    the exact GROUP BY it guards — the prefilter still prunes the
-    verify pass, but stops being a net win. That is the sketch's own
-    theory, not a plan defect. Returns (value, n_occurrences) with
-    exact counts.
+    Thresholds come in two regimes — pass exactly one of
+    ``min_share``/``min_count``:
+
+    - ``min_share=φ`` (the RECOMMENDED form, measured in
+      SHUFFLE_AUDIT.json): "keys covering at least fraction φ of the
+      corpus". The decision threshold is ``ceil(φ·N)`` and the width is
+      ≈ 4/φ — a CONSTANT independent of data size
+      (:func:`derive_cms_width_for_share`), so map-side partials stay
+      dense over a fixed slot space and the sketch-build shuffle is
+      bounded per task at ANY corpus size. This is how heavy hitters
+      are actually defined in the streaming literature (φ-HH), and the
+      only form whose prefilter stays a net win at 100 TB.
+    - ``min_count=k`` (fixed absolute): the derived width grows with
+      the data (4·N/k) and the build's shuffle converges to (never
+      exceeds) the cost of the exact GROUP BY it guards — the prefilter
+      still prunes the verify pass, but stops being a net win. That is
+      the sketch's own theory, not a plan defect; prefer ``min_share``.
+
+    Either way the result is EXACT: (value, n_occurrences) for every
+    key whose true count reaches the threshold.
 
     Pipelines that already know the corpus size should pass ``n_rows``
     (or an explicit ``width``) to skip the sizing ``count()`` job; the
     explicit two-step is ``width=derive_cms_width(n, min_count)``."""
+    if (min_count is None) == (min_share is None):
+        raise ValueError("pass exactly one of min_count / min_share")
+    if min_share is not None:
+        import math
+
+        n = n_rows if n_rows is not None else df.count()
+        n_rows = n
+        min_count = max(1, math.ceil(min_share * n))
+        if width is None:
+            width = derive_cms_width_for_share(min_share)
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
     if width is None:

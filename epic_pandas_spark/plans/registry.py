@@ -4420,21 +4420,28 @@ def q_bloom_prefilter_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT l_partkey AS value, COUNT(*) AS n_occurrences
     FROM lineitem
     GROUP BY l_partkey
-    HAVING COUNT(*) >= 40
+    HAVING COUNT(*) >= CEIL(0.0005 * (SELECT COUNT(*) FROM lineitem))
     """,
 )
 def q_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact heavy hitters through the lossless Count-Min prefilter
+    """Exact φ-heavy-hitters through the lossless Count-Min prefilter
     (operators.sketches.cms_heavy_hitters): one global CMS over the fact
     keys, candidate estimates against the broadcast sketch, exact
     verification count only for keys the sketch could not rule out. CMS
     never undercounts, so the prefilter drops no true heavy hitter — the
     plain GROUP BY ... HAVING oracle holds exactly, like the Bloom
-    prefilter's membership oracle and LSH's verified-pairs oracle."""
+    prefilter's membership oracle and LSH's verified-pairs oracle.
+
+    The threshold is a SHARE (φ = 0.0005 of corpus rows, the streaming
+    literature's φ-HH definition), not a fixed absolute: the share form
+    keeps the sketch width at 4/φ — a CONSTANT (8192 here) at every
+    data size — so the build shuffle is task-bounded at 100 TB, closing
+    the round-6 SHUFFLE_AUDIT regime note where a fixed min_count grew
+    the width (and the build shuffle) with the data."""
     from epic_pandas_spark.operators.sketches import cms_heavy_hitters
 
     li = load_table(spark, sf_dir, "lineitem").select("l_partkey")
-    return cms_heavy_hitters(li, "l_partkey", min_count=40)
+    return cms_heavy_hitters(li, "l_partkey", min_share=0.0005)
 
 
 @register(

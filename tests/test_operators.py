@@ -1607,6 +1607,46 @@ def test_cms_heavy_hitters_exact_and_prefilter_lossless(spark):
         cms_heavy_hitters(df, "k", min_count=0)
 
 
+def test_cms_heavy_hitters_share_threshold(spark):
+    """min_share=φ: threshold is ceil(φ·N), width is the constant 4/φ —
+    results identical to the equivalent absolute threshold; exactly one
+    of min_count/min_share must be given."""
+    from epic_pandas_spark.operators.sketches import (
+        cms_heavy_hitters,
+        derive_cms_width_for_share,
+    )
+
+    rows = [(1,)] * 50 + [(2,)] * 49 + [(3,)] * 10 + [(i,) for i in range(100, 400)]
+    df = spark.createDataFrame(rows, "k long")
+    n = len(rows)  # 409
+    phi = 49 / n   # threshold = ceil(phi*409) = 49
+    got = {
+        r["value"]: r["n_occurrences"]
+        for r in cms_heavy_hitters(df, "k", min_share=phi).collect()
+    }
+    assert got == {1: 50, 2: 49}
+    # n_rows short-circuits the sizing count, identical result
+    got2 = {
+        r["value"]: r["n_occurrences"]
+        for r in cms_heavy_hitters(df, "k", min_share=phi, n_rows=n).collect()
+    }
+    assert got2 == got
+    # width is constant in the share, independent of N
+    assert derive_cms_width_for_share(0.0005) == 8192
+    assert derive_cms_width_for_share(0.5) == 1024          # clamp floor
+    assert derive_cms_width_for_share(1e-9) == 1 << 26      # clamp ceiling
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(df, "k")                           # neither
+    with _pytest.raises(ValueError):
+        cms_heavy_hitters(df, "k", min_count=5, min_share=0.1)  # both
+    with _pytest.raises(ValueError):
+        derive_cms_width_for_share(0.0)
+    with _pytest.raises(ValueError):
+        derive_cms_width_for_share(1.0)
+
+
 def test_cms_width_derivation_tracks_data_size():
     """Auto width keeps expected per-cell collision mass <= min_count/4
     (width >= 4N/min_count, next pow2) inside the [1024, 2^18] clamp —
