@@ -506,3 +506,69 @@ def grouped_auc(df: DataFrame, score_col: str, label_col: str, by) -> DataFrame:
         "n_neg",
         F.when(pn > 0, (F.col("__u_wins") + 0.5 * F.col("__u_ties")) / pn).alias("auc"),
     )
+
+
+def grouped_roc(df: DataFrame, score_col: str, label_col: str, by) -> DataFrame:
+    """Per-group exact ROC operating points — the threshold-selection
+    companion to :func:`grouped_auc` (per-domain AUC answers "is the
+    model fair across domains"; per-domain ROC answers "which threshold
+    should EACH domain use", since a global cutoff misfires when score
+    distributions shift across sources/languages). One row per (group,
+    distinct score) with the score as the decision threshold (predict
+    positive when ``score >= s``): ``(*by, score, tp, fp, fn, tn, tpr,
+    fpr, precision)`` — every count an exact integer, so the ratios are
+    exact and oracle-comparable bit for bit. Groups with a single class
+    get null tpr or fpr (no denominator), same convention as
+    :func:`roc_curve`. A null group label is a real group.
+
+    Plan at 100 TB: ONE corpus pass -> (group, score) hash aggregate
+    (|groups × distinct scores per group| rows — the natural
+    compression of a classifier's output space), then the cumulative
+    class counts and per-group totals run through windows PARTITIONED
+    BY the group: each group's slice sorts within its own partition, so
+    the op scales with groups and never funnels through one task (the
+    ungrouped :func:`roc_curve` needs ``global_cumsum`` precisely
+    because it lacks this partition key)."""
+    group_cols = [by] if isinstance(by, str) else list(by)
+    y = F.col(label_col).cast("double")
+    t = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*group_cols, F.col(score_col).alias("score"))
+        .agg(
+            F.sum(F.when(y == 1.0, 1).otherwise(0)).alias("__np"),
+            F.sum(F.when(y == 1.0, 0).otherwise(1)).alias("__nn"),
+        )
+    )
+    w_below = (
+        Window.partitionBy(*group_cols)
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    # counts strictly below the threshold score; group totals from the
+    # same partition key, so both windows share ONE (group) shuffle
+    np_below = F.coalesce(F.sum("__np").over(w_below), F.lit(0))
+    nn_below = F.coalesce(F.sum("__nn").over(w_below), F.lit(0))
+    t = t.select(
+        *group_cols,
+        "score",
+        np_below.alias("__np_below"),
+        nn_below.alias("__nn_below"),
+        F.sum("__np").over(w_all).alias("__p"),
+        F.sum("__nn").over(w_all).alias("__n"),
+    )
+    tp = F.col("__p") - F.col("__np_below")
+    fp = F.col("__n") - F.col("__nn_below")
+    fn = F.col("__np_below")
+    tn = F.col("__nn_below")
+    return (
+        t.select(
+            *group_cols,
+            "score",
+            tp.alias("tp"), fp.alias("fp"), fn.alias("fn"), tn.alias("tn"),
+            F.when(F.col("__p") > 0, tp / F.col("__p")).alias("tpr"),
+            F.when(F.col("__n") > 0, fp / F.col("__n")).alias("fpr"),
+            F.when(tp + fp > 0, tp / (tp + fp)).alias("precision"),
+        )
+        .orderBy(*group_cols, F.col("score").desc())
+    )

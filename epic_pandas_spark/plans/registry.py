@@ -3117,6 +3117,61 @@ def q_grouped_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("source", "n_pos", "n_neg", F.round("auc", 6).alias("auc"))
 
 
+@register(
+    "grouped_roc",
+    """
+    WITH d AS (SELECT source AS g, n_chars AS s,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+               FROM documents
+               WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
+    t AS (SELECT g, s, SUM(y) AS np, SUM(1 - y) AS nn FROM d GROUP BY g, s),
+    c AS (SELECT g, s, np, nn,
+                 COALESCE(SUM(np) OVER (PARTITION BY g ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np_below,
+                 COALESCE(SUM(nn) OVER (PARTITION BY g ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below,
+                 SUM(np) OVER (PARTITION BY g) AS p,
+                 SUM(nn) OVER (PARTITION BY g) AS n
+          FROM t)
+    SELECT g AS source, s AS score,
+           CAST(p - np_below AS BIGINT) AS tp,
+           CAST(n - nn_below AS BIGINT) AS fp,
+           CAST(np_below AS BIGINT) AS fn,
+           CAST(nn_below AS BIGINT) AS tn,
+           ROUND((p - np_below)::DOUBLE / p, 6) AS tpr,
+           ROUND((n - nn_below)::DOUBLE / n, 6) AS fpr,
+           ROUND((p - np_below)::DOUBLE
+                 / ((p - np_below) + (n - nn_below)), 6) AS precision
+    FROM c
+    """,
+)
+def q_grouped_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE exact ROC operating points (operators.stats.
+    grouped_roc) of the deterministic "n_chars predicts lang=='en'"
+    scorer — per-domain threshold selection, the companion to
+    `grouped_auc`'s per-domain fairness grade (a global cutoff misfires
+    when score distributions shift across sources). Cumulative class
+    counts AND per-group totals run through windows partitioned by
+    source over the (source, score) aggregate — one (group) shuffle of
+    the distinct-score table, no global funnel, every count an exact
+    integer so the ratios hash-match at 6dp."""
+    from epic_pandas_spark.operators.stats import grouped_roc
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    ).select(
+        "source", F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    out = grouped_roc(docs, "s", "y", "source")
+    return out.select(
+        "source", F.col("score"), "tp", "fp", "fn", "tn",
+        F.round("tpr", 6).alias("tpr"),
+        F.round("fpr", 6).alias("fpr"),
+        F.round("precision", 6).alias("precision"),
+    )
+
+
 @register("quality_classifier_train")
 def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed TRAINING of the fastText-style quality classifier

@@ -2133,3 +2133,37 @@ def test_grouped_auc_matches_per_group_brute_force(spark):
     oneclass = spark.createDataFrame([("a", 1, 1), ("a", 2, 1)], "g string, s int, y int")
     r = grouped_auc(oneclass, "s", "y", "g").collect()[0]
     assert (r["n_pos"], r["n_neg"], r["auc"]) == (2, 0, None)
+
+
+def test_grouped_roc_matches_per_group_ungrouped(spark):
+    """Per-group ROC == running the ungrouped roc_curve on each group's
+    slice; null group is a real group; one-class groups get null on the
+    missing-denominator axis only."""
+    from epic_pandas_spark.operators.stats import grouped_roc, roc_curve
+
+    pairs = [("g%d" % (i % 3), (i * 11) % 13, 1 if (i * 7) % 4 == 0 else 0)
+             for i in range(150)]
+    pairs.append((None, 5, 1))
+    pairs.append((None, 2, 0))
+    df = spark.createDataFrame(pairs, "g string, s int, y int").repartition(6)
+    got = {}
+    for r in grouped_roc(df, "s", "y", "g").collect():
+        got.setdefault(r["g"], {})[r["score"]] = (
+            r["tp"], r["fp"], r["fn"], r["tn"], r["tpr"], r["fpr"], r["precision"]
+        )
+    groups = {g for g, _, _ in pairs}
+    assert set(got) == groups
+    for g in groups:
+        sub = spark.createDataFrame(
+            [(s, y) for gg, s, y in pairs if gg == g], "s int, y int"
+        )
+        want = {r["score"]: (r["tp"], r["fp"], r["fn"], r["tn"],
+                             r["tpr"], r["fpr"], r["precision"])
+                for r in roc_curve(sub, "s", "y").collect()}
+        assert got[g] == want, g
+    # one-class group: tpr defined, fpr null (no negatives)
+    oneclass = spark.createDataFrame([("a", 1, 1), ("a", 2, 1)], "g string, s int, y int")
+    rows = grouped_roc(oneclass, "s", "y", "g").collect()
+    assert [(r["score"], r["tp"], r["tpr"], r["fpr"]) for r in rows] == [
+        (2, 1, 0.5, None), (1, 2, 1.0, None)
+    ]
