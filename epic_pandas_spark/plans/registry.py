@@ -4031,6 +4031,233 @@ def q_mixture_resample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ccnet_curation",
+    """
+    WITH RECURSIVE d0 AS (
+      SELECT doc_id, lang, n_chars,
+             list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '') AS w
+      FROM documents
+    ),
+    -- stage 1: bigram Stupid-Backoff LM on the fixed reference slice,
+    -- per-language perplexity tertiles, drop the 'tail'
+    t2 AS (
+      SELECT doc_id, p.v AS v, p.u AS u
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w)),
+                                         i -> struct_pack(v := w[i], u := w[i-1]))) AS p
+            FROM d0)
+    ),
+    tr AS (SELECT v, u FROM t2 WHERE doc_id % 10 = 0 AND doc_id < 50000),
+    uni AS (SELECT v, COUNT(*) AS c FROM tr GROUP BY v),
+    tot AS (SELECT SUM(c)::DOUBLE AS n, COUNT(*)::DOUBLE AS vs FROM uni),
+    bi AS (SELECT u, v, COUNT(*) AS c FROM tr WHERE u IS NOT NULL GROUP BY u, v),
+    lm AS (
+      SELECT t2.doc_id,
+             AVG(CASE WHEN t2.u IS NULL
+                        THEN ln((COALESCE(cv.c, 0) + 1) / (tot.n + tot.vs))
+                      WHEN b.c IS NOT NULL
+                        THEN ln(b.c::DOUBLE / cu.c)
+                      ELSE ln(0.4) + ln((COALESCE(cv.c, 0) + 1) / (tot.n + tot.vs))
+                 END) AS a
+      FROM t2
+      CROSS JOIN tot
+      LEFT JOIN uni cv ON t2.v = cv.v
+      LEFT JOIN uni cu ON t2.u = cu.v
+      LEFT JOIN bi b ON t2.u = b.u AND t2.v = b.v
+      GROUP BY t2.doc_id
+    ),
+    sl AS (SELECT lm.doc_id, d0.lang, d0.n_chars, lm.a
+           FROM lm JOIN d0 ON lm.doc_id = d0.doc_id),
+    th AS (SELECT lang,
+                  quantile_cont(a, 0.3333333333333333) AS t0,
+                  quantile_cont(a, 0.6666666666666666) AS t1
+           FROM sl GROUP BY lang),
+    k1 AS (
+      SELECT sl.doc_id, sl.lang, sl.n_chars,
+             CASE WHEN sl.a <= th.t1 THEN 'middle' ELSE 'head' END AS bucket
+      FROM sl JOIN th ON sl.lang IS NOT DISTINCT FROM th.lang
+      WHERE sl.a > th.t0
+    ),
+    -- stage 2: integer-weight hashed linear classifier, keep score>=0.5
+    -- (integer weight sums are exact in both engines; min nonzero |z|
+    -- is 1/n_tokens, far above libm sigmoid error, so the cut is stable)
+    zz AS (
+      SELECT doc_id,
+             AVG(CAST((ascii(substr(t.token, 1, 1)) * 131
+                       + length(t.token) * 17) % 64 % 11 - 5 AS DOUBLE)) AS z
+      FROM (SELECT doc_id, unnest(w) AS token FROM d0) t
+      GROUP BY doc_id
+    ),
+    k2 AS (
+      SELECT k1.doc_id, k1.lang, k1.n_chars, k1.bucket,
+             1.0 / (1.0 + EXP(-zz.z)) AS score
+      FROM k1 JOIN zz ON k1.doc_id = zz.doc_id
+      WHERE zz.z >= 0
+    ),
+    -- stage 3: near-dedup (exact Jaccard >= 0.8 over 3-shingles,
+    -- transitive closure), keep the highest-score doc per cluster
+    ws AS (
+      SELECT d0.doc_id, list_distinct(
+        list_transform(generate_series(1, greatest(len(d0.w)-2, 0)),
+                       i -> d0.w[i] || ' ' || d0.w[i+1] || ' ' || d0.w[i+2])) AS sh
+      FROM d0 JOIN k2 ON d0.doc_id = k2.doc_id
+    ),
+    inv AS (SELECT doc_id, len(sh) AS n, unnest(sh) AS s FROM ws WHERE len(sh) > 0),
+    pairs AS (
+      SELECT id_a, id_b FROM (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+               COUNT(*)::DOUBLE / (a.n + b.n - COUNT(*)) AS jaccard
+        FROM inv a JOIN inv b ON a.s = b.s AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id, a.n, b.n
+      ) WHERE jaccard >= 0.8
+    ),
+    edges AS (
+      SELECT id_a AS src, id_b AS dst FROM pairs
+      UNION
+      SELECT id_b, id_a FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM edges),
+    reach AS (
+      SELECT id, id AS r FROM nodes
+      UNION
+      SELECT e.src AS id, reach.r FROM edges e JOIN reach ON e.dst = reach.id
+    ),
+    labels AS (SELECT id, MIN(r) AS cluster FROM reach GROUP BY id),
+    ranked AS (
+      SELECT k2.*,
+             CASE WHEN l.cluster IS NULL THEN 1
+                  ELSE ROW_NUMBER() OVER (PARTITION BY l.cluster
+                                          ORDER BY k2.score DESC, k2.doc_id ASC)
+             END AS rn
+      FROM k2 LEFT JOIN labels l ON k2.doc_id = l.id
+    ),
+    k3 AS (SELECT doc_id, lang, n_chars, bucket FROM ranked WHERE rn = 1),
+    -- stage 4: token-budget mixture resample (seeded md5 order)
+    q AS (
+      SELECT * FROM (VALUES ('en', 8000), ('de', 4000), ('fr', 4000),
+                            ('zh', 2000), ('es', 2000)) AS t(lang, quota)
+    ),
+    u AS (
+      SELECT k3.*,
+             CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '42'), 1, 8)
+                  AS BIGINT) AS u
+      FROM k3
+    ),
+    c AS (
+      SELECT lang, bucket, doc_id, n_chars,
+             SUM(n_chars) OVER (PARTITION BY lang ORDER BY u, doc_id)
+               - n_chars AS before
+      FROM u
+    )
+    SELECT c.lang, c.bucket, COUNT(*) AS n_docs,
+           CAST(SUM(c.n_chars) AS BIGINT) AS tokens
+    FROM c JOIN q ON c.lang = q.lang
+    WHERE c.before < q.quota
+    GROUP BY c.lang, c.bucket
+    """,
+)
+def q_ccnet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CCNet curation recipe END TO END in one plan — the composed
+    flagship the per-stage queries anchor individually: (1) bigram
+    Stupid-Backoff LM perplexity, per-language tertile split, drop the
+    'tail' third (`perplexity_buckets`); (2) hashed linear quality
+    classifier, keep score >= 0.5 (`quality_classifier`, with INTEGER
+    weights w = bucket%11-5 so the per-doc mean is an exact integer sum
+    over one correctly-rounded division — bit-identical across engines,
+    making the threshold cut and the keep-best ranking replayable);
+    (3) near-dedup at Jaccard >= 0.8 via MinHash-LSH candidates + exact
+    verification + connected components (`near_dedup_curation`), keeping
+    the HIGHEST-CLASSIFIER-SCORE member per cluster
+    (`keep_best_per_cluster` — dedup discards the worse variants, not
+    whichever got a larger id); (4) token-budget mixture resample to
+    the 40/20/20/10/10 language mix (`mixture_resample_tokens`). Output:
+    per (lang, perplexity-bucket) survivor counts and token mass.
+
+    Scale shape: each stage is the bucketed/broadcast form (LM tables
+    broadcast, |groups|-row tertile dim, banded LSH join — never
+    all-pairs, |domains|-row quota dim); document text feeds only
+    tokenize/shingle scans and never shuffles; the only corpus-keyed
+    shuffles are the per-doc aggregates, the LSH band join, and the
+    per-language resample window. The DuckDB oracle replays all four
+    stages exactly (recursive-CTE closure for the dedup graph)."""
+    from epic_pandas_spark.extensions.curation import (
+        bucket_by_group_quantiles,
+        hashed_feature_scores,
+        resample_mixture_tokens,
+    )
+    from epic_pandas_spark.extensions.dedup import (
+        connected_components,
+        keep_best_per_cluster,
+        minhash_lsh_pairs,
+    )
+    from epic_pandas_spark.functions.ngram_lm import ngram_lm_score, ngram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+
+    # stage 1: LM tertiles per language, drop 'tail'
+    train = docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 50000))
+    model = ngram_lm_train(train, "text", order=2)
+    scored = ngram_lm_score(docs, "text", "doc_id", model).select("doc_id", "avg_logprob")
+    sl = scored.join(docs.select("doc_id", "lang", "n_chars"), "doc_id").localCheckpoint(
+        eager=False
+    )
+    buckets = bucket_by_group_quantiles(
+        sl, "avg_logprob", "lang", labels=("tail", "middle", "head"), mode="exact"
+    )
+    k1 = buckets.filter(F.col("bucket") != "tail").select(
+        "doc_id", "lang", "n_chars", "bucket"
+    )
+
+    # stage 2: hashed classifier with integer weights, keep score >= 0.5
+    n_buckets = 64
+    weights = spark.range(n_buckets).select(
+        F.col("id").cast("int").alias("bucket"),
+        ((F.col("id") % 11) - 5).cast("double").alias("w"),
+    )
+    bucket_expr = lambda tok: (  # noqa: E731
+        (F.ascii(F.substring(tok, 1, 1)) * 131 + F.length(tok) * 17) % 64
+    )
+    scores = hashed_feature_scores(
+        docs, "text", "doc_id", weights, n_buckets=n_buckets, bucket_expr=bucket_expr
+    )
+    k2 = (
+        k1.join(scores, "doc_id")
+        .filter(F.col("score") >= 0.5)
+        .join(docs.select("doc_id", "text"), "doc_id")
+        .localCheckpoint(eager=False)
+    )
+
+    # stage 3: near-dedup keep-best (highest classifier score per cluster)
+    pairs = minhash_lsh_pairs(
+        k2, "text", "doc_id", threshold=0.8, n_hashes=32, bands="auto-recall"
+    )
+    clusters = connected_components(pairs, algorithm="auto").select(
+        F.col("id").alias("doc_id"), "cluster"
+    )
+    k3 = keep_best_per_cluster(
+        k2.select("doc_id", "lang", "n_chars", "bucket", "score"),
+        clusters,
+        "doc_id",
+        [F.col("score").desc()],
+    )
+
+    # stage 4: token-budget mixture to the target language mix
+    kept = resample_mixture_tokens(
+        k3.select("doc_id", "lang", "n_chars", "bucket"),
+        "lang",
+        "n_chars",
+        "doc_id",
+        weights={"en": 0.4, "de": 0.2, "fr": 0.2, "zh": 0.1, "es": 0.1},
+        n_tokens=20_000,
+        seed=42,
+        allow_short=True,
+    )
+    return kept.groupBy("lang", "bucket").agg(
+        F.count("*").alias("n_docs"), F.sum("n_chars").alias("tokens")
+    )
+
+
+@register(
     "group_quantile_filter",
     """
     WITH th AS (
