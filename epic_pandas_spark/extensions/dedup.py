@@ -1184,57 +1184,98 @@ def repeated_passage_pairs(
     )
 
 
+def _deletion_variants(s) -> "F.Column":
+    """array<string> of every single-deletion variant of ``s`` (empty
+    array for the empty string). Pure expression tree, reusable on
+    nested lambdas (the 2-deletion neighborhood maps this over the
+    1-deletion array)."""
+    n = F.length(s)
+    return F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(1), n),
+            lambda i: F.concat(
+                F.substring(s, F.lit(1), i - 1),
+                F.substring(s, i + 1, n),
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
 def edit_distance_pairs(
     df: DataFrame,
     text_col: str,
     id_col: str,
     max_edits: int = 1,
+    max_len: int = 64,
 ) -> DataFrame:
-    """Fuzzy-string near-dup pairs within Levenshtein distance 1 —
-    EXACT, via deletion-neighborhood blocking (the spelling-correction
-    trick): each string blocks on {itself} ∪ {every single-deletion
-    variant}. Any two strings at edit distance <= 1 (one substitution,
-    insertion, or deletion) share a neighborhood member — substitution
-    at position i: deleting i from both sides yields the same string;
-    insertion/deletion: the shorter string IS a deletion variant of the
-    longer — so candidate generation has zero recall gap, and the exact
-    `levenshtein` check runs on candidates only.
+    """Fuzzy-string near-dup pairs within Levenshtein distance
+    ``max_edits`` (1 or 2) — EXACT, via deletion-neighborhood blocking
+    (the SymSpell spelling-correction trick): each string blocks on its
+    set of <= ``max_edits``-deletion variants (including itself). For
+    any pair at distance d <= max_edits, take an optimal alignment and
+    delete from each side its non-matched positions (<= d per side):
+    both reach the shared matched subsequence — so candidate generation
+    has ZERO recall gap at any max_edits, and the exact `levenshtein`
+    check runs on candidates only.
 
-    Scale shape: a string of length n emits n+1 variants, hashed to 8
-    bytes before the self-join — the shuffle carries (hash, id, string)
-    rows, ~(avg_len+1)x the input, never the quadratic pair space.
-    max_edits=2 would need the O(n²) two-deletion neighborhood; raise
-    rather than silently degrade."""
-    if max_edits != 1:
+    Scale shape: a string of length n emits n+1 variants at
+    max_edits=1 and 1 + n + n(n-1)/2 at max_edits=2; every variant is
+    hashed to 8 bytes BEFORE the self-join and the block stream carries
+    only ``(hash, id)`` — strings rejoin by id for the verification
+    step, so the O(n²) neighborhood of the 2-edit form costs O(n²)
+    16-byte rows, never O(n²) string payloads. ``max_len`` guards the
+    quadratic regime: the op targets SHORT KEYS (titles, usernames,
+    product codes — the typo-dedup use case); a string longer than
+    ``max_len`` RAISES at execution (explicitly — never a silent recall
+    drop). Raise ``max_len`` deliberately if your keys warrant it."""
+    if max_edits not in (1, 2):
         raise NotImplementedError(
-            "deletion-neighborhood blocking is implemented for max_edits=1; "
-            "the 2-edit neighborhood is O(len²) variants per string"
+            "deletion-neighborhood blocking supports max_edits in {1, 2}; "
+            "higher radii need O(len^max_edits) variants per string"
         )
+    if max_len < 1:
+        raise ValueError("max_len must be >= 1")
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
-    n = F.length("s")
-    deletions = F.when(
-        n >= 1,
-        F.transform(
-            F.sequence(F.lit(1), n),
-            lambda i: F.concat(
-                F.substring(F.col("s"), F.lit(1), i - 1),
-                F.substring(F.col("s"), i + 1, n),
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    blocked = src.select(
-        "id", "s",
-        F.explode(
-            F.array_distinct(F.array_union(F.array(F.col("s")), deletions))
-        ).alias("v"),
-    ).select("id", "s", F.xxhash64("v").alias("vh"))
-    a = blocked.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"), "vh")
-    b = blocked.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"), "vh")
-    return (
+    s = F.col("s")
+    if max_edits == 2:
+        s = F.when(
+            F.length(s) <= max_len, s
+        ).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(
+                        f"edit_distance_pairs(max_edits=2, max_len={max_len}): "
+                        "string exceeds max_len (the 2-deletion neighborhood "
+                        "is O(len^2); raise max_len explicitly): "
+                    ),
+                    F.substring(F.col("s"), 1, 80),
+                )
+            )
+        )
+    d1 = _deletion_variants(s)
+    variants = F.array_union(F.array(s), d1)
+    if max_edits == 2:
+        variants = F.array_union(
+            variants, F.flatten(F.transform(d1, _deletion_variants))
+        )
+    blocked = (
+        src.select("id", F.explode(F.array_distinct(variants)).alias("v"))
+        .select("id", F.xxhash64("v").alias("vh"))
+    )
+    a = blocked.select(F.col("id").alias("id_a"), "vh")
+    b = blocked.select(F.col("id").alias("id_b"), "vh")
+    cands = (
         a.join(b, on="vh")
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "s_a", "s_b")
+        .select("id_a", "id_b")
         .distinct()
+    )
+    sa = src.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
+    sb = src.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+    return (
+        cands.join(sa, "id_a")
+        .join(sb, "id_b")
         .withColumn("dist", F.levenshtein("s_a", "s_b"))
         .filter(F.col("dist") <= max_edits)
         .select("id_a", "id_b", "dist")

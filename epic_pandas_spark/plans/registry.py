@@ -4807,6 +4807,73 @@ def q_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edit_distance_pairs(strs, "s", "id", max_edits=1)
 
 
+@register(
+    "edit_distance_pairs_2",
+    """
+    WITH strs AS (
+      SELECT doc_id AS id, substr(text, 1, 20) AS s
+      FROM documents WHERE doc_id % 4 = 0
+      UNION ALL
+      SELECT doc_id + 1000000 AS id,
+             CASE WHEN doc_id % 3 = 0
+                  THEN substr(text, 1, 1) || substr(text, 3, 1) || substr(text, 6, 15)
+                  WHEN doc_id % 3 = 1
+                  THEN 'q' || substr(text, 1, 20) || 'z'
+                  ELSE substr(text, 1, 9) || 'X' || substr(text, 11, 9) || 'Y'
+             END AS s
+      FROM documents WHERE doc_id % 4 = 0
+    )
+    SELECT a.id AS id_a, b.id AS id_b, levenshtein(a.s, b.s) AS dist
+    FROM strs a JOIN strs b ON a.id < b.id
+    WHERE levenshtein(a.s, b.s) <= 2
+    """,
+)
+def q_edit_distance_pairs_2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy-string join within Levenshtein distance 2
+    (extensions.dedup.edit_distance_pairs max_edits=2 — the SymSpell
+    two-deletion neighborhood, closing the round-6 capability gate):
+    document title prefixes plus injected <=2-edit mutations (char
+    deletions, prepend+append, two substitutions — note the first
+    mutation deletes chars 2 and 4..5, i.e. 3 chars, landing some pairs
+    at distance 3: the blocked join must EXCLUDE those, so the oracle
+    also checks precision at the radius boundary). The oracle is the
+    brute-force quadratic levenshtein join in DuckDB — the Spark side
+    must find the identical pair set through the hashed 16-byte block
+    stream (strings rejoin by id only for verification)."""
+    from epic_pandas_spark.extensions.dedup import edit_distance_pairs
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") % 4 == 0)
+    base = docs.select(
+        F.col("doc_id").alias("id"), F.substring("text", 1, 20).alias("s")
+    )
+    mutated = docs.select(
+        (F.col("doc_id") + 1000000).alias("id"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.substring("text", 1, 1),
+                F.substring("text", 3, 1),
+                F.substring("text", 6, 15),
+            ),
+        )
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(F.lit("q"), F.substring("text", 1, 20), F.lit("z")),
+        )
+        .otherwise(
+            F.concat(
+                F.substring("text", 1, 9),
+                F.lit("X"),
+                F.substring("text", 11, 9),
+                F.lit("Y"),
+            )
+        )
+        .alias("s"),
+    )
+    strs = base.unionByName(mutated)
+    return edit_distance_pairs(strs, "s", "id", max_edits=2)
+
+
 @register("bpe_tokenize", None)  # BPE is not SQL-expressible; the pytest
 # witness replays training through a pure-Python reference and asserts the
 # identical merge SEQUENCE (tests/test_bpe.py)

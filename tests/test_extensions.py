@@ -853,8 +853,63 @@ def test_edit_distance_pairs_exact_vs_bruteforce(spark):
     assert (1, 6) not in got  # 2 edits away from id 1 — excluded
     assert (2, 6) in got      # but only 1 edit from id 2 (append)
 
-    with pytest.raises(NotImplementedError, match="max_edits=1"):
-        edit_distance_pairs(df, "s", "id", max_edits=2)
+    with pytest.raises(NotImplementedError, match="max_edits"):
+        edit_distance_pairs(df, "s", "id", max_edits=3)
+
+
+def test_edit_distance_pairs_two_edits_exact_vs_bruteforce(spark):
+    """max_edits=2 (two-deletion SymSpell neighborhood) must equal the
+    brute-force levenshtein<=2 join exactly — including planted
+    distance-2 pairs of every shape (2 subs, 2 dels, 2 ins, sub+del,
+    transposition = 2 in plain Levenshtein) — and the max_len guard
+    raises rather than silently degrading."""
+    from epic_pandas_spark.extensions.dedup import edit_distance_pairs
+
+    rows = [
+        (1, "spark engine"),
+        (2, "spark enginxy"),    # 1 sub + 1 insert from 1
+        (3, "spark engi"),       # 2 deletions from 1
+        (4, "spark enzinx"),     # 2 subs from 1
+        (5, "sspark engines"),   # 2 inserts from 1
+        (6, "spark negine"),     # transposition: levenshtein 2 from 1
+        (7, "spark"),            # far from all
+        (8, ""),                 # empty
+        (9, "ab"),               # distance 2 from empty
+        (10, "totally different thing"),
+    ]
+    df = spark.createDataFrame(rows, "id long, s string")
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, "s", "id", max_edits=2).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        d = lev(sa, sb)
+        if d <= 2:
+            want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want
+    for other in (2, 3, 4, 5, 6):
+        assert got[(1, other)] == 2
+    assert (8, 9) in got and got[(8, 9)] == 2
+
+    # strings beyond max_len raise at execution, never silently degrade
+    long_df = spark.createDataFrame([(1, "x" * 65), (2, "x" * 64)], "id long, s string")
+    from py4j.protocol import Py4JJavaError
+
+    with pytest.raises(Exception, match="max_len|USER_RAISED"):
+        edit_distance_pairs(long_df, "s", "id", max_edits=2).collect()
+    # max_edits=1 has no quadratic neighborhood: long strings are fine
+    assert edit_distance_pairs(long_df, "s", "id", max_edits=1).count() == 1
 
 
 def _semantic_dedup_bruteforce(ids, V, codebook, threshold):
