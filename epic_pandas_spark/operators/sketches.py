@@ -17,7 +17,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 
 def distinct_sketches(
@@ -485,6 +485,142 @@ def kmv_sketch(df: DataFrame, key, k: int = 1024, hash_expr=None) -> DataFrame:
         .select("h")
         .orderBy("h")
         .limit(k)
+    )
+
+
+def kmv_sketches(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col,
+    k: int = 1024,
+    hash_expr=None,
+) -> DataFrame:
+    """One KMV bottom-k sketch PER KEY GROUP: ``(keys..., h)`` with at
+    most ``k`` rows per group — the persisted sketch-store WRITE path,
+    mirroring :func:`distinct_sketches`' HLL store (write one sketch
+    table per corpus/shard/day; answer identity questions later without
+    re-reading data). The KMV store keeps what HLL's cannot: hash
+    MEMBERSHIP, which is what Jaccard/containment between corpus pairs
+    needs (:func:`kmv_jaccard_matrix`).
+
+    Plan: hash inline in the scan, one (key, 8-byte hash) distinct with
+    map-side partials, then a per-group bottom-k via row_number over a
+    key-partitioned window — shuffles carry hashes only, never values,
+    and no group ever funnels through a global sort."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = list(keys)
+    key = F.col(value_col) if isinstance(value_col, str) else value_col
+    h = hash_expr(key) if hash_expr is not None else F.xxhash64(key)
+    dedup = (
+        df.filter(key.isNotNull())
+        .select(*keys, h.alias("h"))
+        .filter(F.col("h").isNotNull())
+        .groupBy(*keys, "h")
+        .agg(F.lit(1))
+        .select(*keys, "h")
+    )
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        dedup.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_rollup(
+    sketches: DataFrame,
+    keys: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Merge per-group KMV sketches up to a COARSER key set (possibly
+    empty for a global sketch): bottom-k of the unioned hash sets per
+    coarse group — the sketch-store READ path, exactly
+    :func:`rollup_distinct_sketches`' shape. Correct because bottom-k
+    is a semilattice: bottom_k(A ∪ B) = bottom_k(bottom_k(A) ∪
+    bottom_k(B)) — merge order and grouping never change the result
+    (associativity pytest-witnessed). Input is the persisted sketch
+    table spanning many batches; every step runs on sketch rows
+    (|groups| × k), never raw data."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = list(keys)
+    dedup = sketches.groupBy(*keys, "h").agg(F.lit(1)).select(*keys, "h")
+    if not keys:
+        return dedup.orderBy("h").limit(k)
+    w = Window.partitionBy(*keys).orderBy("h")
+    return (
+        dedup.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .drop("__rn")
+    )
+
+
+def kmv_jaccard_matrix(
+    sketches: DataFrame,
+    keys: Sequence[str],
+    k: int,
+) -> DataFrame:
+    """Pairwise Jaccard/containment estimates between EVERY pair of
+    per-key sketches in a KMV store — the turnkey crawl-overlap matrix
+    ("how much of each crawl is already in each other crawl") computed
+    entirely from persisted k-row summaries. One row per unordered key
+    pair (a < b by the key tuple): ``(<keys>_a..., <keys>_b..., k_used,
+    n_a, n_b, n_common, jaccard_est, containment_a_est,
+    containment_b_est)`` — the same estimator as :func:`kmv_jaccard`
+    (Beyer et al., SIGMOD'07: the union sketch's bottom-k is a uniform
+    sample of the union's identity space) applied to all pairs at once.
+
+    Plan: the |groups|-row key dim crossed into (a < b) pairs (tiny,
+    broadcast), each sketch joins into its pairs by key, one grouped
+    bottom-k window per pair, one aggregate — bounded by |pairs| × 2k
+    hash rows end to end. Deterministic: same integers every run."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty (pairs need a key to pair on)")
+    a_keys = [f"{c}_a" for c in keys]
+    b_keys = [f"{c}_b" for c in keys]
+    labels = sketches.select(*keys).distinct()
+    la = labels.select(*[F.col(c).alias(f"{c}_a") for c in keys])
+    lb = labels.select(*[F.col(c).alias(f"{c}_b") for c in keys])
+    pair_order = F.struct(*a_keys) < F.struct(*b_keys)
+    pairs = la.crossJoin(lb).filter(pair_order)
+    sa = sketches.select(*[F.col(c).alias(f"{c}_a") for c in keys], "h").withColumn(
+        "__in_a", F.lit(1)
+    )
+    sb = sketches.select(*[F.col(c).alias(f"{c}_b") for c in keys], "h").withColumn(
+        "__in_b", F.lit(1)
+    )
+    rows = (
+        F.broadcast(pairs).join(sa, a_keys)
+        .select(*a_keys, *b_keys, "h", "__in_a", F.lit(0).alias("__in_b"))
+        .unionByName(
+            F.broadcast(pairs).join(sb, b_keys)
+            .select(*a_keys, *b_keys, "h", F.lit(0).alias("__in_a"), "__in_b")
+        )
+        .groupBy(*a_keys, *b_keys, "h")
+        .agg(F.max("__in_a").alias("__in_a"), F.max("__in_b").alias("__in_b"))
+    )
+    w = Window.partitionBy(*a_keys, *b_keys).orderBy("h")
+    topk = rows.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    agg = topk.groupBy(*a_keys, *b_keys).agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum("__in_a").alias("n_a"),
+        F.sum("__in_b").alias("n_b"),
+        F.sum(F.col("__in_a") * F.col("__in_b")).alias("n_common"),
+    )
+    return agg.select(
+        *a_keys,
+        *b_keys,
+        "k_used",
+        "n_a",
+        "n_b",
+        "n_common",
+        (F.col("n_common") / F.col("k_used")).alias("jaccard_est"),
+        (F.col("n_common") / F.col("n_a")).alias("containment_a_est"),
+        (F.col("n_common") / F.col("n_b")).alias("containment_b_est"),
     )
 
 

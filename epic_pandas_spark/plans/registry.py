@@ -2970,8 +2970,105 @@ def q_kmv_corpus_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0)),
         norm, k=256, hash_expr=h60,
     )
-    out = kmv_jaccard(a, b, 256)
-    return out.select("k_used", "n_common", F.round("jaccard_est", 6).alias("jaccard_est"))
+    return kmv_jaccard(a, b, 256).select(
+        "k_used", "n_common", F.round("jaccard_est", 6).alias("jaccard_est")
+    )
+
+
+@register(
+    "kmv_rollup",
+    """
+    WITH n AS (SELECT lang,
+                      CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15) AS BIGINT) AS h
+               FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    s AS (SELECT lang, h FROM (
+            SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+            FROM (SELECT DISTINCT lang, h FROM n))
+          WHERE rn <= 128),
+    g AS (SELECT DISTINCT h FROM s ORDER BY h LIMIT 128)
+    SELECT h FROM g
+    """,
+)
+def q_kmv_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV sketch-store rollup (operators.sketches kmv_sketches ->
+    kmv_rollup): build one bottom-128 sketch PER LANGUAGE (the store's
+    write path — one sketch table per corpus/shard/day), then roll the
+    per-language sketches up to ONE global sketch without touching raw
+    data — correct because bottom-k is a semilattice (bottom_k(A∪B) =
+    bottom_k(bottom_k(A) ∪ bottom_k(B)); merge-order associativity is
+    pytest-witnessed). The md5-arithmetic hash lets DuckDB replay the
+    EXACT store: same per-lang bottom-k integers, same rolled-up global
+    sketch, hash-compared row for row — a sketch-content oracle, not a
+    tolerance band."""
+    from epic_pandas_spark.operators.sketches import kmv_rollup, kmv_sketches
+
+    def h60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    store = kmv_sketches(docs, ["lang"], norm, k=128, hash_expr=h60)
+    return kmv_rollup(store, [], 128)
+
+
+@register(
+    "kmv_jaccard_matrix",
+    """
+    WITH n AS (SELECT lang,
+                      CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15) AS BIGINT) AS h
+               FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    s AS (SELECT lang, h FROM (
+            SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+            FROM (SELECT DISTINCT lang, h FROM n))
+          WHERE rn <= 128),
+    langs AS (SELECT DISTINCT lang FROM s),
+    pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+              FROM langs a JOIN langs b ON a.lang < b.lang),
+    u AS (SELECT p.lang_a, p.lang_b, s.h,
+                 MAX(CASE WHEN s.lang = p.lang_a THEN 1 ELSE 0 END) AS in_a,
+                 MAX(CASE WHEN s.lang = p.lang_b THEN 1 ELSE 0 END) AS in_b
+          FROM pairs p JOIN s ON s.lang IN (p.lang_a, p.lang_b)
+          GROUP BY p.lang_a, p.lang_b, s.h),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang_a, lang_b ORDER BY h) AS rn
+          FROM u)
+    SELECT lang_a, lang_b,
+           CAST(COUNT(*) AS BIGINT) AS k_used,
+           CAST(SUM(in_a) AS BIGINT) AS n_a,
+           CAST(SUM(in_b) AS BIGINT) AS n_b,
+           CAST(SUM(in_a * in_b) AS BIGINT) AS n_common,
+           ROUND(SUM(in_a * in_b)::DOUBLE / COUNT(*), 6) AS jaccard_est
+    FROM r WHERE rn <= 128
+    GROUP BY lang_a, lang_b
+    """,
+)
+def q_kmv_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs corpus overlap from the KMV store (operators.sketches.
+    kmv_jaccard_matrix): every language pair's Jaccard/containment
+    estimated from the persisted per-language bottom-128 sketches — the
+    turnkey "how much of each crawl is already in each other crawl"
+    matrix, |pairs| × 2k hash rows end to end, raw data untouched after
+    the store build. Deterministic estimator on replayable md5-hash
+    integers, so the oracle recomputes the identical matrix (languages
+    are disjoint text sets here, so true overlaps are ~0 — the ESTIMATOR
+    path is what's being hash-checked; its accuracy band on overlapping
+    sets is the kmv_jaccard pytest witness)."""
+    from epic_pandas_spark.operators.sketches import kmv_jaccard_matrix, kmv_sketches
+
+    def h60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    store = kmv_sketches(docs, ["lang"], norm, k=128, hash_expr=h60)
+    out = kmv_jaccard_matrix(store, ["lang"], 128)
+    return out.select(
+        "lang_a", "lang_b", "k_used", "n_a", "n_b", "n_common",
+        F.round("jaccard_est", 6).alias("jaccard_est"),
+    )
 
 
 @register(

@@ -1989,6 +1989,90 @@ def test_kmv_distinct_estimate_accuracy(spark):
     assert abs(est["n_distinct_est"] - n) / n < 4 / (k - 2) ** 0.5
 
 
+def test_kmv_store_rollup_associativity(spark):
+    """The KMV store's semilattice law: rolling up per-group sketches
+    (any grouping, any order) equals sketching the union directly —
+    bottom_k(A ∪ B ∪ C) == bottom_k(bottom_k(A) ∪ bottom_k(bottom_k(B)
+    ∪ bottom_k(C))); and kmv_sketches per group == kmv_sketch run on
+    each group's slice."""
+    from epic_pandas_spark.operators.sketches import (
+        kmv_rollup,
+        kmv_sketch,
+        kmv_sketches,
+    )
+
+    k = 64
+    df = spark.range(3000).selectExpr(
+        "concat('v', id) v", "cast(id % 3 as int) g"
+    )
+    store = kmv_sketches(df, ["g"], "v", k=k)
+    # per-group sketch == ungrouped sketch of the slice
+    for g in (0, 1, 2):
+        a = sorted(r["h"] for r in store.filter(F.col("g") == g).collect())
+        b = sorted(r["h"] for r in kmv_sketch(df.filter(F.col("g") == g), "v", k=k).collect())
+        assert a == b, g
+    # global rollup == direct global sketch
+    direct = sorted(r["h"] for r in kmv_sketch(df, "v", k=k).collect())
+    rolled = sorted(r["h"] for r in kmv_rollup(store, [], k).collect())
+    assert rolled == direct
+    # associativity: roll {0,1} first, then add {2} — same result
+    part01 = kmv_rollup(store.filter(F.col("g") != 2), [], k)
+    part2 = store.filter(F.col("g") == 2).select("h")
+    two_step = sorted(
+        r["h"]
+        for r in kmv_rollup(part01.unionByName(part2), [], k).collect()
+    )
+    assert two_step == direct
+    # rollup to a coarser (non-empty) key set: parity groups
+    df2 = df.withColumn("coarse", (F.col("g") % 2).cast("int"))
+    store2 = kmv_sketches(df2, ["coarse", "g"], "v", k=k)
+    rolled2 = kmv_rollup(store2.withColumnRenamed("coarse", "coarse"), ["coarse"], k)
+    for c in (0, 1):
+        want = sorted(
+            r["h"] for r in kmv_sketch(df2.filter(F.col("coarse") == c), "v", k=k).collect()
+        )
+        got = sorted(r["h"] for r in rolled2.filter(F.col("coarse") == c).collect())
+        assert got == want, c
+
+
+def test_kmv_jaccard_matrix_matches_pairwise(spark):
+    """The all-pairs matrix must equal kmv_jaccard run on each sketch
+    pair individually (same estimator, same integers)."""
+    from epic_pandas_spark.operators.sketches import (
+        kmv_jaccard,
+        kmv_jaccard_matrix,
+        kmv_sketch,
+        kmv_sketches,
+    )
+
+    k = 128
+    n = 3000
+    # three overlapping corpora: g0 = [0, n), g1 = [n/2, 3n/2), g2 = [n, 2n)
+    base = spark.range(2 * n).selectExpr("concat('item', id) v", "id")
+    df = (
+        base.selectExpr("v", "'g0' g").filter(F.col("id") < n).select("v", "g")
+        .unionByName(base.filter((F.col("id") >= n // 2) & (F.col("id") < 3 * n // 2)).selectExpr("v", "'g1' g"))
+        .unionByName(base.filter(F.col("id") >= n).selectExpr("v", "'g2' g"))
+    )
+    store = kmv_sketches(df, ["g"], "v", k=k)
+    got = {
+        (r["g_a"], r["g_b"]): (r["k_used"], r["n_a"], r["n_b"], r["n_common"],
+                               r["jaccard_est"])
+        for r in kmv_jaccard_matrix(store, ["g"], k).collect()
+    }
+    assert set(got) == {("g0", "g1"), ("g0", "g2"), ("g1", "g2")}
+    for ga, gb in got:
+        sa = store.filter(F.col("g") == ga).select("h")
+        sb = store.filter(F.col("g") == gb).select("h")
+        r = kmv_jaccard(sa, sb, k).collect()[0]
+        assert got[(ga, gb)] == (
+            r["k_used"], r["n_a"], r["n_b"], r["n_common"], r["jaccard_est"]
+        ), (ga, gb)
+    # sanity: disjoint pair near 0, true J=1/3 pairs in the right band
+    assert got[("g0", "g2")][4] < 0.05
+    assert abs(got[("g0", "g1")][4] - 1 / 3) < 4 * (1 / 3 * 2 / 3 / k) ** 0.5
+
+
 def test_kmv_distinct_estimate_zero_hash_guard(spark):
     """A degenerate sketch whose max hash normalizes to 0 must yield a
     finite (floor-clamped) estimate, never a division by zero / null —
