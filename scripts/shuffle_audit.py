@@ -111,16 +111,12 @@ def main() -> None:
             "these bytes, bounded."
         ),
         "cms_heavy_hitters": (
-            "regime artifact of the FIXED absolute min_count (40): the "
-            "auto-derived width grows with the data (2^16 -> 2^20 "
-            "here), map-side slot partials lose their compression, and "
-            "the build shuffle converges toward the exact GROUP BY it "
-            "guards - bounded by it, never quadratic. The prefilter "
-            "itself stays sharp (sf1: admits 8,991 of 200k keys vs "
-            "8,822 true heavy hitters). When min_count is a SHARE of "
-            "the corpus (phi-heavy-hitters, the sketch's design "
-            "regime), width ~ 4/phi is constant and the build shuffle "
-            "is task-bounded at any number of rows."
+            "round 7: the registry query now uses the SHARE threshold "
+            "(min_share=0.0005, phi-heavy-hitters - the sketch's design "
+            "regime), so the width is CONSTANT (8192) at every tier and "
+            "the build shuffle is task-bounded; the round-6 58x regime "
+            "artifact belonged to the removed fixed min_count=40 form, "
+            "whose auto-derived width grew with the data (2^16 -> 2^20)."
         ),
     }
     report = {"tiers": dict(TIERS), "row_growth": 10, "queries": {}}
