@@ -961,32 +961,18 @@ def minhash_index(
     return banded, words
 
 
-def minhash_lsh_pairs_incremental(
-    new_df: DataFrame,
-    text_col: str,
-    id_col: str,
+def _lsh_pairs_vs_store(
+    new_bands: DataFrame,
+    new_words: DataFrame,
+    index: tuple[DataFrame, DataFrame] | None,
     threshold: float,
-    index: tuple[DataFrame, DataFrame] | None = None,
-    shingle_words: int = 3,
-    n_hashes: int = 32,
-    bands: int = 16,
-    seed: int = 7,
-) -> tuple[DataFrame, tuple[DataFrame, DataFrame]]:
-    """Incremental MinHash+LSH near-dup: find all verified pairs with
-    Jaccard >= threshold that INVOLVE the new batch — new-vs-new and
-    new-vs-corpus — without re-pairing the historical corpus against
-    itself. Returns ``(pairs, updated_index)``.
-
-    ``index`` is the corpus index from `minhash_index` (or a previous
-    call's ``updated_index``). Candidate generation joins the new batch's
-    banded signatures against itself AND against the stored bands; exact
-    verification joins hashed shingle sets only for candidate ids. Per
-    batch, cost is O(new x collision-rate), never O(corpus²) — the
-    standing index turns near-dedup into a streaming-friendly operator."""
-    new_bands, new_words = minhash_index(
-        new_df, text_col, id_col, shingle_words, n_hashes, bands, seed
-    )
-    new_bands = new_bands.localCheckpoint(eager=False)  # self-join + store union
+) -> DataFrame:
+    """Shared candidate-generation + exact-verification core of the
+    incremental/streaming near-dup family: band-collision candidates
+    (new-vs-new and, when ``index`` is given, new-vs-store), then exact
+    Jaccard over the hashed shingle sets of candidate ids only. Returns
+    verified ``(id_a, id_b, jaccard)`` pairs at ``jaccard >=
+    threshold``."""
     lhs = new_bands.select(F.col("id").alias("id_a"), "band", "bucket")
     rhs = new_bands.select(F.col("id").alias("id_b"), "band", "bucket")
     cand = (
@@ -1013,11 +999,40 @@ def minhash_lsh_pairs_incremental(
         F.size(F.array_intersect("ws_a", "ws_b")).cast("double")
         / F.size(F.array_union("ws_a", "ws_b"))
     )
-    pairs = (
+    return (
         verified.withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_lsh_pairs_incremental(
+    new_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    index: tuple[DataFrame, DataFrame] | None = None,
+    shingle_words: int = 3,
+    n_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 7,
+) -> tuple[DataFrame, tuple[DataFrame, DataFrame]]:
+    """Incremental MinHash+LSH near-dup: find all verified pairs with
+    Jaccard >= threshold that INVOLVE the new batch — new-vs-new and
+    new-vs-corpus — without re-pairing the historical corpus against
+    itself. Returns ``(pairs, updated_index)``.
+
+    ``index`` is the corpus index from `minhash_index` (or a previous
+    call's ``updated_index``). Candidate generation joins the new batch's
+    banded signatures against itself AND against the stored bands; exact
+    verification joins hashed shingle sets only for candidate ids. Per
+    batch, cost is O(new x collision-rate), never O(corpus²) — the
+    standing index turns near-dedup into a streaming-friendly operator."""
+    new_bands, new_words = minhash_index(
+        new_df, text_col, id_col, shingle_words, n_hashes, bands, seed
+    )
+    new_bands = new_bands.localCheckpoint(eager=False)  # self-join + store union
+    pairs = _lsh_pairs_vs_store(new_bands, new_words, index, threshold)
     if index is not None:
         updated = (
             index[0].unionByName(new_bands),
@@ -1026,6 +1041,94 @@ def minhash_lsh_pairs_incremental(
     else:
         updated = (new_bands, new_words)
     return pairs, updated
+
+
+def minhash_neardup_stream(
+    stream_df: DataFrame,
+    text_col: str,
+    id_col: str,
+    index_dir: str,
+    out_dir: str,
+    checkpoint_dir: str,
+    threshold: float,
+    shingle_words: int = 3,
+    n_hashes: int = 32,
+    bands: int = 16,
+    seed: int = 7,
+    update_index: bool = True,
+):
+    """STREAMING near-dedup of an incoming document stream against a
+    persisted, GROWING MinHash-LSH index — the production shape of
+    continuous crawl ingestion: every micro-batch is flagged against
+    everything already indexed (the original corpus plus all earlier
+    micro-batches) without ever re-pairing the corpus with itself.
+    Completes the streaming x dedup matrix next to the exact
+    `streaming_dedup` (fingerprint equality) and the batch
+    `minhash_lsh_pairs_incremental` this is the streaming twin of.
+
+    Chaining the signature aggregate, the store joins, and pair dedup in
+    ONE streaming query would stack stateful operators structured
+    streaming can't chain without event-time watermarks, so this uses the
+    standard escape hatch: ``foreachBatch`` runs the VERIFIED batch
+    machinery (`minhash_index` + the shared `_lsh_pairs_vs_store` core)
+    per micro-batch — bit-equal to applying the batch incremental
+    operator to the same batches in sequence, which is what the
+    stream==batch pytest asserts.
+
+    Exactly-once: every write is an idempotent epoch-partitioned
+    overwrite (same pattern as `stream_to_parquet_exactly_once`), and the
+    store read EXCLUDES the current epoch's partitions, so a replayed
+    epoch after a partial failure reconstructs identical output instead
+    of double-counting itself. Layout: ``{index_dir}/bands`` and
+    ``{index_dir}/words`` (epoch-partitioned parquet; seed an initial
+    corpus index by writing `minhash_index` output to ``epoch=-1``),
+    verified pairs land in ``{out_dir}/epoch=N``.
+
+    Plan at 100 TB: per epoch the cost is O(batch x collision rate) —
+    the batch's banded signatures join the standing band store (id +
+    two longs per row, ~1-2% of corpus text; bucketable by (band,
+    bucket) for a co-located probe), and exact verification touches
+    hashed shingle sets of candidate ids only. The stream never holds
+    LSH state in the streaming checkpoint — the index IS the state,
+    queryable parquet shared with the batch pipeline. Returns the
+    started StreamingQuery."""
+    spark = stream_df.sparkSession
+
+    def probe(batch_df: DataFrame, epoch_id: int) -> None:
+        nb, nw = minhash_index(
+            batch_df, text_col, id_col, shingle_words, n_hashes, bands, seed
+        )
+        nb = nb.localCheckpoint(eager=False)  # pairs probe + index append
+        nw = nw.localCheckpoint(eager=False)
+        index = None
+        try:
+            sb = (
+                spark.read.option("basePath", f"{index_dir}/bands")
+                .parquet(f"{index_dir}/bands")
+                .filter(F.col("epoch") != epoch_id)  # retry-safe
+                .drop("epoch")
+            )
+            sw = (
+                spark.read.option("basePath", f"{index_dir}/words")
+                .parquet(f"{index_dir}/words")
+                .filter(F.col("epoch") != epoch_id)
+                .drop("epoch")
+            )
+            index = (sb, sw)
+        except Exception:
+            pass  # no index yet: first epoch of a fresh pipeline
+        pairs = _lsh_pairs_vs_store(nb, nw, index, threshold)
+        pairs.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
+        if update_index:
+            nb.write.mode("overwrite").parquet(f"{index_dir}/bands/epoch={epoch_id}")
+            nw.write.mode("overwrite").parquet(f"{index_dir}/words/epoch={epoch_id}")
+
+    return (
+        stream_df.writeStream.foreachBatch(probe)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
 
 
 def _normalized_text_expr(text: Column) -> Column:

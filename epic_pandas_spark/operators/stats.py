@@ -572,3 +572,112 @@ def grouped_roc(df: DataFrame, score_col: str, label_col: str, by) -> DataFrame:
         )
         .orderBy(*group_cols, F.col("score").desc())
     )
+
+
+def _calibration_bin_table(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int
+) -> DataFrame:
+    """Shared one-pass (bin -> n, sum_score, sum_pos) hash aggregate for
+    the calibration family. Scores are probabilities in [0, 1]; bin i
+    covers [i/n_bins, (i+1)/n_bins) with the top edge folded into the
+    last bin (the standard equal-width reliability binning). Null
+    scores/labels are excluded (an unscored row has no confidence to
+    calibrate)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(
+        F.floor(s * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)
+    )
+    return (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s).alias("__sum_s"),
+            F.sum(y).alias("__sum_y"),
+        )
+    )
+
+
+def calibration_bins(
+    df: DataFrame, score_col: str, label_col: str, n_bins: int = 10
+) -> DataFrame:
+    """Reliability-diagram bins for a probabilistic binary scorer — the
+    calibration companion to :func:`binary_classification_metrics` (AUC
+    grades RANKING; calibration grades whether a score of 0.8 means 80%
+    — which is what matters when classifier scores are consumed as
+    WEIGHTS downstream: soft-dedup sampling weights, mixture-resampling
+    budgets, quality-threshold cutoffs). One row per non-empty
+    equal-width bin of the score: ``(bin, n, conf, acc, gap)`` where
+    ``conf`` is the mean predicted probability in the bin, ``acc`` the
+    observed positive rate, and ``gap = acc - conf`` (positive =
+    underconfident).
+
+    Plan at 100 TB: ONE corpus pass into an ``n_bins``-row hash
+    aggregate (map-side partials; the shuffle carries n_bins rows per
+    task, constant in corpus size). No reference analog (the reference
+    has no model-evaluation tier); extension per SURVEY §2 obligations.
+    """
+    t = _calibration_bin_table(df, score_col, label_col, n_bins)
+    return t.select(
+        "bin",
+        "n",
+        (F.col("__sum_s") / F.col("n")).alias("conf"),
+        (F.col("__sum_y") / F.col("n")).alias("acc"),
+        ((F.col("__sum_y") - F.col("__sum_s")) / F.col("n")).alias("gap"),
+    ).orderBy("bin")
+
+
+def calibration_summary(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    n_bins: int = 10,
+    eps: float = 1e-15,
+) -> DataFrame:
+    """One-row calibration scorecard: ``(n, ece, mce, brier, log_loss)``.
+
+    - ``ece`` — expected calibration error, Σ_b (n_b/N)·|acc_b − conf_b|
+      over the same equal-width bins as :func:`calibration_bins`;
+    - ``mce`` — the max per-bin |acc − conf| (worst-bin miscalibration);
+    - ``brier`` — mean squared error of the probability, mean((s−y)²),
+      a PROPER score (unlike ECE it can't be gamed by binning);
+    - ``log_loss`` — −mean(y·ln s + (1−y)·ln(1−s)) with s clamped to
+      [eps, 1−eps] (sklearn's convention), the loss the downstream
+      logistic trainer actually optimizes.
+
+    Plan at 100 TB: brier/log_loss fold into the SAME single corpus
+    pass as the bin table (per-bin sums of (s−y)² and the log terms),
+    then one n_bins-row final reduction — the whole scorecard is one
+    scan + two tiny aggregates, constant-size shuffle."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(
+        F.floor(s * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)
+    )
+    sc = F.greatest(F.least(s, F.lit(1.0 - eps)), F.lit(float(eps)))
+    t = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(b.alias("__bin"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(s).alias("__sum_s"),
+            F.sum(y).alias("__sum_y"),
+            F.sum((s - y) * (s - y)).alias("__sum_sq"),
+            F.sum(
+                -(y * F.log(sc) + (1.0 - y) * F.log(1.0 - sc))
+            ).alias("__sum_ll"),
+        )
+    )
+    gap = F.abs(F.col("__sum_y") - F.col("__sum_s")) / F.col("__n")
+    return t.agg(
+        F.sum("__n").alias("n"),
+        (F.sum(gap * F.col("__n")) / F.sum("__n")).alias("ece"),
+        F.max(gap).alias("mce"),
+        (F.sum("__sum_sq") / F.sum("__n")).alias("brier"),
+        (F.sum("__sum_ll") / F.sum("__n")).alias("log_loss"),
+    )

@@ -3269,6 +3269,95 @@ def q_grouped_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "calibration_bins",
+    """
+    WITH d AS (SELECT n_chars::DOUBLE / (n_chars + 300.0) AS s,
+                      CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+               FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+    t AS (SELECT LEAST(CAST(FLOOR(s * 10.0) AS INT), 9) AS bin,
+                 COUNT(*) AS n, SUM(s) AS sum_s, SUM(y) AS sum_y
+          FROM d GROUP BY 1)
+    SELECT bin, CAST(n AS BIGINT) AS n,
+           ROUND(sum_s / n, 6) AS conf,
+           ROUND(sum_y / n, 6) AS acc,
+           ROUND((sum_y - sum_s) / n, 6) AS gap
+    FROM t ORDER BY bin
+    """,
+)
+def q_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability-diagram bins (operators.stats.calibration_bins) for
+    the deterministic probability scorer s = n_chars/(n_chars+300) vs
+    the lang=='en' label — AUC grades ranking, THIS grades whether a
+    0.8 means 80%, which is what matters when classifier scores become
+    downstream weights (soft-dedup, mixture resampling, quality
+    cutoffs). ONE corpus pass into a 10-row hash aggregate (map-side
+    partials; constant-size shuffle at any corpus size). The score is a
+    single IEEE double division computed identically by both engines,
+    so bin assignment is exact and the per-bin means hash-match at
+    6dp."""
+    from epic_pandas_spark.operators.stats import calibration_bins
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / (F.col("n_chars") + F.lit(300.0))).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    out = calibration_bins(docs, "s", "y", n_bins=10)
+    return out.select(
+        "bin", "n",
+        F.round("conf", 6).alias("conf"),
+        F.round("acc", 6).alias("acc"),
+        F.round("gap", 6).alias("gap"),
+    )
+
+
+@register(
+    "calibration_summary",
+    """
+    WITH d AS (SELECT n_chars::DOUBLE / (n_chars + 300.0) AS s,
+                      CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+               FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+    e AS (SELECT s, y, GREATEST(LEAST(s, 1.0 - 1e-15), 1e-15) AS sc,
+                 LEAST(CAST(FLOOR(s * 10.0) AS INT), 9) AS bin
+          FROM d),
+    t AS (SELECT bin, COUNT(*) AS n, SUM(s) AS sum_s, SUM(y) AS sum_y,
+                 SUM((s - y) * (s - y)) AS sum_sq,
+                 SUM(-(y * LN(sc) + (1.0 - y) * LN(1.0 - sc))) AS sum_ll
+          FROM e GROUP BY 1)
+    SELECT CAST(SUM(n) AS BIGINT) AS n,
+           ROUND(SUM(ABS(sum_y - sum_s)) / SUM(n), 6) AS ece,
+           ROUND(MAX(ABS(sum_y - sum_s) / n), 6) AS mce,
+           ROUND(SUM(sum_sq) / SUM(n), 6) AS brier,
+           ROUND(SUM(sum_ll) / SUM(n), 6) AS log_loss
+    FROM t
+    """,
+)
+def q_calibration_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row calibration scorecard (operators.stats.
+    calibration_summary): ECE + worst-bin MCE over 10 equal-width bins,
+    plus the PROPER scores — Brier (mean squared probability error) and
+    log-loss (the loss `train_quality_classifier` optimizes, sklearn's
+    eps-clamp convention) — for the same deterministic scorer as
+    `calibration_bins`. Everything folds into ONE corpus pass -> 10-row
+    bin aggregate -> 1-row reduction; the shuffle is constant-size at
+    any corpus scale. The oracle recomputes the identical per-bin sums
+    and reductions, hash-matching at 6dp."""
+    from epic_pandas_spark.operators.stats import calibration_summary
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / (F.col("n_chars") + F.lit(300.0))).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    out = calibration_summary(docs, "s", "y", n_bins=10)
+    return out.select(
+        "n",
+        F.round("ece", 6).alias("ece"),
+        F.round("mce", 6).alias("mce"),
+        F.round("brier", 6).alias("brier"),
+        F.round("log_loss", 6).alias("log_loss"),
+    )
+
+
 @register("quality_classifier_train")
 def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed TRAINING of the fastText-style quality classifier

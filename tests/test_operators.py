@@ -2251,3 +2251,62 @@ def test_grouped_roc_matches_per_group_ungrouped(spark):
     assert [(r["score"], r["tp"], r["tpr"], r["fpr"]) for r in rows] == [
         (2, 1, 0.5, None), (1, 2, 1.0, None)
     ]
+
+
+def test_calibration_bins_numpy_parity(spark):
+    """Bin means match a brute-force numpy reliability diagram; score
+    exactly 1.0 folds into the LAST bin; nulls are excluded."""
+    import numpy as np
+    from epic_pandas_spark.operators.stats import calibration_bins
+
+    rng = [((i * 37 % 101) / 100.0, 1 if (i * 7) % 3 == 0 else 0)
+           for i in range(200)]          # includes exact 0.0 and 1.0 scores
+    pairs = rng + [(None, 1), (0.5, None)]
+    df = spark.createDataFrame(pairs, "s double, y int").repartition(7)
+    rows = calibration_bins(df, "s", "y", n_bins=10).collect()
+    s = np.array([p[0] for p in rng])
+    y = np.array([p[1] for p in rng], dtype=float)
+    b = np.minimum(np.floor(s * 10).astype(int), 9)
+    assert [r["bin"] for r in rows] == sorted(set(b.tolist()))
+    for r in rows:
+        m = b == r["bin"]
+        assert r["n"] == int(m.sum())
+        assert r["conf"] == pytest.approx(s[m].mean(), abs=1e-12)
+        assert r["acc"] == pytest.approx(y[m].mean(), abs=1e-12)
+        assert r["gap"] == pytest.approx(y[m].mean() - s[m].mean(), abs=1e-12)
+    assert any(r["bin"] == 9 for r in rows)   # the 1.0 scores landed in bin 9
+
+
+def test_calibration_summary_numpy_parity(spark):
+    """ECE/MCE/Brier/log-loss match the sklearn-convention brute force;
+    a perfectly calibrated constant scorer has ece == brier residual."""
+    import math
+    import numpy as np
+    from epic_pandas_spark.operators.stats import calibration_summary
+
+    pairs = [((i * 37 % 101) / 100.0, 1 if (i * 7) % 3 == 0 else 0)
+             for i in range(200)]
+    df = spark.createDataFrame(pairs, "s double, y int").repartition(7)
+    r = calibration_summary(df, "s", "y", n_bins=10).collect()[0]
+    s = np.array([p[0] for p in pairs])
+    y = np.array([p[1] for p in pairs], dtype=float)
+    b = np.minimum(np.floor(s * 10).astype(int), 9)
+    gaps = np.array([abs(y[b == k].mean() - s[b == k].mean())
+                     for k in sorted(set(b.tolist()))])
+    ns = np.array([(b == k).sum() for k in sorted(set(b.tolist()))])
+    assert r["n"] == len(pairs)
+    assert r["ece"] == pytest.approx((gaps * ns).sum() / len(pairs), abs=1e-12)
+    assert r["mce"] == pytest.approx(gaps.max(), abs=1e-12)
+    assert r["brier"] == pytest.approx(((s - y) ** 2).mean(), abs=1e-12)
+    eps = 1e-15
+    sc = np.clip(s, eps, 1 - eps)
+    ll = -(y * np.log(sc) + (1 - y) * np.log(1 - sc)).mean()
+    assert r["log_loss"] == pytest.approx(ll, rel=1e-12)
+    assert not math.isinf(r["log_loss"])   # the eps clamp absorbed s==0 and s==1
+    # n_bins=1 degenerates to |mean(y) - mean(s)| for both ece and mce
+    r1 = calibration_summary(df, "s", "y", n_bins=1).collect()[0]
+    want = abs(y.mean() - s.mean())
+    assert r1["ece"] == pytest.approx(want, abs=1e-12)
+    assert r1["mce"] == pytest.approx(want, abs=1e-12)
+    with pytest.raises(ValueError):
+        calibration_summary(df, "s", "y", n_bins=0)

@@ -612,3 +612,86 @@ def test_streaming_classifier_scores_match_batch(spark, tmp_path):
         assert got, "stream produced no scores"
     finally:
         q.stop()
+
+
+def test_streaming_minhash_neardup_matches_sequential_batches(spark, tmp_path):
+    """Near-dedup over a document STREAM against a persisted, GROWING
+    LSH index: two parquet shards arrive as separate micro-batches; each
+    epoch's verified pairs must equal applying the batch
+    `minhash_lsh_pairs_incremental` to the same shards in sequence, BIT
+    FOR BIT (same signatures, same candidate joins, same exact-Jaccard
+    verification) — including a shard-2 doc pairing with a shard-1 doc
+    purely through the index rows epoch 0 appended."""
+    import time
+
+    from epic_pandas_spark.extensions.dedup import (
+        minhash_index,
+        minhash_lsh_pairs_incremental,
+        minhash_neardup_stream,
+    )
+
+    corpus = spark.createDataFrame(
+        [(1, "a b c d e f g h i j"), (2, "z y x w v u t s r q")],
+        "doc_id long, text string",
+    )
+    shard0 = spark.createDataFrame(
+        [(10, "a b c d e f g h i j"),      # dup of corpus doc 1
+         (11, "m n o p q r s t u v")],     # new
+        "doc_id long, text string",
+    )
+    shard1 = spark.createDataFrame(
+        [(20, "m n o p q r s t u v"),      # dup of shard0's 11 (index growth)
+         (21, "k l k2 l2 k3 l3 k4 l4 k5 l5")],  # new
+        "doc_id long, text string",
+    )
+
+    index_dir = str(tmp_path / "lsh_index")
+    cb, cw = minhash_index(corpus, "text", "doc_id")
+    cb.write.parquet(f"{index_dir}/bands/epoch=-1")   # seed the corpus index
+    cw.write.parquet(f"{index_dir}/words/epoch=-1")
+
+    src = str(tmp_path / "stream_src")
+    shard0.coalesce(1).write.parquet(src)
+    time.sleep(1.1)  # distinct mtimes pin the file-source epoch order
+    shard1.coalesce(1).write.mode("append").parquet(src)
+
+    out_dir = str(tmp_path / "pairs_out")
+    stream = (
+        spark.readStream.schema(shard0.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = minhash_neardup_stream(
+        stream, "text", "doc_id",
+        index_dir=index_dir, out_dir=out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"), threshold=0.8,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in spark.read.parquet(out_dir).drop("epoch").collect()
+    }
+    idx0 = minhash_index(corpus, "text", "doc_id")
+    want1, idx1 = minhash_lsh_pairs_incremental(
+        shard0, "text", "doc_id", threshold=0.8, index=idx0
+    )
+    want2, _ = minhash_lsh_pairs_incremental(
+        shard1, "text", "doc_id", threshold=0.8, index=idx1
+    )
+    want = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in want1.unionByName(want2).collect()
+    }
+    assert got == want
+    # the planted duplications actually happened through the right hops
+    assert (10, 1) in got and (20, 11) in got
+    assert not any(21 in p for p in got)
+    # the index grew: both stream epochs appended band partitions
+    epochs = {
+        r["epoch"]
+        for r in spark.read.option("basePath", f"{index_dir}/bands")
+        .parquet(f"{index_dir}/bands").select("epoch").distinct().collect()
+    }
+    assert epochs == {-1, 0, 1}
