@@ -784,6 +784,83 @@ def score_stream_with_classifier(
     return z
 
 
+def fit_platt_scaling(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    iters: int = 8,
+    ridge: float = 1e-9,
+) -> tuple[float, float]:
+    """Fit the two-parameter logistic recalibration ``p' = sigmoid(a*s
+    + b)`` (Platt scaling, minus Platt's Bayesian target smoothing) by
+    maximum likelihood — the FIX for what :func:`operators.stats.
+    calibration_summary` measures: when the quality classifier's raw
+    scores are miscalibrated, downstream weight consumers (soft dedup,
+    mixture resampling) inherit the bias; recalibrating on a small
+    labeled holdout restores "0.8 means 80%". Returns ``(a, b)``.
+
+    Optimization is exact NEWTON on the 2-parameter log-loss (convex;
+    the 2x2 Hessian solves in closed form on the driver), so ~5-8
+    iterations reach fp convergence where first-order GD needs
+    hundreds.
+
+    Plan at 100 TB: ONE corpus pass compresses (score, label) to the
+    distinct-score table ``(s, np, nn)`` — the same natural compression
+    the exact-AUC family rides — persisted once; each Newton step is
+    one 5-double aggregate over that table plus a driver-side 2x2
+    solve. Iteration cost is independent of corpus size; only the
+    initial hash aggregate sees the data."""
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    t = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(s.alias("__s"))
+        .agg(
+            F.sum(F.when(y == 1.0, 1).otherwise(0)).alias("__np"),
+            F.sum(F.when(y == 1.0, 0).otherwise(1)).alias("__nn"),
+        )
+        .persist()
+    )
+    try:
+        a, b = 1.0, 0.0
+        for _ in range(iters):
+            p = F.lit(1.0) / (
+                F.lit(1.0) + F.exp(-(F.lit(a) * F.col("__s") + F.lit(b)))
+            )
+            cnt = F.col("__np") + F.col("__nn")
+            resid = p * cnt - F.col("__np")   # d loss / d z, summed
+            w = p * (F.lit(1.0) - p) * cnt    # Hessian weight
+            row = t.agg(
+                F.sum(resid * F.col("__s")).alias("ga"),
+                F.sum(resid).alias("gb"),
+                F.sum(w * F.col("__s") * F.col("__s")).alias("haa"),
+                F.sum(w * F.col("__s")).alias("hab"),
+                F.sum(w).alias("hbb"),
+            ).first()
+            ga, gb = row["ga"], row["gb"]
+            haa, hab, hbb = row["haa"] + ridge, row["hab"], row["hbb"] + ridge
+            det = haa * hbb - hab * hab
+            if det <= 0:
+                break
+            da = (hbb * ga - hab * gb) / det
+            db = (haa * gb - hab * ga) / det
+            a, b = a - da, b - db
+            if abs(da) < 1e-12 and abs(db) < 1e-12:
+                break
+        return a, b
+    finally:
+        t.unpersist()
+
+
+def platt_calibrated_expr(score: Column, a: float, b: float) -> Column:
+    """The recalibrated probability ``sigmoid(a*score + b)`` as a plain
+    column expression — apply the :func:`fit_platt_scaling` parameters
+    to the full corpus (or a stream) with zero joins, zero shuffles."""
+    return F.lit(1.0) / (
+        F.lit(1.0) + F.exp(-(F.lit(float(a)) * score + F.lit(float(b))))
+    )
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -681,3 +681,56 @@ def calibration_summary(
         (F.sum("__sum_sq") / F.sum("__n")).alias("brier"),
         (F.sum("__sum_ll") / F.sum("__n")).alias("log_loss"),
     )
+
+
+def grouped_calibration_summary(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    by,
+    n_bins: int = 10,
+    eps: float = 1e-15,
+) -> DataFrame:
+    """Per-group calibration scorecard — the per-domain/per-language cut
+    of :func:`calibration_summary`, completing the grouped eval family
+    (:func:`grouped_auc` grades per-domain ranking, :func:`grouped_roc`
+    picks per-domain thresholds, THIS grades whether each domain's
+    probabilities mean what they say — a model calibrated in aggregate
+    can be badly miscalibrated on one source, silently skewing that
+    source's sampling weights). One row per group:
+    ``(*by, n, ece, mce, brier, log_loss)``; a null group label is a
+    real group (groupBy semantics).
+
+    Plan at 100 TB: ONE corpus pass into a (group, bin) hash aggregate
+    — |groups| x n_bins rows, the natural compression — then a per-group
+    reduction on the same key prefix; no windows, no global funnel."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    group_cols = [by] if isinstance(by, str) else list(by)
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(
+        F.floor(s * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)
+    )
+    sc = F.greatest(F.least(s, F.lit(1.0 - eps)), F.lit(float(eps)))
+    t = (
+        df.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(*group_cols, b.alias("__bin"))
+        .agg(
+            F.count(F.lit(1)).alias("__n"),
+            F.sum(s).alias("__sum_s"),
+            F.sum(y).alias("__sum_y"),
+            F.sum((s - y) * (s - y)).alias("__sum_sq"),
+            F.sum(
+                -(y * F.log(sc) + (1.0 - y) * F.log(1.0 - sc))
+            ).alias("__sum_ll"),
+        )
+    )
+    gap = F.abs(F.col("__sum_y") - F.col("__sum_s")) / F.col("__n")
+    return t.groupBy(*group_cols).agg(
+        F.sum("__n").alias("n"),
+        (F.sum(gap * F.col("__n")) / F.sum("__n")).alias("ece"),
+        F.max(gap).alias("mce"),
+        (F.sum("__sum_sq") / F.sum("__n")).alias("brier"),
+        (F.sum("__sum_ll") / F.sum("__n")).alias("log_loss"),
+    )

@@ -3358,6 +3358,98 @@ def q_calibration_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "grouped_ece",
+    """
+    WITH d AS (SELECT source AS g, n_chars::DOUBLE / (n_chars + 300.0) AS s,
+                      CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y
+               FROM documents
+               WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
+    e AS (SELECT g, s, y, GREATEST(LEAST(s, 1.0 - 1e-15), 1e-15) AS sc,
+                 LEAST(CAST(FLOOR(s * 10.0) AS INT), 9) AS bin
+          FROM d),
+    t AS (SELECT g, bin, COUNT(*) AS n, SUM(s) AS sum_s, SUM(y) AS sum_y,
+                 SUM((s - y) * (s - y)) AS sum_sq,
+                 SUM(-(y * LN(sc) + (1.0 - y) * LN(1.0 - sc))) AS sum_ll
+          FROM e GROUP BY 1, 2)
+    SELECT g AS source, CAST(SUM(n) AS BIGINT) AS n,
+           ROUND(SUM(ABS(sum_y - sum_s)) / SUM(n), 6) AS ece,
+           ROUND(MAX(ABS(sum_y - sum_s) / n), 6) AS mce,
+           ROUND(SUM(sum_sq) / SUM(n), 6) AS brier,
+           ROUND(SUM(sum_ll) / SUM(n), 6) AS log_loss
+    FROM t GROUP BY g
+    """,
+)
+def q_grouped_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE calibration scorecard (operators.stats.
+    grouped_calibration_summary) — the per-domain cut that completes
+    the grouped eval family (grouped_auc grades per-domain ranking,
+    grouped_roc picks per-domain thresholds, this grades whether each
+    domain's probabilities mean what they say; a model calibrated in
+    aggregate can be badly off on one source, silently skewing that
+    source's sampling weights). ONE corpus pass into a (source, bin)
+    hash aggregate, then a per-source reduction on the same key prefix
+    — no windows, no global funnel, |sources| x 10 rows of state."""
+    from epic_pandas_spark.operators.stats import grouped_calibration_summary
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    ).select(
+        "source",
+        (F.col("n_chars") / (F.col("n_chars") + F.lit(300.0))).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    out = grouped_calibration_summary(docs, "s", "y", "source", n_bins=10)
+    return out.select(
+        "source", "n",
+        F.round("ece", 6).alias("ece"),
+        F.round("mce", 6).alias("mce"),
+        F.round("brier", 6).alias("brier"),
+        F.round("log_loss", 6).alias("log_loss"),
+    )
+
+
+@register("platt_recalibration")
+def q_platt_recalibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Platt-scale the miscalibrated deterministic scorer and measure
+    the repair (extensions.curation.fit_platt_scaling +
+    operators.stats.calibration_summary): one row ``(a, b, ece_raw,
+    ece_calibrated)``. The fit is exact Newton on the 2-parameter
+    logistic log-loss over the DISTINCT-SCORE compression of the corpus
+    (one pass + per-iteration 5-double aggregates; iteration cost
+    independent of corpus size). Iterative (Newton steps chain through
+    the driver's (a, b)) — not SQL-expressible, so rows-only here; the
+    numpy-Newton parity, planted-(a,b) recovery, and ece-improvement
+    pytest witnesses carry correctness."""
+    from epic_pandas_spark.extensions.curation import (
+        fit_platt_scaling,
+        platt_calibrated_expr,
+    )
+    from epic_pandas_spark.operators.stats import calibration_summary
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / (F.col("n_chars") + F.lit(300.0))).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    ).localCheckpoint(eager=False)  # fit + two ECE passes share the scan
+    a, b = fit_platt_scaling(docs, "s", "y")
+    raw = calibration_summary(docs, "s", "y").select(
+        F.col("ece").alias("ece_raw")
+    )
+    cal = calibration_summary(
+        docs.select(platt_calibrated_expr(F.col("s"), a, b).alias("s"), "y"),
+        "s", "y",
+    ).select(F.col("ece").alias("ece_calibrated"))
+    return (
+        raw.crossJoin(cal)
+        .select(
+            F.lit(round(a, 6)).alias("a"),
+            F.lit(round(b, 6)).alias("b"),
+            F.round("ece_raw", 6).alias("ece_raw"),
+            F.round("ece_calibrated", 6).alias("ece_calibrated"),
+        )
+    )
+
+
 @register("quality_classifier_train")
 def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed TRAINING of the fastText-style quality classifier

@@ -2310,3 +2310,99 @@ def test_calibration_summary_numpy_parity(spark):
     assert r1["mce"] == pytest.approx(want, abs=1e-12)
     with pytest.raises(ValueError):
         calibration_summary(df, "s", "y", n_bins=0)
+
+
+def test_grouped_calibration_matches_per_group_ungrouped(spark):
+    """Per-group scorecard == running calibration_summary on each
+    group's slice; a null group label is a real group."""
+    from epic_pandas_spark.operators.stats import (
+        calibration_summary,
+        grouped_calibration_summary,
+    )
+
+    pairs = [("g%d" % (i % 3), ((i * 37) % 101) / 100.0, 1 if (i * 7) % 3 == 0 else 0)
+             for i in range(180)]
+    pairs.append((None, 0.25, 1))
+    pairs.append((None, 0.75, 0))
+    df = spark.createDataFrame(pairs, "g string, s double, y int").repartition(6)
+    got = {
+        r["g"]: (r["n"], round(r["ece"], 12), round(r["mce"], 12),
+                 round(r["brier"], 12), round(r["log_loss"], 12))
+        for r in grouped_calibration_summary(df, "s", "y", "g").collect()
+    }
+    groups = {g for g, _, _ in pairs}
+    assert set(got) == groups
+    for g in groups:
+        sub = spark.createDataFrame(
+            [(s, y) for gg, s, y in pairs if gg == g], "s double, y int"
+        )
+        r = calibration_summary(sub, "s", "y").collect()[0]
+        want = (r["n"], round(r["ece"], 12), round(r["mce"], 12),
+                round(r["brier"], 12), round(r["log_loss"], 12))
+        assert got[g] == want, g
+
+
+def test_platt_scaling_recovers_planted_params(spark):
+    """MLE on labels drawn to match sigmoid(2s - 1) exactly (per-score
+    positive counts = round(n * p)) recovers (a, b) ~ (2, -1), and the
+    fit agrees with an independent numpy Newton solver to high
+    precision."""
+    import math
+
+    import numpy as np
+    from epic_pandas_spark.extensions.curation import fit_platt_scaling
+
+    rows = []
+    scores = [i / 20.0 for i in range(21)]
+    per = 400
+    for s in scores:
+        npos = round(per / (1.0 + math.exp(-(2.0 * s - 1.0))))
+        rows += [(s, 1)] * npos + [(s, 0)] * (per - npos)
+    df = spark.createDataFrame(rows, "s double, y int").repartition(8)
+    a, b = fit_platt_scaling(df, "s", "y")
+    assert a == pytest.approx(2.0, abs=0.05)
+    assert b == pytest.approx(-1.0, abs=0.05)
+
+    # independent numpy Newton on the same compressed table
+    s_arr = np.array(scores)
+    np_arr = np.array([round(per / (1.0 + math.exp(-(2.0 * s - 1.0)))) for s in scores], float)
+    nn_arr = per - np_arr
+    aa, bb = 1.0, 0.0
+    for _ in range(8):
+        p = 1.0 / (1.0 + np.exp(-(aa * s_arr + bb)))
+        cnt = np_arr + nn_arr
+        resid = p * cnt - np_arr
+        w = p * (1 - p) * cnt
+        ga, gb = (resid * s_arr).sum(), resid.sum()
+        haa, hab, hbb = (w * s_arr * s_arr).sum() + 1e-9, (w * s_arr).sum(), w.sum() + 1e-9
+        det = haa * hbb - hab * hab
+        aa -= (hbb * ga - hab * gb) / det
+        bb -= (haa * gb - hab * ga) / det
+    assert a == pytest.approx(aa, rel=1e-9, abs=1e-9)
+    assert b == pytest.approx(bb, rel=1e-9, abs=1e-9)
+
+
+def test_platt_scaling_repairs_miscalibrated_scorer(spark):
+    """Squaring a calibrated score miscalibrates it; the Platt fit must
+    cut ECE substantially while preserving the ranking (monotone map)."""
+    import math
+
+    from epic_pandas_spark.extensions.curation import (
+        fit_platt_scaling,
+        platt_calibrated_expr,
+    )
+    from epic_pandas_spark.operators.stats import calibration_summary
+
+    rows = []
+    for i in range(21):
+        p_true = i / 20.0
+        npos = round(300 * p_true)
+        s_bad = p_true * p_true          # systematically underconfident
+        rows += [(s_bad, 1)] * npos + [(s_bad, 0)] * (300 - npos)
+    df = spark.createDataFrame(rows, "s double, y int").repartition(8)
+    before = calibration_summary(df, "s", "y").collect()[0]["ece"]
+    a, b = fit_platt_scaling(df, "s", "y")
+    fixed = df.select(platt_calibrated_expr(F.col("s"), a, b).alias("s"), "y")
+    after = calibration_summary(fixed, "s", "y").collect()[0]["ece"]
+    assert a > 0  # monotone: ranking preserved
+    assert after < before / 3, (before, after)
