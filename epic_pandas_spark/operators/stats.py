@@ -683,6 +683,50 @@ def calibration_summary(
     )
 
 
+def average_precision(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
+    """Exact average precision (area under the precision-recall curve,
+    sklearn's step-wise `average_precision_score` definition:
+    AP = Σ_k (R_k − R_{k−1})·P_k over thresholds descending) — the
+    PR-side companion to the exact AUC: on heavily imbalanced corpora
+    (quality filtering: a few percent positives) ROC-AUC saturates
+    while AP keeps discriminating, because precision is sensitive to
+    the negative flood. One row: ``(n_pos, n_neg, ap)``.
+
+    Every P_k and ΔR_k is an exact integer ratio over the
+    distinct-score table (ties handled as one threshold step, exactly
+    sklearn's convention), so the sum is oracle-comparable at 6dp.
+
+    Plan at 100 TB: the same ONE corpus pass -> distinct-score hash
+    aggregate as the AUC/ROC family, one ``global_cumsum`` prefix
+    (range partition + broadcast offsets — never a single-partition
+    window), then a 1-row reduction. Null scores/labels excluded."""
+    from epic_pandas_spark.operators.windows import global_cumsum
+
+    y = F.col(label_col).cast("double")
+    t = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(F.col(score_col).alias("__s"))
+        .agg(
+            F.sum(F.when(y == 1.0, 1).otherwise(0)).alias("__np"),
+            F.sum(F.when(y == 1.0, 0).otherwise(1)).alias("__nn"),
+        )
+    )
+    t = global_cumsum(t, "__np", "__s", out_col="__cum_np")
+    t = global_cumsum(t, "__nn", "__s", out_col="__cum_nn")
+    totals = t.agg(F.sum("__np").alias("__p"), F.sum("__nn").alias("__n"))
+    t = t.crossJoin(F.broadcast(totals))
+    # predict positive at threshold __s: everything with score >= __s
+    tp = F.col("__p") - (F.col("__cum_np") - F.col("__np"))
+    fp = F.col("__n") - (F.col("__cum_nn") - F.col("__nn"))
+    # ΔR at this step = this threshold's positives / P; P_k = tp/(tp+fp)
+    term = (F.col("__np") / F.col("__p")) * (tp / (tp + fp))
+    return t.agg(
+        F.max("__p").cast("bigint").alias("n_pos"),
+        F.max("__n").cast("bigint").alias("n_neg"),
+        F.sum(F.when(F.col("__np") > 0, term).otherwise(0.0)).alias("ap"),
+    )
+
+
 def grouped_calibration_summary(
     df: DataFrame,
     score_col: str,

@@ -3359,6 +3359,47 @@ def q_calibration_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "average_precision",
+    """
+    WITH d AS (SELECT n_chars AS s, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+               FROM documents WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+    t AS (SELECT s, SUM(y) AS np, SUM(1 - y) AS nn FROM d GROUP BY s),
+    c AS (SELECT s, np, nn,
+                 COALESCE(SUM(np) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np_below,
+                 COALESCE(SUM(nn) OVER (ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below
+          FROM t),
+    tot AS (SELECT SUM(np) AS p, SUM(nn) AS n FROM t)
+    SELECT CAST(tot.p AS BIGINT) AS n_pos, CAST(tot.n AS BIGINT) AS n_neg,
+           ROUND(SUM(CASE WHEN c.np > 0 THEN
+             (c.np::DOUBLE / tot.p)
+             * ((tot.p - c.np_below)::DOUBLE
+                / ((tot.p - c.np_below) + (tot.n - c.nn_below)))
+             ELSE 0 END), 6) AS ap
+    FROM c CROSS JOIN tot GROUP BY tot.p, tot.n
+    """,
+)
+def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact average precision (operators.stats.average_precision) for
+    the deterministic "n_chars predicts lang=='en'" scorer — the
+    PR-side companion to `classifier_metrics`' ROC-AUC; on imbalanced
+    corpora (quality filtering: a few percent positives) ROC saturates
+    while AP keeps discriminating. Same one-corpus-pass +
+    distinct-score-table plan as the AUC/ROC family; every step term is
+    an exact integer ratio (sklearn's step-wise definition, ties as one
+    threshold), so the oracle's window-prefix replay hash-matches at
+    6dp."""
+    from epic_pandas_spark.operators.stats import average_precision
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("n_chars").alias("s"), (F.col("lang") == "en").cast("int").alias("y")
+    )
+    out = average_precision(docs, "s", "y")
+    return out.select("n_pos", "n_neg", F.round("ap", 6).alias("ap"))
+
+
+@register(
     "grouped_ece",
     """
     WITH d AS (SELECT source AS g, n_chars::DOUBLE / (n_chars + 300.0) AS s,

@@ -2406,3 +2406,33 @@ def test_platt_scaling_repairs_miscalibrated_scorer(spark):
     after = calibration_summary(fixed, "s", "y").collect()[0]["ece"]
     assert a > 0  # monotone: ranking preserved
     assert after < before / 3, (before, after)
+
+
+def test_average_precision_matches_brute_force(spark):
+    """AP equals the step-wise sklearn definition computed by brute
+    force over descending distinct thresholds (ties = one step);
+    perfect ranking gives 1.0."""
+    from epic_pandas_spark.operators.stats import average_precision
+
+    pairs = [((i * 11) % 13, 1 if (i * 7) % 4 == 0 else 0) for i in range(160)]
+    df = spark.createDataFrame(pairs, "s int, y int").repartition(5)
+    r = average_precision(df, "s", "y").collect()[0]
+    P = sum(y for _, y in pairs)
+    want, prev_tp = 0.0, 0
+    for s in sorted({s for s, _ in pairs}, reverse=True):
+        tp = sum(1 for sc, y in pairs if y == 1 and sc >= s)
+        fp = sum(1 for sc, y in pairs if y == 0 and sc >= s)
+        want += ((tp - prev_tp) / P) * (tp / (tp + fp))
+        prev_tp = tp
+    assert (r["n_pos"], r["n_neg"]) == (P, len(pairs) - P)
+    assert r["ap"] == pytest.approx(want, abs=1e-12)
+
+    perfect = spark.createDataFrame(
+        [(1.0, 0), (2.0, 0), (3.0, 1), (4.0, 1)], "s double, y int"
+    )
+    assert average_precision(perfect, "s", "y").collect()[0]["ap"] == pytest.approx(1.0)
+    inverted = spark.createDataFrame(
+        [(4.0, 0), (3.0, 0), (2.0, 1), (1.0, 1)], "s double, y int"
+    )
+    # worst ranking: AP = base rate at the all-inclusive threshold step
+    assert average_precision(inverted, "s", "y").collect()[0]["ap"] < 0.5
