@@ -852,6 +852,49 @@ def fit_platt_scaling(
         t.unpersist()
 
 
+def fit_isotonic_calibration(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+):
+    """Fit NONPARAMETRIC calibration — isotonic regression (pool-
+    adjacent-violators) of the label on the score — the companion to
+    :func:`fit_platt_scaling` for when the miscalibration isn't a clean
+    sigmoid shift: isotonic is the monotone MLE, so it can flatten any
+    shape of reliability curve at the cost of needing more labeled data
+    (it happily overfits small holdouts where Platt's two parameters
+    can't). Returns ``(model, model_df)``: ``model`` is the fitted
+    Spark ML transformer (``model.transform(frame)`` adds the
+    calibrated ``prediction`` column, linear-interpolating between
+    block boundaries and clamping outside — persist with
+    ``model.write()``), ``model_df`` the ``(boundary, value)`` block
+    table for inspection/portability.
+
+    Plan at 100 TB: Spark ML's isotonic fit is the distributed
+    parallel-PAV (per-partition PAV, merge-pool on the driver over the
+    pooled BLOCKS — bounded by the block count, not the corpus); the
+    model state is the block arrays, and application is a per-row
+    binary search over the broadcast boundaries — no shuffle. Null
+    scores/labels are excluded before the fit."""
+    from pyspark.ml.regression import IsotonicRegression
+
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    clean = df.filter(s.isNotNull() & y.isNotNull()).select(
+        s.alias("__iso_s"), y.alias("__iso_y")
+    )
+    iso = IsotonicRegression(
+        featuresCol="__iso_s", labelCol="__iso_y", predictionCol="prediction"
+    )
+    model = iso.fit(clean)
+    spark = df.sparkSession
+    model_df = spark.createDataFrame(
+        [(float(b), float(v)) for b, v in zip(model.boundaries, model.predictions)],
+        "boundary double, value double",
+    )
+    return model, model_df
+
+
 def platt_calibrated_expr(score: Column, a: float, b: float) -> Column:
     """The recalibrated probability ``sigmoid(a*score + b)`` as a plain
     column expression — apply the :func:`fit_platt_scaling` parameters

@@ -3491,6 +3491,45 @@ def q_platt_recalibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("isotonic_recalibration")
+def q_isotonic_recalibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nonparametric recalibration of the miscalibrated deterministic
+    scorer (extensions.curation.fit_isotonic_calibration — distributed
+    parallel-PAV via Spark ML) and the measured repair: one row
+    ``(n_blocks, ece_raw, ece_calibrated)``. Isotonic is the monotone
+    MLE, so unlike the two-parameter Platt fit it can flatten ANY shape
+    of reliability curve; the block table is the model. Iterative
+    ML fit — not SQL-expressible, rows-only; correctness rides the
+    numpy-PAV parity, monotonicity, and ece-improvement pytest
+    witnesses."""
+    from epic_pandas_spark.extensions.curation import fit_isotonic_calibration
+    from epic_pandas_spark.operators.stats import calibration_summary
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        (F.col("n_chars") / (F.col("n_chars") + F.lit(300.0))).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    ).localCheckpoint(eager=False)  # fit + two ECE passes share the scan
+    model, model_df = fit_isotonic_calibration(docs, "s", "y")
+    n_blocks = model_df.count()
+    raw = calibration_summary(docs, "s", "y").select(
+        F.col("ece").alias("ece_raw")
+    )
+    cal_in = model.transform(
+        docs.select(F.col("s").alias("__iso_s"), "y")
+    ).select(F.col("prediction").alias("s"), "y")
+    cal = calibration_summary(cal_in, "s", "y").select(
+        F.col("ece").alias("ece_calibrated")
+    )
+    return (
+        raw.crossJoin(cal)
+        .select(
+            F.lit(int(n_blocks)).alias("n_blocks"),
+            F.round("ece_raw", 6).alias("ece_raw"),
+            F.round("ece_calibrated", 6).alias("ece_calibrated"),
+        )
+    )
+
+
 @register("quality_classifier_train")
 def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed TRAINING of the fastText-style quality classifier

@@ -2436,3 +2436,87 @@ def test_average_precision_matches_brute_force(spark):
     )
     # worst ranking: AP = base rate at the all-inclusive threshold step
     assert average_precision(inverted, "s", "y").collect()[0]["ap"] < 0.5
+
+
+def _pav_fit(xs, ys, ws):
+    """Classic weighted pool-adjacent-violators over pre-sorted distinct
+    xs: returns the fitted value per x (the isotonic MLE)."""
+    blocks = [[y * w, w, i, i] for i, (y, w) in enumerate(zip(ys, ws))]
+    out, stack = [0.0] * len(xs), []
+    for b in blocks:
+        stack.append(b)
+        while len(stack) > 1 and (
+            stack[-2][0] / stack[-2][1] >= stack[-1][0] / stack[-1][1]
+        ):
+            hi = stack.pop()
+            stack[-1][0] += hi[0]
+            stack[-1][1] += hi[1]
+            stack[-1][3] = hi[3]
+        # merging only ever happens at the top of the stack, so earlier
+        # blocks are final once a strictly-increasing successor lands
+    for tot, w, lo, hi in stack:
+        for i in range(lo, hi + 1):
+            out[i] = tot / w
+    return out
+
+
+def test_isotonic_calibration_matches_numpy_pav(spark):
+    """Spark ML parallel-PAV fitted values at the training points equal
+    the classic sequential weighted PAV, and predictions are monotone."""
+    from collections import defaultdict
+
+    from epic_pandas_spark.extensions.curation import fit_isotonic_calibration
+
+    pairs = [(((i * 37) % 101) / 100.0, 1 if (i * 7) % 3 == 0 else 0)
+             for i in range(300)]
+    pairs += [(None, 1), (0.5, None)]       # excluded
+    df = spark.createDataFrame(pairs, "s double, y int").repartition(7)
+    model, model_df = fit_isotonic_calibration(df, "s", "y")
+
+    agg = defaultdict(lambda: [0.0, 0])
+    for s, y in pairs:
+        if s is None or y is None:
+            continue
+        agg[s][0] += y
+        agg[s][1] += 1
+    xs = sorted(agg)
+    ys = [agg[x][0] / agg[x][1] for x in xs]
+    ws = [float(agg[x][1]) for x in xs]
+    want = dict(zip(xs, _pav_fit(xs, ys, ws)))
+
+    probe = spark.createDataFrame([(x,) for x in xs], "\x5f\x5fiso_s double")
+    got = {
+        r["__iso_s"]: r["prediction"]
+        for r in model.transform(probe).collect()
+    }
+    for x in xs:
+        assert got[x] == pytest.approx(want[x], abs=1e-9), x
+    preds = [got[x] for x in xs]
+    assert preds == sorted(preds)           # monotone
+    # block table mirrors the model arrays
+    rows = model_df.orderBy("boundary").collect()
+    assert [r["boundary"] for r in rows] == sorted(float(b) for b in model.boundaries)
+
+
+def test_isotonic_calibration_repairs_any_monotone_warp(spark):
+    """Isotonic drives ECE to ~0 on the squared-score warp (it is the
+    monotone MLE — per-block mean equals the block's positive rate by
+    construction), including shapes Platt's sigmoid cannot fit."""
+    from epic_pandas_spark.extensions.curation import fit_isotonic_calibration
+    from epic_pandas_spark.operators.stats import calibration_summary
+
+    rows = []
+    for i in range(21):
+        p_true = i / 20.0
+        npos = round(300 * p_true)
+        s_bad = p_true * p_true
+        rows += [(s_bad, 1)] * npos + [(s_bad, 0)] * (300 - npos)
+    df = spark.createDataFrame(rows, "s double, y int").repartition(8)
+    before = calibration_summary(df, "s", "y").collect()[0]["ece"]
+    model, _ = fit_isotonic_calibration(df, "s", "y")
+    fixed = model.transform(df.select(F.col("s").alias("__iso_s"), "y")).select(
+        F.col("prediction").alias("s"), "y"
+    )
+    after = calibration_summary(fixed, "s", "y").collect()[0]["ece"]
+    assert before > 0.1
+    assert after < 0.02, (before, after)
