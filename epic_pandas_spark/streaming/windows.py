@@ -174,6 +174,57 @@ def stream_to_parquet_exactly_once(
     )
 
 
+def windowed_calibration_bins(
+    scored: DataFrame,
+    ts_col: str = "ts",
+    score_col: str = "score",
+    label_col: str = "label",
+    window_size: str = "1 hour",
+    watermark: str = "2 hours",
+    n_bins: int = 10,
+) -> DataFrame:
+    """Calibration-DRIFT monitor: the reliability diagram of a deployed
+    scorer per event-time window — ``(window_start, bin, n, conf, acc,
+    gap)`` — so a model whose probabilities go stale (the thing
+    :func:`operators.stats.calibration_bins` measures offline) is
+    caught while it is drifting, not at the next offline eval. Feed it
+    the scored stream joined with arriving labels.
+
+    ONE stateful aggregate on (event-time window, bin) — state per open
+    window is n_bins rows of four numbers regardless of stream rate,
+    and the watermark drops closed windows, so memory is bounded at any
+    scale; the per-window ECE/Brier scorecard is a trivial rollup of
+    the emitted diagram (|windows| x n_bins rows), done wherever the
+    monitor lands. Runs identically on a batch frame (the stream==batch
+    equivalence test). Null scores/labels are excluded; bin semantics
+    match the batch operator (top edge folds into the last bin)."""
+    if n_bins < 1:
+        raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    b = F.least(
+        F.floor(s * F.lit(float(n_bins))).cast("int"), F.lit(n_bins - 1)
+    )
+    src = scored.withWatermark(ts_col, watermark) if scored.isStreaming else scored
+    t = (
+        src.filter(s.isNotNull() & y.isNotNull())
+        .groupBy(F.window(ts_col, window_size).alias("win"), b.alias("bin"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(s).alias("__sum_s"),
+            F.sum(y).alias("__sum_y"),
+        )
+    )
+    return t.select(
+        F.col("win.start").alias("window_start"),
+        "bin",
+        "n",
+        (F.col("__sum_s") / F.col("n")).alias("conf"),
+        (F.col("__sum_y") / F.col("n")).alias("acc"),
+        ((F.col("__sum_y") - F.col("__sum_s")) / F.col("n")).alias("gap"),
+    )
+
+
 def windowed_distinct_approx(
     events: DataFrame,
     ts_col: str = "ts",

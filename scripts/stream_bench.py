@@ -108,6 +108,22 @@ if __name__ == "__main__":
         )
         record("streaming_dedup", n_events, sec)
 
+        # ---- calibration-drift monitor over a scored event stream ---------
+        from epic_pandas_spark.streaming.windows import windowed_calibration_bins
+
+        scored_src = os.path.join(tmp, "scored_src")
+        scored = events.select(
+            "ts",
+            (F.pmod(F.xxhash64("event_id"), F.lit(1000)) / 1000.0).alias("score"),
+            F.pmod(F.xxhash64("user_id"), F.lit(2)).cast("int").alias("label"),
+        )
+        n_scored = _shard(scored, scored_src)
+        sec = _to_memory(
+            windowed_calibration_bins(_stream_from(scored_src)),
+            "sb_caldrift", "update",
+        )
+        record("windowed_calibration_bins", n_scored, sec)
+
         # ---- LM perplexity scoring vs a persisted model -------------------
         from epic_pandas_spark.functions.ngram_lm import (
             ngram_lm_load,

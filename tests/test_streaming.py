@@ -695,3 +695,61 @@ def test_streaming_minhash_neardup_matches_sequential_batches(spark, tmp_path):
         .parquet(f"{index_dir}/bands").select("epoch").distinct().collect()
     }
     assert epochs == {-1, 0, 1}
+
+
+def test_windowed_calibration_bins_stream_matches_batch(spark, tmp_path):
+    """The calibration-drift monitor over a scored event stream equals
+    its batch twin on the same data (Structured Streaming unification):
+    per (event-time window, bin) counts and means, bit-comparable at
+    9dp. A drifting second hour (scores warped) must surface as a
+    larger |gap| in that hour's bins."""
+    import datetime as dt
+
+    from epic_pandas_spark.streaming.windows import (
+        run_stream_to_memory,
+        windowed_calibration_bins,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(2000):
+        hour = i % 2
+        p = ((i * 37) % 101) / 100.0
+        score = p if hour == 0 else min(p * p, 1.0)   # hour 1: stale model
+        label = 1 if (i * 7) % 100 < p * 100 else 0
+        rows.append((base + dt.timedelta(hours=hour, seconds=i % 3600), score, label))
+    batch = spark.createDataFrame(rows, "ts timestamp, score double, label int")
+
+    src = str(tmp_path / "scored_src")
+    batch.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        windowed_calibration_bins(stream), "cal_drift_out", output_mode="complete"
+    )
+    try:
+        got = {
+            (r["window_start"], r["bin"]): (r["n"], round(r["conf"], 9),
+                                            round(r["acc"], 9), round(r["gap"], 9))
+            for r in spark.sql("SELECT * FROM cal_drift_out").collect()
+        }
+        want = {
+            (r["window_start"], r["bin"]): (r["n"], round(r["conf"], 9),
+                                            round(r["acc"], 9), round(r["gap"], 9))
+            for r in windowed_calibration_bins(batch).collect()
+        }
+        assert got == want
+        assert got, "monitor produced no bins"
+    finally:
+        q.stop()
+    # drift detection: hour-1 weighted |gap| (its ECE) exceeds hour-0's
+    hours = sorted({w for w, _ in want})
+    assert len(hours) == 2
+    def ece(h):
+        rows_ = [v for (w, _), v in want.items() if w == h]
+        n_tot = sum(n for n, _, _, _ in rows_)
+        return sum(abs(g) * n for n, _, _, g in rows_) / n_tot
+    assert ece(hours[1]) > ece(hours[0]) * 2, (ece(hours[0]), ece(hours[1]))
