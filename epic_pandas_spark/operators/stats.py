@@ -727,6 +727,63 @@ def average_precision(df: DataFrame, score_col: str, label_col: str) -> DataFram
     )
 
 
+def grouped_average_precision(
+    df: DataFrame, score_col: str, label_col: str, by
+) -> DataFrame:
+    """Per-group exact average precision — the last cell of the grouped
+    eval matrix (per-group AUC grades ranking, per-group ROC picks
+    thresholds, per-group calibration checks probabilities; per-group
+    AP is the imbalance-robust ranking grade, the one that keeps
+    discriminating when one domain is 1% positives). One row per group:
+    ``(*by, n_pos, n_neg, ap)``; a group with no positives has no
+    recall axis and gets a null ap. A null group label is a real group.
+
+    Same step-wise sklearn definition as :func:`average_precision`,
+    same (group, distinct score) hash aggregate as :func:`grouped_auc`
+    — the cumulative class counts ride windows PARTITIONED BY the
+    group, so the op scales with groups and never funnels through one
+    task."""
+    group_cols = [by] if isinstance(by, str) else list(by)
+    y = F.col(label_col).cast("double")
+    t = (
+        df.filter(F.col(score_col).isNotNull() & F.col(label_col).isNotNull())
+        .groupBy(*group_cols, F.col(score_col).alias("__s"))
+        .agg(
+            F.sum(F.when(y == 1.0, 1).otherwise(0)).alias("__np"),
+            F.sum(F.when(y == 1.0, 0).otherwise(1)).alias("__nn"),
+        )
+    )
+    w_below = (
+        Window.partitionBy(*group_cols)
+        .orderBy("__s")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_all = Window.partitionBy(*group_cols)
+    np_below = F.coalesce(F.sum("__np").over(w_below), F.lit(0))
+    nn_below = F.coalesce(F.sum("__nn").over(w_below), F.lit(0))
+    p_tot = F.sum("__np").over(w_all)
+    n_tot = F.sum("__nn").over(w_all)
+    tp = p_tot - np_below
+    fp = n_tot - nn_below
+    term = F.when(
+        (F.col("__np") > 0) & (p_tot > 0),
+        (F.col("__np") / p_tot) * (tp / (tp + fp)),
+    ).otherwise(0.0)
+    agg = t.select(*group_cols, "__np", "__nn", p_tot.alias("__p"), term.alias("__t")).groupBy(
+        *group_cols
+    ).agg(
+        F.sum("__np").cast("bigint").alias("n_pos"),
+        F.sum("__nn").cast("bigint").alias("n_neg"),
+        F.sum("__t").alias("__ap"),
+    )
+    return agg.select(
+        *group_cols,
+        "n_pos",
+        "n_neg",
+        F.when(F.col("n_pos") > 0, F.col("__ap")).alias("ap"),
+    )
+
+
 def grouped_calibration_summary(
     df: DataFrame,
     score_col: str,

@@ -3400,6 +3400,53 @@ def q_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "grouped_average_precision",
+    """
+    WITH d AS (SELECT source AS g, n_chars AS s,
+                      CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+               FROM documents
+               WHERE n_chars IS NOT NULL AND lang IS NOT NULL AND source IS NOT NULL),
+    t AS (SELECT g, s, SUM(y) AS np, SUM(1 - y) AS nn FROM d GROUP BY g, s),
+    c AS (SELECT g, s, np, nn,
+                 COALESCE(SUM(np) OVER (PARTITION BY g ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS np_below,
+                 COALESCE(SUM(nn) OVER (PARTITION BY g ORDER BY s
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS nn_below,
+                 SUM(np) OVER (PARTITION BY g) AS p,
+                 SUM(nn) OVER (PARTITION BY g) AS n
+          FROM t)
+    SELECT g AS source,
+           CAST(MAX(p) AS BIGINT) AS n_pos, CAST(MAX(n) AS BIGINT) AS n_neg,
+           CASE WHEN MAX(p) > 0 THEN
+             ROUND(SUM(CASE WHEN np > 0 THEN
+               (np::DOUBLE / p) * ((p - np_below)::DOUBLE
+                 / ((p - np_below) + (n - nn_below)))
+               ELSE 0 END), 6)
+           END AS ap
+    FROM c GROUP BY g
+    """,
+)
+def q_grouped_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-SOURCE exact average precision (operators.stats.
+    grouped_average_precision) — the imbalance-robust per-domain
+    ranking grade completing the grouped eval matrix (AUC/ROC/
+    calibration/AP, global and per-group). Same (source, distinct
+    score) aggregate and group-partitioned windows as `grouped_auc`;
+    every step term an exact integer ratio, so the per-source APs
+    hash-match the oracle's window-prefix replay at 6dp."""
+    from epic_pandas_spark.operators.stats import grouped_average_precision
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("source").isNotNull()
+    ).select(
+        "source", F.col("n_chars").alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    )
+    out = grouped_average_precision(docs, "s", "y", "source")
+    return out.select("source", "n_pos", "n_neg", F.round("ap", 6).alias("ap"))
+
+
+@register(
     "grouped_ece",
     """
     WITH d AS (SELECT source AS g, n_chars::DOUBLE / (n_chars + 300.0) AS s,

@@ -2520,3 +2520,34 @@ def test_isotonic_calibration_repairs_any_monotone_warp(spark):
     after = calibration_summary(fixed, "s", "y").collect()[0]["ece"]
     assert before > 0.1
     assert after < 0.02, (before, after)
+
+
+def test_grouped_average_precision_matches_per_group_ungrouped(spark):
+    """Per-group AP == running the ungrouped average_precision on each
+    group's slice; null group is a real group; a no-positive group gets
+    a null ap."""
+    from epic_pandas_spark.operators.stats import (
+        average_precision,
+        grouped_average_precision,
+    )
+
+    pairs = [("g%d" % (i % 3), (i * 11) % 13, 1 if (i * 7) % 4 == 0 else 0)
+             for i in range(150)]
+    pairs.append((None, 5, 1))
+    pairs.append((None, 2, 0))
+    df = spark.createDataFrame(pairs, "g string, s int, y int").repartition(6)
+    got = {r["g"]: (r["n_pos"], r["n_neg"],
+                    None if r["ap"] is None else round(r["ap"], 12))
+           for r in grouped_average_precision(df, "s", "y", "g").collect()}
+    groups = {g for g, _, _ in pairs}
+    assert set(got) == groups
+    for g in groups:
+        sub = spark.createDataFrame(
+            [(s, y) for gg, s, y in pairs if gg == g], "s int, y int"
+        )
+        r = average_precision(sub, "s", "y").collect()[0]
+        assert got[g] == (r["n_pos"], r["n_neg"], round(r["ap"], 12)), g
+    # no positives -> null ap, not 0
+    nopos = spark.createDataFrame([("a", 1, 0), ("a", 2, 0)], "g string, s int, y int")
+    r = grouped_average_precision(nopos, "s", "y", "g").collect()[0]
+    assert (r["n_pos"], r["n_neg"], r["ap"]) == (0, 2, None)
