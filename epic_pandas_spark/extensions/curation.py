@@ -604,7 +604,14 @@ def train_quality_classifier(
     matches :func:`hashed_feature_scores` and
     :func:`score_stream_with_classifier` exactly so that training and
     scoring with defaults share one hashing scheme — a trainer/scorer
-    bucket-count mismatch silently mis-buckets every token."""
+    bucket-count mismatch silently mis-buckets every token.
+
+    .. versionchanged:: round 7
+       The default ``n_buckets`` changed from ``1 << 16`` to ``1 << 18``
+       to align the trainer with the scorer defaults. Weight tables
+       persisted under the OLD default are hash-incompatible with
+       pipelines trained under the new default: either retrain, or pin
+       ``n_buckets=1 << 16`` everywhere the old table is served."""
     if iters < 1:
         raise ValueError("iters must be >= 1")
     if lr <= 0:
@@ -838,6 +845,10 @@ def fit_platt_scaling(
                 F.sum(w).alias("hbb"),
             ).first()
             ga, gb = row["ga"], row["gb"]
+            if ga is None:  # empty frame / all-null (score, label) rows
+                raise ValueError(
+                    "fit_platt_scaling: no non-null (score, label) rows to fit on"
+                )
             haa, hab, hbb = row["haa"] + ridge, row["hab"], row["hbb"] + ridge
             det = haa * hbb - hab * hab
             if det <= 0:

@@ -30,6 +30,17 @@ from epic_pandas_spark.functions.text import fingerprint_expr, word_ngrams_expr
 from epic_pandas_spark.parallel import ensure_parallelism
 
 
+def _hadoop_path_exists(spark, path: str) -> bool:
+    """True iff ``path`` exists on the session's Hadoop filesystem.
+    Used by streaming probes to distinguish 'no index yet' (a fresh
+    pipeline's first epoch — tolerable) from every other read failure
+    (corrupt store, transient FS error — must fail the micro-batch)."""
+    jvm = spark.sparkContext._jvm
+    jpath = jvm.org.apache.hadoop.fs.Path(path)
+    fs = jpath.getFileSystem(spark.sparkContext._jsc.hadoopConfiguration())
+    return bool(fs.exists(jpath))
+
+
 def word_set_expr(text: Column) -> Column:
     """Distinct-word array of the normalized text (unigram shingles).
     NOTE: only discriminative on large vocabularies; near-dup operators
@@ -1101,7 +1112,14 @@ def minhash_neardup_stream(
         nb = nb.localCheckpoint(eager=False)  # pairs probe + index append
         nw = nw.localCheckpoint(eager=False)
         index = None
-        try:
+        # Only the genuinely-missing-index case (first epoch of a fresh
+        # pipeline) may be tolerated; any OTHER read failure — corrupt
+        # store, transient FS error, schema drift — must propagate and
+        # fail the micro-batch, else the epoch silently emits zero
+        # new-vs-history pairs while still appending its partitions.
+        if _hadoop_path_exists(spark, f"{index_dir}/bands") and _hadoop_path_exists(
+            spark, f"{index_dir}/words"
+        ):
             sb = (
                 spark.read.option("basePath", f"{index_dir}/bands")
                 .parquet(f"{index_dir}/bands")
@@ -1115,8 +1133,6 @@ def minhash_neardup_stream(
                 .drop("epoch")
             )
             index = (sb, sw)
-        except Exception:
-            pass  # no index yet: first epoch of a fresh pipeline
         pairs = _lsh_pairs_vs_store(nb, nw, index, threshold)
         pairs.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
         if update_index:

@@ -33,13 +33,13 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 N_SHARDS = 4
 
 
-def _shard(df, path: str) -> int:
+def _shard(spark, df, path: str) -> int:
     """Write df as N_SHARDS parquet files; return the row count."""
     df.repartition(N_SHARDS).write.mode("overwrite").parquet(path)
     return spark.read.parquet(path).count()
 
 
-def _stream_from(path: str):
+def _stream_from(spark, path: str):
     schema = spark.read.parquet(path).schema
     return (
         spark.readStream.schema(schema)
@@ -66,7 +66,7 @@ def _to_memory(stream_df, name: str, mode: str) -> float:
     return _timed_run(q)
 
 
-if __name__ == "__main__":
+def main() -> None:
     spark = get_spark(app_name="epic_pandas_spark_stream_bench")
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="stream_bench_")
@@ -75,13 +75,13 @@ if __name__ == "__main__":
         # ---- sources (prep, untimed) -------------------------------------
         docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
         docs_src = os.path.join(tmp, "docs_src")
-        n_docs = _shard(docs, docs_src)
+        n_docs = _shard(spark, docs, docs_src)
 
         events = load_table(spark, SF_DIR, "events").select(
             "event_id", "user_id", "event_type", "ts", "value"
         )
         events_src = os.path.join(tmp, "events_src")
-        n_events = _shard(events, events_src)
+        n_events = _shard(spark, events, events_src)
 
         def record(name: str, rows: int, sec: float) -> None:
             out[name] = {
@@ -98,12 +98,12 @@ if __name__ == "__main__":
         )
 
         sec = _to_memory(
-            tumbling_agg(_stream_from(events_src)), "sb_tumbling", "update"
+            tumbling_agg(_stream_from(spark, events_src)), "sb_tumbling", "update"
         )
         record("tumbling_agg", n_events, sec)
 
         sec = _to_memory(
-            streaming_dedup(_stream_from(events_src), ["event_id"]),
+            streaming_dedup(_stream_from(spark, events_src), ["event_id"]),
             "sb_dedup", "append",
         )
         record("streaming_dedup", n_events, sec)
@@ -117,9 +117,9 @@ if __name__ == "__main__":
             (F.pmod(F.xxhash64("event_id"), F.lit(1000)) / 1000.0).alias("score"),
             F.pmod(F.xxhash64("user_id"), F.lit(2)).cast("int").alias("label"),
         )
-        n_scored = _shard(scored, scored_src)
+        n_scored = _shard(spark, scored, scored_src)
         sec = _to_memory(
-            windowed_calibration_bins(_stream_from(scored_src)),
+            windowed_calibration_bins(_stream_from(spark, scored_src)),
             "sb_caldrift", "update",
         )
         record("windowed_calibration_bins", n_scored, sec)
@@ -139,7 +139,7 @@ if __name__ == "__main__":
         )
         model = ngram_lm_load(spark, lm_path)
         sec = _to_memory(
-            ngram_lm_score_stream(_stream_from(docs_src), "text", "doc_id", model),
+            ngram_lm_score_stream(_stream_from(spark, docs_src), "text", "doc_id", model),
             "sb_lm", "complete",
         )
         record("ngram_lm_score_stream", n_docs, sec)
@@ -161,7 +161,7 @@ if __name__ == "__main__":
         weights = spark.read.parquet(w_path)
         sec = _to_memory(
             score_stream_with_classifier(
-                _stream_from(docs_src), "text", "doc_id", weights,
+                _stream_from(spark, docs_src), "text", "doc_id", weights,
                 n_buckets=1 << 10, bias=bias,
             ),
             "sb_clf", "complete",
@@ -185,7 +185,7 @@ if __name__ == "__main__":
         ratio = spark.read.parquet(ratio_path)
         sec = _to_memory(
             dsir_score_stream(
-                _stream_from(docs_src), "text", "doc_id", ratio,
+                _stream_from(spark, docs_src), "text", "doc_id", ratio,
                 n_buckets=n_buckets, bucket_expr=bexpr,
             ),
             "sb_dsir", "complete",
@@ -204,7 +204,7 @@ if __name__ == "__main__":
         cb.write.parquet(f"{index_dir}/bands/epoch=-1")
         cw.write.parquet(f"{index_dir}/words/epoch=-1")
         q = minhash_neardup_stream(
-            _stream_from(docs_src), "text", "doc_id",
+            _stream_from(spark, docs_src), "text", "doc_id",
             index_dir=index_dir,
             out_dir=os.path.join(tmp, "pairs_out"),
             checkpoint_dir=os.path.join(tmp, "ckpt"),
@@ -226,3 +226,7 @@ if __name__ == "__main__":
         }, indent=1))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -2408,6 +2408,19 @@ def test_platt_scaling_repairs_miscalibrated_scorer(spark):
     assert after < before / 3, (before, after)
 
 
+def test_platt_scaling_empty_frame_raises(spark):
+    """No non-null (score, label) rows must raise a clear ValueError,
+    not a TypeError from a None aggregate (ADVICE round 7)."""
+    from epic_pandas_spark.extensions.curation import fit_platt_scaling
+
+    empty = spark.createDataFrame([], "s double, y int")
+    with pytest.raises(ValueError, match="no non-null"):
+        fit_platt_scaling(empty, "s", "y")
+    all_null = spark.createDataFrame([(None, None)] * 5, "s double, y int")
+    with pytest.raises(ValueError, match="no non-null"):
+        fit_platt_scaling(all_null, "s", "y")
+
+
 def test_average_precision_matches_brute_force(spark):
     """AP equals the step-wise sklearn definition computed by brute
     force over descending distinct thresholds (ties = one step);
