@@ -2929,6 +2929,92 @@ def q_ngram_perplexity_o3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "ngram_perplexity_o5",
+    """
+    WITH d AS (
+      SELECT doc_id,
+             list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '') AS w
+      FROM documents
+    ),
+    t5 AS (
+      SELECT doc_id, p.v AS v, p.u1 AS u1, p.u2 AS u2, p.u3 AS u3,
+             p.u4 AS u4, p.m AS m
+      FROM (SELECT doc_id,
+                   unnest(list_transform(generate_series(1, len(w)),
+                          i -> struct_pack(v := w[i],
+                                           u1 := w[i-1],
+                                           u2 := CASE WHEN i >= 3 THEN w[i-2] END,
+                                           u3 := CASE WHEN i >= 4 THEN w[i-3] END,
+                                           u4 := CASE WHEN i >= 5 THEN w[i-4] END,
+                                           m := LEAST(i, 5)))) AS p
+            FROM d)
+    ),
+    tr AS (SELECT v, u1, u2, u3, u4 FROM t5 WHERE doc_id % 10 = 0 AND doc_id < 50000),
+    uni AS (SELECT v, COUNT(*) AS c FROM tr GROUP BY v),
+    tot AS (SELECT SUM(c)::DOUBLE AS n, COUNT(*)::DOUBLE AS vs FROM uni),
+    g2t AS (SELECT u1, v, COUNT(*) AS c FROM tr WHERE u1 IS NOT NULL GROUP BY u1, v),
+    g3t AS (SELECT u2, u1, v, COUNT(*) AS c FROM tr WHERE u2 IS NOT NULL
+            GROUP BY u2, u1, v),
+    g4t AS (SELECT u3, u2, u1, v, COUNT(*) AS c FROM tr WHERE u3 IS NOT NULL
+            GROUP BY u3, u2, u1, v),
+    g5t AS (SELECT u4, u3, u2, u1, v, COUNT(*) AS c FROM tr WHERE u4 IS NOT NULL
+            GROUP BY u4, u3, u2, u1, v),
+    scored AS (
+      SELECT t5.doc_id,
+             CASE WHEN t5.u4 IS NOT NULL AND g5.c IS NOT NULL
+                    THEN ln(g5.c::DOUBLE / x4.c)
+                  WHEN t5.u3 IS NOT NULL AND g4.c IS NOT NULL
+                    THEN (t5.m - 4) * ln(0.4) + ln(g4.c::DOUBLE / x3.c)
+                  WHEN t5.u2 IS NOT NULL AND g3.c IS NOT NULL
+                    THEN (t5.m - 3) * ln(0.4) + ln(g3.c::DOUBLE / x2.c)
+                  WHEN t5.u1 IS NOT NULL AND g2.c IS NOT NULL
+                    THEN (t5.m - 2) * ln(0.4) + ln(g2.c::DOUBLE / cu.c)
+                  ELSE (t5.m - 1) * ln(0.4)
+                       + ln((COALESCE(cv.c, 0) + 1) / (tot.n + tot.vs))
+             END AS logp
+      FROM t5
+      CROSS JOIN tot
+      LEFT JOIN uni cv ON t5.v = cv.v
+      LEFT JOIN uni cu ON t5.u1 = cu.v
+      LEFT JOIN g2t g2 ON t5.u1 = g2.u1 AND t5.v = g2.v
+      LEFT JOIN g2t x2 ON t5.u2 = x2.u1 AND t5.u1 = x2.v
+      LEFT JOIN g3t g3 ON t5.u2 = g3.u2 AND t5.u1 = g3.u1 AND t5.v = g3.v
+      LEFT JOIN g3t x3 ON t5.u3 = x3.u2 AND t5.u2 = x3.u1 AND t5.u1 = x3.v
+      LEFT JOIN g4t g4 ON t5.u3 = g4.u3 AND t5.u2 = g4.u2 AND t5.u1 = g4.u1
+                      AND t5.v = g4.v
+      LEFT JOIN g4t x4 ON t5.u4 = x4.u3 AND t5.u3 = x4.u2 AND t5.u2 = x4.u1
+                      AND t5.u1 = x4.v
+      LEFT JOIN g5t g5 ON t5.u4 = g5.u4 AND t5.u3 = g5.u3 AND t5.u2 = g5.u2
+                      AND t5.u1 = g5.u1 AND t5.v = g5.v
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(logp), 6) AS avg_logprob
+    FROM scored GROUP BY doc_id
+    """,
+)
+def q_ngram_perplexity_o5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """5-gram Stupid-Backoff perplexity (functions.ngram_lm at order=5)
+    — the order CCNet's production recipe actually cites (a 5-gram
+    KenLM-style model). Exercises the full backoff chain: five count
+    tables, train-time context-count annotation on each, and up to four
+    alpha fall-throughs per token (``m = LEAST(position, 5)`` is the
+    highest order the position PROVIDES; scoring at order j carries
+    alpha^(m-j)). Scoring is exactly ONE broadcast-hash join per order —
+    five probes in one codegen stage; the corpus never shuffles. The
+    oracle restates the chain with explicit numerator/denominator joins
+    (g_k for the gram count, x_{k-1} for its context's count — total
+    whenever g_k matched, since a gram's context occurs wherever the
+    gram does)."""
+    from epic_pandas_spark.functions.ngram_lm import ngram_lm_score, ngram_lm_train
+
+    docs = load_table(spark, sf_dir, "documents")
+    train = docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 50000))
+    model = ngram_lm_train(train, "text", order=5)
+    out = ngram_lm_score(docs, "text", "doc_id", model, strategy="broadcast")
+    return out.select("doc_id", "n_tokens", F.round("avg_logprob", 6).alias("avg_logprob"))
+
+
+@register(
     "kmv_corpus_jaccard",
     """
     WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
@@ -4443,33 +4529,59 @@ def q_mixture_resample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
              list_filter(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), t -> t <> '') AS w
       FROM documents
     ),
-    -- stage 1: bigram Stupid-Backoff LM on the fixed reference slice,
-    -- per-language perplexity tertiles, drop the 'tail'
-    t2 AS (
-      SELECT doc_id, p.v AS v, p.u AS u
+    -- stage 1: 5-gram Stupid-Backoff LM (CCNet's published order) on the
+    -- fixed reference slice, per-language perplexity tertiles, drop 'tail'
+    t5 AS (
+      SELECT doc_id, p.v AS v, p.u1 AS u1, p.u2 AS u2, p.u3 AS u3,
+             p.u4 AS u4, p.m AS m
       FROM (SELECT doc_id,
                    unnest(list_transform(generate_series(1, len(w)),
-                                         i -> struct_pack(v := w[i], u := w[i-1]))) AS p
+                          i -> struct_pack(v := w[i],
+                                           u1 := w[i-1],
+                                           u2 := CASE WHEN i >= 3 THEN w[i-2] END,
+                                           u3 := CASE WHEN i >= 4 THEN w[i-3] END,
+                                           u4 := CASE WHEN i >= 5 THEN w[i-4] END,
+                                           m := LEAST(i, 5)))) AS p
             FROM d0)
     ),
-    tr AS (SELECT v, u FROM t2 WHERE doc_id % 10 = 0 AND doc_id < 50000),
+    tr AS (SELECT v, u1, u2, u3, u4 FROM t5 WHERE doc_id % 10 = 0 AND doc_id < 50000),
     uni AS (SELECT v, COUNT(*) AS c FROM tr GROUP BY v),
     tot AS (SELECT SUM(c)::DOUBLE AS n, COUNT(*)::DOUBLE AS vs FROM uni),
-    bi AS (SELECT u, v, COUNT(*) AS c FROM tr WHERE u IS NOT NULL GROUP BY u, v),
+    g2t AS (SELECT u1, v, COUNT(*) AS c FROM tr WHERE u1 IS NOT NULL GROUP BY u1, v),
+    g3t AS (SELECT u2, u1, v, COUNT(*) AS c FROM tr WHERE u2 IS NOT NULL
+            GROUP BY u2, u1, v),
+    g4t AS (SELECT u3, u2, u1, v, COUNT(*) AS c FROM tr WHERE u3 IS NOT NULL
+            GROUP BY u3, u2, u1, v),
+    g5t AS (SELECT u4, u3, u2, u1, v, COUNT(*) AS c FROM tr WHERE u4 IS NOT NULL
+            GROUP BY u4, u3, u2, u1, v),
     lm AS (
-      SELECT t2.doc_id,
-             AVG(CASE WHEN t2.u IS NULL
-                        THEN ln((COALESCE(cv.c, 0) + 1) / (tot.n + tot.vs))
-                      WHEN b.c IS NOT NULL
-                        THEN ln(b.c::DOUBLE / cu.c)
-                      ELSE ln(0.4) + ln((COALESCE(cv.c, 0) + 1) / (tot.n + tot.vs))
+      SELECT t5.doc_id,
+             AVG(CASE WHEN t5.u4 IS NOT NULL AND g5.c IS NOT NULL
+                        THEN ln(g5.c::DOUBLE / x4.c)
+                      WHEN t5.u3 IS NOT NULL AND g4.c IS NOT NULL
+                        THEN (t5.m - 4) * ln(0.4) + ln(g4.c::DOUBLE / x3.c)
+                      WHEN t5.u2 IS NOT NULL AND g3.c IS NOT NULL
+                        THEN (t5.m - 3) * ln(0.4) + ln(g3.c::DOUBLE / x2.c)
+                      WHEN t5.u1 IS NOT NULL AND g2.c IS NOT NULL
+                        THEN (t5.m - 2) * ln(0.4) + ln(g2.c::DOUBLE / cu.c)
+                      ELSE (t5.m - 1) * ln(0.4)
+                           + ln((COALESCE(cv.c, 0) + 1) / (tot.n + tot.vs))
                  END) AS a
-      FROM t2
+      FROM t5
       CROSS JOIN tot
-      LEFT JOIN uni cv ON t2.v = cv.v
-      LEFT JOIN uni cu ON t2.u = cu.v
-      LEFT JOIN bi b ON t2.u = b.u AND t2.v = b.v
-      GROUP BY t2.doc_id
+      LEFT JOIN uni cv ON t5.v = cv.v
+      LEFT JOIN uni cu ON t5.u1 = cu.v
+      LEFT JOIN g2t g2 ON t5.u1 = g2.u1 AND t5.v = g2.v
+      LEFT JOIN g2t x2 ON t5.u2 = x2.u1 AND t5.u1 = x2.v
+      LEFT JOIN g3t g3 ON t5.u2 = g3.u2 AND t5.u1 = g3.u1 AND t5.v = g3.v
+      LEFT JOIN g3t x3 ON t5.u3 = x3.u2 AND t5.u2 = x3.u1 AND t5.u1 = x3.v
+      LEFT JOIN g4t g4 ON t5.u3 = g4.u3 AND t5.u2 = g4.u2 AND t5.u1 = g4.u1
+                      AND t5.v = g4.v
+      LEFT JOIN g4t x4 ON t5.u4 = x4.u3 AND t5.u3 = x4.u2 AND t5.u2 = x4.u1
+                      AND t5.u1 = x4.v
+      LEFT JOIN g5t g5 ON t5.u4 = g5.u4 AND t5.u3 = g5.u3 AND t5.u2 = g5.u2
+                      AND t5.u1 = g5.u1 AND t5.v = g5.v
+      GROUP BY t5.doc_id
     ),
     sl AS (SELECT lm.doc_id, d0.lang, d0.n_chars, lm.a
            FROM lm JOIN d0 ON lm.doc_id = d0.doc_id),
@@ -4563,9 +4675,10 @@ def q_mixture_resample_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def q_ccnet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The CCNet curation recipe END TO END in one plan — the composed
-    flagship the per-stage queries anchor individually: (1) bigram
-    Stupid-Backoff LM perplexity, per-language tertile split, drop the
-    'tail' third (`perplexity_buckets`); (2) hashed linear quality
+    flagship the per-stage queries anchor individually: (1) 5-gram
+    Stupid-Backoff LM perplexity (CCNet's published order — the chain
+    `ngram_perplexity_o5` anchors standalone), per-language tertile
+    split, drop the 'tail' third (`perplexity_buckets`); (2) hashed linear quality
     classifier, keep score >= 0.5 (`quality_classifier`, with INTEGER
     weights w = bucket%11-5 so the per-doc mean is an exact integer sum
     over one correctly-rounded division — bit-identical across engines,
@@ -4599,9 +4712,9 @@ def q_ccnet_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
 
-    # stage 1: LM tertiles per language, drop 'tail'
+    # stage 1: 5-gram LM tertiles per language, drop 'tail'
     train = docs.filter((F.col("doc_id") % 10 == 0) & (F.col("doc_id") < 50000))
-    model = ngram_lm_train(train, "text", order=2)
+    model = ngram_lm_train(train, "text", order=5)
     scored = ngram_lm_score(docs, "text", "doc_id", model).select("doc_id", "avg_logprob")
     sl = scored.join(docs.select("doc_id", "lang", "n_chars"), "doc_id").localCheckpoint(
         eager=False
