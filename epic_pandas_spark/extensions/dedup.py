@@ -557,9 +557,15 @@ def hamming_pairs(
 
     Per band only (band_idx, band_value, id, hash) rows shuffle (one
     posexplode, one equi-join on the band key); the hamming filter
-    `bit_count(xor)` runs on candidates only. Multi-band duplicates are
-    dropped with one distinct before the filter. Returns
-    (id_a, id_b, hamming) with id_a < id_b."""
+    `bit_count(xor)` runs on candidates only. A pair agreeing on k > 1
+    bands appears k times in the join output; it is kept ONLY at its
+    FIRST agreeing band (both full hashes are in hand, so "every earlier
+    band differs" is a map-side filter) — each qualifying pair survives
+    exactly once with NO distinct. This matters at scale: near-identical
+    fingerprints agree on ALL bands, so the old distinct re-shuffled the
+    pair set n_bands-fold (measured: the dominant stage of
+    multimodal_phash_pairs at sf10, where same-group pairs are ~2.5e9).
+    Returns (id_a, id_b, hamming) with id_a < id_b."""
     if not (0 < n_bands <= 64 and 64 % n_bands == 0):
         raise ValueError("n_bands must divide 64")
     if max_hamming >= n_bands:
@@ -585,11 +591,19 @@ def hamming_pairs(
     a = bands.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"), "band", "bval")
     b = bands.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"), "band", "bval")
     ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+
+    def _band_val(c: str, i: int):
+        return F.shiftrightunsigned(c, i * band_bits).bitwiseAND(band_mask)
+
+    first_band = F.lit(n_bands)  # unreachable default: joined pairs agree somewhere
+    for i in range(n_bands - 1, -1, -1):
+        first_band = F.when(_band_val("sh_a", i) == _band_val("sh_b", i), i).otherwise(
+            first_band
+        )
     return (
         a.join(b, on=["band", "bval"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .distinct()
+        .filter(F.col("band") == first_band)
         .withColumn("hamming", ham)
         .filter(F.col("hamming") <= max_hamming)
         .select("id_a", "id_b", "hamming")
@@ -1338,10 +1352,17 @@ def edit_distance_pairs(
     has ZERO recall gap at any max_edits, and the exact `levenshtein`
     check runs on candidates only.
 
-    Scale shape: a string of length n emits n+1 variants at
+    Scale shape: the neighborhood join runs over DISTINCT STRINGS, not
+    rows — duplicate keys are collapsed to one representative first, so
+    a saturating key space (the typo-dedup regime: corpus grows, key
+    vocabulary doesn't) keeps the variant join CONSTANT-sized as rows
+    grow; id pairs expand back from the verified string pairs by
+    membership joins, which is output-proportional by definition
+    (identical-key pairs at dist 0, cross-key pairs at the verified
+    dist). A distinct string of length n emits n+1 variants at
     max_edits=1 and 1 + n + n(n-1)/2 at max_edits=2; every variant is
     hashed to 8 bytes BEFORE the self-join and the block stream carries
-    only ``(hash, id)`` — strings rejoin by id for the verification
+    only ``(hash, rep)`` — strings rejoin by rep for the verification
     step, so the O(n²) neighborhood of the 2-edit form costs O(n²)
     16-byte rows, never O(n²) string payloads. ``max_len`` guards the
     quadratic regime: the op targets SHORT KEYS (titles, usernames,
@@ -1356,10 +1377,51 @@ def edit_distance_pairs(
     if max_len < 1:
         raise ValueError("max_len must be >= 1")
     src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+    # collapse duplicate keys: the neighborhood join sees each distinct
+    # string ONCE (rep = min id); groups expand back at the end
+    groups = src.groupBy("s").agg(F.min("id").alias("rep")).localCheckpoint(
+        eager=False
+    )
+    spairs = _edit_distance_string_pairs(groups, max_edits, max_len)
+
+    # same-key pairs: every id pair within one string group, dist 0
+    ga = src.select("s", F.col("id").alias("id_a"))
+    gb = src.select("s", F.col("id").alias("id_b"))
+    same = (
+        ga.join(gb, "s")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.lit(0).alias("dist"))
+    )
+    # cross-key pairs: expand each verified string pair to all member
+    # id combinations (both joins key on the string — one shuffle each)
+    ma = src.select(F.col("s").alias("s_a"), F.col("id").alias("ida"))
+    mb = src.select(F.col("s").alias("s_b"), F.col("id").alias("idb"))
+    cross = (
+        spairs.join(ma, "s_a")
+        .join(mb, "s_b")
+        .select(
+            F.least("ida", "idb").alias("id_a"),
+            F.greatest("ida", "idb").alias("id_b"),
+            "dist",
+        )
+    )
+    return same.unionByName(cross)
+
+
+def _deletion_candidate_pairs(
+    groups: DataFrame, max_edits: int, max_len: int
+) -> DataFrame:
+    """Distinct candidate pairs ``(rep_a, rep_b)`` (rep_a < rep_b) whose
+    <= ``max_edits``-deletion neighborhoods intersect, over ``groups`` =
+    (s, rep). Strings longer than ``max_len`` raise at execution when
+    max_edits=2 (the O(len^2) regime guard)."""
     s = F.col("s")
     if max_edits == 2:
+        # null passes through (it generates no variants and never pairs);
+        # length(null) <= max_len is null, which would otherwise fall into
+        # the raise_error branch
         s = F.when(
-            F.length(s) <= max_len, s
+            s.isNull() | (F.length(s) <= max_len), s
         ).otherwise(
             F.raise_error(
                 F.concat(
@@ -1379,26 +1441,66 @@ def edit_distance_pairs(
             variants, F.flatten(F.transform(d1, _deletion_variants))
         )
     blocked = (
-        src.select("id", F.explode(F.array_distinct(variants)).alias("v"))
-        .select("id", F.xxhash64("v").alias("vh"))
+        groups.select("rep", F.explode(F.array_distinct(variants)).alias("v"))
+        .select("rep", F.xxhash64("v").alias("vh"))
     )
-    a = blocked.select(F.col("id").alias("id_a"), "vh")
-    b = blocked.select(F.col("id").alias("id_b"), "vh")
-    cands = (
+    a = blocked.select(F.col("rep").alias("rep_a"), "vh")
+    b = blocked.select(F.col("rep").alias("rep_b"), "vh")
+    return (
         a.join(b, on="vh")
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        .filter(F.col("rep_a") < F.col("rep_b"))
+        .select("rep_a", "rep_b")
         .distinct()
     )
-    sa = src.select(F.col("id").alias("id_a"), F.col("s").alias("s_a"))
-    sb = src.select(F.col("id").alias("id_b"), F.col("s").alias("s_b"))
+
+
+def _edit_distance_string_pairs(
+    groups: DataFrame, max_edits: int, max_len: int
+) -> DataFrame:
+    """Verified DISTINCT-STRING pairs ``(s_a, s_b, dist)`` with
+    1 <= dist <= max_edits, via the deletion-neighborhood candidate join
+    over ``groups`` = (s, rep). Internal half of
+    :func:`edit_distance_pairs`; also drives its candidate-count
+    instrumentation twin."""
+    cands = _deletion_candidate_pairs(groups, max_edits, max_len)
+    sa = groups.select(F.col("rep").alias("rep_a"), F.col("s").alias("s_a"))
+    sb = groups.select(F.col("rep").alias("rep_b"), F.col("s").alias("s_b"))
     return (
-        cands.join(sa, "id_a")
-        .join(sb, "id_b")
+        cands.join(sa, "rep_a")
+        .join(sb, "rep_b")
         .withColumn("dist", F.levenshtein("s_a", "s_b"))
-        .filter(F.col("dist") <= max_edits)
-        .select("id_a", "id_b", "dist")
+        .filter(F.col("dist") <= max_edits)  # dist >= 1: distinct strings
+        .select("s_a", "s_b", "dist")
     )
+
+
+def edit_distance_candidate_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    max_edits: int = 1,
+    max_len: int = 64,
+) -> dict:
+    """Instrumentation twin of :func:`edit_distance_pairs`: one pass that
+    returns ``{"n_rows", "n_distinct_strings", "n_candidate_pairs"}`` —
+    the candidate count is the size of the deletion-neighborhood join
+    output over distinct strings, i.e. exactly what the verification
+    stage pays. Lets scale-trend artifacts attribute wall-time growth to
+    candidate-pair density in-data instead of arguing about it."""
+    src = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("s"))
+    groups = src.groupBy("s").agg(F.min("id").alias("rep")).localCheckpoint(
+        eager=False
+    )
+    n_rows = src.count()
+    n_strings = groups.count()
+    n_cands = _deletion_candidate_pairs(groups, max_edits, max_len).count()
+    n_verified = _edit_distance_string_pairs(groups, max_edits, max_len).count()
+    return {
+        "n_rows": n_rows,
+        "n_distinct_strings": n_strings,
+        "n_candidate_pairs": n_cands,
+        "n_verified_string_pairs": n_verified,
+    }
 
 
 def remove_repeated_spans(

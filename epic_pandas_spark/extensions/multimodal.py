@@ -632,9 +632,17 @@ def synth_pgm_payload_udf(n_groups: int = 50, block: int = 4):
 
     @pandas_udf("binary")
     def gen(keys: pd.Series) -> pd.Series:
-        return pd.Series(
-            [encode_pgm(_group_pattern_image(int(k) % n_groups, block)) for k in keys]
-        )
+        # only n_groups distinct images exist — encode each once per batch,
+        # not once per key (same lesson as synth_video_payload_udf)
+        enc: dict[int, bytes] = {}
+        out = []
+        for k in keys:
+            g = int(k) % n_groups
+            b = enc.get(g)
+            if b is None:
+                b = enc[g] = encode_pgm(_group_pattern_image(g, block))
+            out.append(b)
+        return pd.Series(out)
 
     return gen
 

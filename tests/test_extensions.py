@@ -912,6 +912,66 @@ def test_edit_distance_pairs_two_edits_exact_vs_bruteforce(spark):
     assert edit_distance_pairs(long_df, "s", "id", max_edits=1).count() == 1
 
 
+def test_edit_distance_pairs_duplicate_heavy_and_stats(spark):
+    """The distinct-string rewrite: heavy duplicate keys (the saturating
+    short-key regime) must still produce the exact brute-force pair set
+    — same-key pairs at dist 0, cross-key member expansion at the
+    verified dist — and the candidate-stats twin must count candidates
+    over DISTINCT strings, so duplicate growth leaves it unchanged."""
+    from epic_pandas_spark.extensions.dedup import (
+        edit_distance_candidate_stats,
+        edit_distance_pairs,
+    )
+
+    # 3 distinct strings, heavy duplication, plus a null (never pairs)
+    rows = (
+        [(i, "alpha") for i in range(1, 5)]
+        + [(i, "alphx") for i in range(10, 13)]   # 1 sub from 'alpha'
+        + [(20, "alpzx"), (21, None)]             # 2 subs from 'alpha'
+    )
+    df = spark.createDataFrame(rows, "id long, s string").repartition(4)
+    got = {
+        (r["id_a"], r["id_b"]): r["dist"]
+        for r in edit_distance_pairs(df, "s", "id", max_edits=2).collect()
+    }
+    import itertools
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb))
+        return dp[-1]
+
+    want = {}
+    for (ia, sa), (ib, sb) in itertools.combinations(rows, 2):
+        if sa is None or sb is None:
+            continue
+        d = lev(sa, sb)
+        if d <= 2:
+            want[(min(ia, ib), max(ia, ib))] = d
+    assert got == want
+    assert got[(1, 2)] == 0 and got[(1, 10)] == 1 and got[(10, 20)] == 1
+
+    stats = edit_distance_candidate_stats(df, "s", "id", max_edits=2)
+    assert stats["n_rows"] == len(rows)
+    assert stats["n_distinct_strings"] == 4  # null counts as a group key
+    # candidates are over distinct strings: 3 qualifying pairs among
+    # {alpha, alphx, alpzx} (null generates no variants)
+    assert stats["n_verified_string_pairs"] == 3
+    assert stats["n_candidate_pairs"] >= 3
+
+    # duplicating every row must leave the DISTINCT-string stats fixed
+    df2 = df.unionByName(
+        spark.createDataFrame([(100 + i, s) for i, s in rows], "id long, s string")
+    )
+    stats2 = edit_distance_candidate_stats(df2, "s", "id", max_edits=2)
+    assert stats2["n_distinct_strings"] == stats["n_distinct_strings"]
+    assert stats2["n_candidate_pairs"] == stats["n_candidate_pairs"]
+    assert stats2["n_verified_string_pairs"] == stats["n_verified_string_pairs"]
+
+
 def _semantic_dedup_bruteforce(ids, V, codebook, threshold):
     """numpy replay of the documented rule: argmax-cosine assign (ties ->
     lowest centroid index), drop when any smaller-id cluster-mate has
