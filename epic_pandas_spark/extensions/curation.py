@@ -915,6 +915,95 @@ def platt_calibrated_expr(score: Column, a: float, b: float) -> Column:
     )
 
 
+def recalibrate_auto(
+    df: DataFrame,
+    score_col: str,
+    label_col: str,
+    id_col: str,
+    holdout_frac: float = 0.2,
+    seed: int = 42,
+    eps: float = 1e-12,
+) -> dict:
+    """Model selection between the two recalibrators: fit BOTH
+    :func:`fit_platt_scaling` (2 parameters — wins when labeled data is
+    scarce) and :func:`fit_isotonic_calibration` (nonparametric monotone
+    MLE — wins when the miscalibration isn't a sigmoid shift) on a
+    deterministic train split, score each by LOG-LOSS on the held-out
+    split (the proper scoring rule: minimized in expectation only by the
+    true probabilities, so it can't reward an overfit zigzag the way a
+    reliability diagram can), and apply the winner.
+
+    The split is hash-deterministic on ``id_col`` (A-ES-style hash
+    randomness — reproducible across runs/partitionings, no global
+    shuffle). Isotonic's holdout predictions are clamped to
+    ``[eps, 1-eps]`` before the log: PAV emits exact 0/1 blocks at the
+    score range's edges, and an unlucky holdout label there would
+    otherwise send the loss to infinity — the standard guard.
+
+    Returns ``{"method": "platt"|"isotonic", "platt": (a, b),
+    "isotonic": (model, model_df), "holdout_logloss": {...},
+    "expr": score Column -> calibrated Column | None,
+    "transform": DataFrame-with-score_col -> DataFrame + 'calibrated'}``.
+    ``expr`` is only set for Platt (a closed-form column); isotonic
+    application goes through ``transform`` (broadcast binary search over
+    the block boundaries — still no shuffle).
+
+    Plan at 100 TB: both fits read the train split once (Platt: binned
+    sufficient stats; isotonic: distributed PAV over blocks); both
+    holdout evaluations are one aggregate each; the winner's application
+    is shuffle-free either way."""
+    if not (0.0 < holdout_frac < 1.0):
+        raise ValueError("holdout_frac must be in (0, 1)")
+    s = F.col(score_col).cast("double")
+    y = F.col(label_col).cast("double")
+    clean = df.filter(s.isNotNull() & y.isNotNull())
+    bucket = F.pmod(F.xxhash64(F.col(id_col).cast("string"), F.lit(seed)), F.lit(1000))
+    cut = int(round(holdout_frac * 1000))
+    train = clean.filter(bucket >= cut).localCheckpoint(eager=False)
+    hold = clean.filter(bucket < cut).localCheckpoint(eager=False)
+
+    a, b = fit_platt_scaling(train, score_col, label_col)
+    iso_model, iso_df = fit_isotonic_calibration(train, score_col, label_col)
+
+    def _logloss(frame: DataFrame, p: Column) -> float:
+        pc = F.least(F.greatest(p, F.lit(eps)), F.lit(1.0 - eps))
+        yy = F.col(label_col).cast("double")
+        row = frame.agg(
+            F.avg(-(yy * F.log(pc) + (F.lit(1.0) - yy) * F.log(F.lit(1.0) - pc))).alias(
+                "ll"
+            )
+        ).first()
+        if row["ll"] is None:
+            raise ValueError("recalibrate_auto: empty holdout split")
+        return float(row["ll"])
+
+    ll_platt = _logloss(hold, platt_calibrated_expr(s, a, b))
+    iso_hold = iso_model.transform(
+        hold.withColumn("__iso_s", s)
+    )
+    ll_iso = _logloss(iso_hold, F.col("prediction"))
+
+    method = "platt" if ll_platt <= ll_iso else "isotonic"
+
+    def transform(frame: DataFrame, out_col: str = "calibrated") -> DataFrame:
+        sc = F.col(score_col).cast("double")
+        if method == "platt":
+            return frame.withColumn(out_col, platt_calibrated_expr(sc, a, b))
+        out = iso_model.transform(frame.withColumn("__iso_s", sc))
+        return out.withColumn(out_col, F.col("prediction")).drop(
+            "__iso_s", "prediction"
+        )
+
+    return {
+        "method": method,
+        "platt": (a, b),
+        "isotonic": (iso_model, iso_df),
+        "holdout_logloss": {"platt": ll_platt, "isotonic": ll_iso},
+        "expr": (lambda c: platt_calibrated_expr(c, a, b)) if method == "platt" else None,
+        "transform": transform,
+    }
+
+
 def write_training_shards(
     df: DataFrame,
     path: str,

@@ -3663,6 +3663,43 @@ def q_isotonic_recalibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("recalibrate_auto")
+def q_recalibrate_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recalibrator MODEL SELECTION (extensions.curation.recalibrate_auto
+    — VERDICT r7 item 6): fit BOTH Platt and isotonic on a hash-
+    deterministic train split of the miscalibrated scorer, score each by
+    holdout log-loss (the proper rule), apply the winner. One row
+    ``(method, ll_platt, ll_isotonic, ece_raw, ece_calibrated)``.
+    Iterative fits (Newton / PAV) — not SQL-expressible, rows-only;
+    correctness rides the staircase-warp-isotonic-wins,
+    scarce-labels-platt-wins, and input-validation pytest witnesses."""
+    from epic_pandas_spark.extensions.curation import recalibrate_auto
+    from epic_pandas_spark.operators.stats import calibration_summary
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id"),
+        (F.col("n_chars") / (F.col("n_chars") + F.lit(300.0))).alias("s"),
+        (F.col("lang") == "en").cast("int").alias("y"),
+    ).localCheckpoint(eager=False)  # split + fits + two ECE passes share it
+    choice = recalibrate_auto(docs, "s", "y", "doc_id", holdout_frac=0.25, seed=42)
+    raw = calibration_summary(docs, "s", "y").select(F.col("ece").alias("ece_raw"))
+    cal_in = choice["transform"](docs).select(F.col("calibrated").alias("s"), "y")
+    cal = calibration_summary(cal_in, "s", "y").select(
+        F.col("ece").alias("ece_calibrated")
+    )
+    ll = choice["holdout_logloss"]
+    return (
+        raw.crossJoin(cal)
+        .select(
+            F.lit(choice["method"]).alias("method"),
+            F.lit(round(ll["platt"], 6)).alias("ll_platt"),
+            F.lit(round(ll["isotonic"], 6)).alias("ll_isotonic"),
+            F.round("ece_raw", 6).alias("ece_raw"),
+            F.round("ece_calibrated", 6).alias("ece_calibrated"),
+        )
+    )
+
+
 @register("quality_classifier_train")
 def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed TRAINING of the fastText-style quality classifier

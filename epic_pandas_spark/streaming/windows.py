@@ -182,24 +182,32 @@ def windowed_calibration_bins(
     window_size: str = "1 hour",
     watermark: str = "2 hours",
     n_bins: int = 10,
+    by: str | list[str] | None = None,
 ) -> DataFrame:
     """Calibration-DRIFT monitor: the reliability diagram of a deployed
-    scorer per event-time window — ``(window_start, bin, n, conf, acc,
-    gap)`` — so a model whose probabilities go stale (the thing
-    :func:`operators.stats.calibration_bins` measures offline) is
+    scorer per event-time window — ``(window_start, [by...,] bin, n,
+    conf, acc, gap)`` — so a model whose probabilities go stale (the
+    thing :func:`operators.stats.calibration_bins` measures offline) is
     caught while it is drifting, not at the next offline eval. Feed it
     the scored stream joined with arriving labels.
 
-    ONE stateful aggregate on (event-time window, bin) — state per open
-    window is n_bins rows of four numbers regardless of stream rate,
-    and the watermark drops closed windows, so memory is bounded at any
+    ``by`` adds grouping columns (e.g. language, domain): a model
+    drifting on ONE segment is invisible in the aggregate diagram —
+    the per-group twin of :func:`operators.stats.grouped_calibration`.
+
+    ONE stateful aggregate on (event-time window, [by...,] bin) — state
+    per open window is n_bins rows of four numbers PER GROUP regardless
+    of stream rate (bounded by |groups| x n_bins, not by volume), and
+    the watermark drops closed windows, so memory is bounded at any
     scale; the per-window ECE/Brier scorecard is a trivial rollup of
-    the emitted diagram (|windows| x n_bins rows), done wherever the
-    monitor lands. Runs identically on a batch frame (the stream==batch
-    equivalence test). Null scores/labels are excluded; bin semantics
-    match the batch operator (top edge folds into the last bin)."""
+    the emitted diagram (|windows| x |groups| x n_bins rows), done
+    wherever the monitor lands. Runs identically on a batch frame (the
+    stream==batch equivalence test). Null scores/labels are excluded;
+    bin semantics match the batch operator (top edge folds into the
+    last bin)."""
     if n_bins < 1:
         raise ValueError(f"n_bins must be >= 1, got {n_bins}")
+    group_cols = [by] if isinstance(by, str) else list(by or [])
     s = F.col(score_col).cast("double")
     y = F.col(label_col).cast("double")
     b = F.least(
@@ -208,7 +216,9 @@ def windowed_calibration_bins(
     src = scored.withWatermark(ts_col, watermark) if scored.isStreaming else scored
     t = (
         src.filter(s.isNotNull() & y.isNotNull())
-        .groupBy(F.window(ts_col, window_size).alias("win"), b.alias("bin"))
+        .groupBy(
+            F.window(ts_col, window_size).alias("win"), *group_cols, b.alias("bin")
+        )
         .agg(
             F.count(F.lit(1)).alias("n"),
             F.sum(s).alias("__sum_s"),
@@ -217,6 +227,7 @@ def windowed_calibration_bins(
     )
     return t.select(
         F.col("win.start").alias("window_start"),
+        *group_cols,
         "bin",
         "n",
         (F.col("__sum_s") / F.col("n")).alias("conf"),

@@ -124,6 +124,21 @@ def main() -> None:
         )
         record("windowed_calibration_bins", n_scored, sec)
 
+        # ---- per-group drift monitor (by=...) over the same stream --------
+        grouped_src = os.path.join(tmp, "scored_grouped_src")
+        grouped = events.select(
+            "ts",
+            F.col("event_type").alias("segment"),
+            (F.pmod(F.xxhash64("event_id"), F.lit(1000)) / 1000.0).alias("score"),
+            F.pmod(F.xxhash64("user_id"), F.lit(2)).cast("int").alias("label"),
+        )
+        n_grouped = _shard(spark, grouped, grouped_src)
+        sec = _to_memory(
+            windowed_calibration_bins(_stream_from(spark, grouped_src), by="segment"),
+            "sb_caldrift_grouped", "update",
+        )
+        record("windowed_calibration_bins_grouped", n_grouped, sec)
+
         # ---- LM perplexity scoring vs a persisted model -------------------
         from epic_pandas_spark.functions.ngram_lm import (
             ngram_lm_load,

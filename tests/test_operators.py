@@ -2535,6 +2535,81 @@ def test_isotonic_calibration_repairs_any_monotone_warp(spark):
     assert after < 0.02, (before, after)
 
 
+def test_recalibrate_auto_isotonic_wins_staircase_warp(spark):
+    """recalibrate_auto must pick ISOTONIC when the miscalibration is a
+    two-jump staircase — a monotone shape no sigmoid(a*s+b) can fit —
+    given enough labeled data, and its transform must carry the repair
+    (holdout log-loss of the winner strictly below Platt's)."""
+    from epic_pandas_spark.extensions.curation import recalibrate_auto
+
+    rows = []
+    for i in range(6000):
+        s = ((i * 37) % 600) / 600.0
+        p_true = 0.05 + (0.45 if s > 0.33 else 0.0) + (0.45 if s > 0.66 else 0.0)
+        label = 1 if (i * 7) % 100 < p_true * 100 else 0
+        rows.append((i, s, label))
+    df = spark.createDataFrame(rows, "id long, s double, y int").repartition(8)
+    choice = recalibrate_auto(df, "s", "y", "id", holdout_frac=0.25, seed=7)
+    ll = choice["holdout_logloss"]
+    assert choice["method"] == "isotonic", ll
+    assert ll["isotonic"] < ll["platt"], ll
+    out = choice["transform"](df).select("id", "s", "y", "calibrated")
+    assert out.count() == 6000
+    # the staircase is recovered: calibrated probs near the plateau means
+    mids = {
+        r["s"]: r["calibrated"]
+        for r in out.filter(F.col("s").isin(*[0.2, 0.5, 0.9])).distinct().collect()
+    }
+    # plateau checks at representative scores (exact s values exist by
+    # construction only if hit; assert via aggregate instead)
+    agg = (
+        out.withColumn(
+            "plateau",
+            F.when(F.col("s") <= 0.33, 0).when(F.col("s") <= 0.66, 1).otherwise(2),
+        )
+        .groupBy("plateau")
+        .agg(F.avg("calibrated").alias("p"), F.avg(F.col("y").cast("double")).alias("r"))
+        .collect()
+    )
+    for row in agg:
+        assert abs(row["p"] - row["r"]) < 0.05, (row["plateau"], row["p"], row["r"])
+
+
+def test_recalibrate_auto_platt_wins_scarce_labels(spark):
+    """recalibrate_auto must pick PLATT when labels are scarce and the
+    true warp IS a logit shift: isotonic's free-form blocks overfit a
+    small train split (0/1 plateaus, jagged block means) where Platt's
+    two parameters generalize."""
+    import math
+
+    from epic_pandas_spark.extensions.curation import recalibrate_auto
+
+    rows = []
+    for i in range(60):
+        p_true = (10 + (i * 37) % 78) / 97.0
+        logit = math.log(p_true / (1 - p_true))
+        s = 1.0 / (1.0 + math.exp(-0.35 * logit))   # under-confident sigmoid warp
+        label = 1 if (i * 29) % 100 < p_true * 100 else 0
+        rows.append((i, s, label))
+    df = spark.createDataFrame(rows, "id long, s double, y int").repartition(4)
+    choice = recalibrate_auto(df, "s", "y", "id", holdout_frac=0.3, seed=42)
+    ll = choice["holdout_logloss"]
+    assert choice["method"] == "platt", ll
+    assert ll["platt"] < ll["isotonic"], ll
+    # the winner's closed-form expr exists for Platt and matches transform
+    assert choice["expr"] is not None
+    a, b = choice["platt"]
+    assert a > 0  # monotone repair
+
+
+def test_recalibrate_auto_validates_inputs(spark):
+    from epic_pandas_spark.extensions.curation import recalibrate_auto
+
+    df = spark.createDataFrame([(1, 0.5, 1)], "id long, s double, y int")
+    with pytest.raises(ValueError, match="holdout_frac"):
+        recalibrate_auto(df, "s", "y", "id", holdout_frac=1.5)
+
+
 def test_grouped_average_precision_matches_per_group_ungrouped(spark):
     """Per-group AP == running the ungrouped average_precision on each
     group's slice; null group is a real group; a no-positive group gets

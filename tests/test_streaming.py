@@ -753,3 +753,70 @@ def test_windowed_calibration_bins_stream_matches_batch(spark, tmp_path):
         n_tot = sum(n for n, _, _, _ in rows_)
         return sum(abs(g) * n for n, _, _, g in rows_) / n_tot
     assert ece(hours[1]) > ece(hours[0]) * 2, (ece(hours[0]), ece(hours[1]))
+
+
+def test_windowed_calibration_bins_grouped_stream_matches_batch(spark, tmp_path):
+    """Per-group drift monitoring (by=...): the stream equals the batch
+    twin per (window, group, bin), and a model drifting on ONE group
+    only ('de' scores warped, 'en' calibrated) shows a larger weighted
+    |gap| for that group while staying invisible-in-aggregate small for
+    the other — the reason the group dimension exists."""
+    import datetime as dt
+
+    from epic_pandas_spark.streaming.windows import (
+        run_stream_to_memory,
+        windowed_calibration_bins,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(3000):
+        lang = "en" if i % 2 == 0 else "de"
+        p = ((i * 37) % 101) / 100.0
+        score = p if lang == "en" else min(p * p, 1.0)   # de: stale model
+        label = 1 if (i * 7) % 100 < p * 100 else 0
+        rows.append((base + dt.timedelta(seconds=i), lang, score, label))
+    batch = spark.createDataFrame(
+        rows, "ts timestamp, lang string, score double, label int"
+    )
+
+    src = str(tmp_path / "scored_grouped_src")
+    batch.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = run_stream_to_memory(
+        windowed_calibration_bins(stream, by="lang"),
+        "cal_drift_grouped_out", output_mode="complete",
+    )
+
+    def key(r):
+        return (r["window_start"], r["lang"], r["bin"])
+
+    def val(r):
+        return (r["n"], round(r["conf"], 9), round(r["acc"], 9), round(r["gap"], 9))
+
+    try:
+        got = {
+            key(r): val(r)
+            for r in spark.sql("SELECT * FROM cal_drift_grouped_out").collect()
+        }
+        want = {
+            key(r): val(r)
+            for r in windowed_calibration_bins(batch, by="lang").collect()
+        }
+        assert got == want
+        assert {g for _, g, _ in want} == {"en", "de"}
+    finally:
+        q.stop()
+
+    def group_ece(lang):
+        rows_ = [v for (_, g, _), v in want.items() if g == lang]
+        n_tot = sum(n for n, _, _, _ in rows_)
+        return sum(abs(g) * n for n, _, _, g in rows_) / n_tot
+
+    assert group_ece("de") > group_ece("en") * 2, (
+        group_ece("en"), group_ece("de"),
+    )
