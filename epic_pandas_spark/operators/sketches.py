@@ -228,6 +228,125 @@ def histogram_quantile_expr(sketch_col, q: float, lo: float, hi: float):
     return F.least(F.greatest(mid, F.lit(lo)), F.lit(hi))
 
 
+def quantile_anchor_sketches(
+    df: DataFrame,
+    keys: Sequence[str],
+    value_col: str,
+    q: int = 128,
+) -> DataFrame:
+    """RANGE-FREE mergeable quantile sketches — the store the
+    fixed-range histogram sketch above cannot be: no a-priori
+    ``[lo, hi]`` (the reason KLL/t-digest exist; a latency column whose
+    tail moves, a length column across corpora). One sketch per key
+    group = the group's EXACT values at ``q`` evenly spaced ranks
+    (type-1 lower quantiles, rank ``ceil(j*n/q)`` for j=1..q) plus the
+    group count: ``(keys..., j, v, n_rows)``, exactly q rows per group
+    however large the group. Each anchor j carries mass ``n/q``, so a
+    stored sketch is a step-function summary of the group's CDF with
+    deterministic rank error <= n/q — and summaries from different
+    shards/days MERGE by weighted concatenation
+    (:func:`quantile_anchor_rollup`), the roll-up discipline of every
+    store in this module. Unlike a sampled t-digest the anchor set is a
+    pure function of the sorted data: bit-stable across runs and
+    SQL-replayable, so the whole store is oracle-exact.
+
+    Plan: one window sort WITHIN each key group (rank + count — the
+    same shuffle class as the per-group bottom-k in
+    :func:`kmv_sketches`: keyed rows, never a global sort), then each
+    row expands to the anchor indexes it serves (``j`` with
+    ``ceil(j*n/q) == rn``) via a sequence — rows that anchor nothing
+    are dropped map-side, so the output is |groups| x q."""
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    keys = list(keys)
+    v = F.col(value_col).cast("double")
+    w = Window.partitionBy(*keys).orderBy("v")
+    wn = Window.partitionBy(*keys)
+    ranked = (
+        df.filter(v.isNotNull())
+        .select(*keys, v.alias("v"))
+        .withColumn("__rn", F.row_number().over(w))
+        .withColumn("n_rows", F.count(F.lit(1)).over(wn))
+    )
+    # row rn anchors j in (q*(rn-1)/n, q*rn/n]: j_lo..j_hi
+    q_ = F.lit(q).cast("long")
+    n = F.col("n_rows").cast("long")
+    rn = F.col("__rn").cast("long")
+    j_lo = F.floor((q_ * (rn - 1)) / n) + 1
+    j_hi = F.floor((q_ * rn) / n)
+    return (
+        ranked.filter(j_hi >= j_lo)
+        .select(
+            *keys,
+            F.explode(F.sequence(j_lo.cast("int"), j_hi.cast("int"))).alias("j"),
+            "v",
+            "n_rows",
+        )
+    )
+
+
+def quantile_anchor_rollup(
+    sketches: DataFrame,
+    keys: Sequence[str],
+    probs: Sequence[float],
+    q: int = 128,
+) -> DataFrame:
+    """Quantiles of the UNION of the corpora behind stored anchor
+    sketches, rolled up to a coarser key set (empty for global) — raw
+    data untouched: anchor j of a group with ``n_rows`` values carries
+    mass ``n_rows/q``, so the merged CDF is the weight-ordered anchor
+    sequence and quantile p is the first anchor whose cumulative mass
+    reaches ``p * total_mass`` (type-1 on the merged step function).
+    Deterministic — same sketches, same doubles — and rank error is
+    bounded by the sum of per-group ``n/q`` masses, i.e. <= N/q
+    overall (pytest-witnessed). Every step runs on sketch rows
+    (|groups| x q), never data. Output: one row per (coarse key,
+    prob): ``(keys..., prob, quantile_est)``."""
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    for p in probs:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"probs must be in (0, 1], got {p}")
+    keys = list(keys)
+    mass = (F.col("n_rows").cast("double") / F.lit(float(q))).alias("__mass")
+    rows = sketches.select(*keys, "v", mass)
+    wsum = Window.partitionBy(*keys) if keys else Window.partitionBy()
+    # cumulative mass in value order; ties collapse to the same value so
+    # any within-tie order yields the same quantile
+    wcum = (
+        Window.partitionBy(*keys).orderBy("v")
+        if keys
+        else Window.partitionBy().orderBy("v")
+    ).rowsBetween(Window.unboundedPreceding, 0)
+    cum = rows.withColumn("__cum", F.sum("__mass").over(wcum)).withColumn(
+        "__total", F.sum("__mass").over(wsum)
+    )
+    # one pass for all probs: smallest v whose cum mass reaches p*total
+    per_p = [
+        F.min(
+            F.when(
+                F.col("__cum") >= F.lit(p) * F.col("__total") - F.lit(1e-9),
+                F.col("v"),
+            )
+        ).alias(f"__q{i}")
+        for i, p in enumerate(probs)
+    ]
+    agg = (cum.groupBy(*keys) if keys else cum.groupBy()).agg(*per_p)
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(p)).alias("prob"), F.col(f"__q{i}").alias("quantile_est")
+                )
+                for i, p in enumerate(probs)
+            ]
+        )
+    ).alias("__s")
+    return agg.select(*keys, stack).select(
+        *keys, F.col("__s.prob").alias("prob"), F.col("__s.quantile_est").alias("quantile_est")
+    )
+
+
 def cms_sketches(
     df: DataFrame,
     keys: Sequence[str],
@@ -665,6 +784,75 @@ def kmv_jaccard(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
             (F.col("n_common") / F.col("k_used")).alias("jaccard_est"),
             (F.col("n_common") / F.col("n_a")).alias("containment_a_est"),
             (F.col("n_common") / F.col("n_b")).alias("containment_b_est"),
+        )
+    )
+
+
+def kmv_set_cardinalities(
+    sketch_a: DataFrame,
+    sketch_b: DataFrame,
+    k: int,
+    hash_bits: int = 64,
+) -> DataFrame:
+    """Set-operation CARDINALITY estimates between the corpora behind
+    two KMV sketches — the theta-sketch-family composition
+    (Dasgupta et al., "Theta-Sketch Framework", and Beyer et al.
+    SIGMOD'07) of the two primitives this store already carries:
+
+    1. ``union_est``: the union sketch's bottom-k is a KMV sketch OF
+       the union, so |A∪B| estimates exactly like
+       :func:`kmv_distinct_estimate` — ``(k-1)/u_k`` on the union
+       sketch's normalized k-th minimum, EXACT counting when the union
+       sketch holds fewer than ``k`` hashes (then it IS the union's
+       distinct set).
+    2. ``n_common / k_used`` is the Jaccard estimator (the union
+       sketch is a uniform sample of the union's identity space), so
+       ``intersection_est = jaccard_est * union_est`` and the
+       differences follow by the same membership fractions:
+       ``a_minus_b_est = (n_a - n_common) / k_used * union_est``.
+
+    Answers "how many NEW documents does crawl B add" / "how many
+    would dedup remove" across persisted corpus-pair summaries without
+    re-reading either corpus: every step runs on <= 2k hash rows.
+    Deterministic — same sketches, same integers, bit-stable doubles —
+    so with a SQL-replayable hash the whole estimate is oracle-exact.
+
+    Returns one row: ``(k_used, n_a, n_b, n_common, union_est,
+    intersection_est, a_minus_b_est, b_minus_a_est)``."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    u = kmv_merge(sketch_a, sketch_b, k).localCheckpoint(eager=False)
+    in_a = u.join(sketch_a, "h", "left_semi")
+    common = in_a.join(sketch_b, "h", "left_semi")
+    in_b = u.join(sketch_b, "h", "left_semi")
+    if hash_bits == 64:
+        kth = (F.max("h").cast("double") + 9.223372036854776e18) / 1.8446744073709552e19
+    else:
+        kth = F.max("h").cast("double") / float(2 ** hash_bits)
+    kth = F.greatest(kth, F.lit(1.0 / float(2 ** min(hash_bits, 64))))
+    ku = u.agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise((F.count(F.lit(1)) - 1) / kth)
+        .alias("union_est"),
+    )
+    na = in_a.agg(F.count(F.lit(1)).alias("n_a"))
+    nb = in_b.agg(F.count(F.lit(1)).alias("n_b"))
+    nc = common.agg(F.count(F.lit(1)).alias("n_common"))
+    return (
+        ku.crossJoin(na).crossJoin(nb).crossJoin(nc)
+        .select(
+            "k_used",
+            "n_a",
+            "n_b",
+            "n_common",
+            "union_est",
+            (F.col("n_common") / F.col("k_used") * F.col("union_est"))
+            .alias("intersection_est"),
+            ((F.col("n_a") - F.col("n_common")) / F.col("k_used")
+             * F.col("union_est")).alias("a_minus_b_est"),
+            ((F.col("n_b") - F.col("n_common")) / F.col("k_used")
+             * F.col("union_est")).alias("b_minus_a_est"),
         )
     )
 

@@ -1630,6 +1630,43 @@ def q_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "windowed_topk",
+    """
+    WITH c AS (
+      SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+             CAST(event_type AS VARCHAR) AS value, COUNT(*) AS count_est
+      FROM events WHERE event_type IS NOT NULL
+      GROUP BY 1, 2
+    ), r AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY window_start
+                                   ORDER BY count_est DESC, value) AS rank
+      FROM c
+    )
+    SELECT window_start, CAST(rank AS INT) AS rank, value, count_est,
+           CAST(0 AS BIGINT) AS err
+    FROM r WHERE rank <= 5
+    """,
+)
+def q_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window top-k heavy hitters — the exact batch twin
+    (streaming.stateful.batch_windowed_topk) of the streaming
+    Space-Saving sketch (streaming.stateful.windowed_topk, Metwally et
+    al. ICDT'05: m bounded counters per open window, every value with
+    true count > N/m guaranteed present, per-counter error carried in
+    the ``err`` column). The stream==batch equivalence below
+    saturation and the past-saturation count/coverage guarantees are
+    pytest witnesses (tests/test_streaming.py); this entry anchors the
+    emission semantics — (count desc, value) tie-break, per-window
+    rank — against SQL. Plan: one (window, value) aggregate with
+    map-side partials, one |windows|-partitioned rank window; the
+    event payload never shuffles."""
+    from epic_pandas_spark.streaming.stateful import batch_windowed_topk
+
+    ev = load_table(spark, sf_dir, "events")
+    return batch_windowed_topk(ev, k=5)
+
+
+@register(
     "grouped_histogram",
     """
     WITH b AS (
@@ -3155,6 +3192,123 @@ def q_kmv_jaccard_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang_a", "lang_b", "k_used", "n_a", "n_b", "n_common",
         F.round("jaccard_est", 6).alias("jaccard_est"),
     )
+
+
+@register(
+    "kmv_set_cardinalities",
+    """
+    WITH n AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\\s+', ' ', 'g') AS t
+               FROM documents WHERE text IS NOT NULL),
+    ha AS (SELECT DISTINCT CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM n),
+    hb AS (SELECT DISTINCT CAST('0x' || substr(md5(t), 1, 15) AS BIGINT) AS h FROM n
+           WHERE doc_id % 2 = 0),
+    sa AS (SELECT h FROM ha ORDER BY h LIMIT 256),
+    sb AS (SELECT h FROM hb ORDER BY h LIMIT 256),
+    u AS (SELECT h FROM (SELECT h FROM sa UNION SELECT h FROM sb) ORDER BY h LIMIT 256),
+    counts AS (SELECT
+        (SELECT COUNT(*) FROM u) AS k_used,
+        (SELECT COUNT(*) FROM u WHERE h IN (SELECT h FROM sa)) AS n_a,
+        (SELECT COUNT(*) FROM u WHERE h IN (SELECT h FROM sb)) AS n_b,
+        (SELECT COUNT(*) FROM u
+         WHERE h IN (SELECT h FROM sa) AND h IN (SELECT h FROM sb)) AS n_common,
+        CASE WHEN (SELECT COUNT(*) FROM u) < 256
+             THEN (SELECT COUNT(*) FROM u)::DOUBLE
+             ELSE ((SELECT COUNT(*) FROM u) - 1)
+                  / GREATEST((SELECT MAX(h) FROM u)::DOUBLE / 1152921504606846976.0,
+                             1.0 / 1152921504606846976.0)
+        END AS union_est)
+    SELECT k_used::BIGINT AS k_used, n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+           n_common::BIGINT AS n_common,
+           ROUND(union_est, 6) AS union_est,
+           ROUND(n_common::DOUBLE / k_used * union_est, 6) AS intersection_est,
+           ROUND((n_a - n_common)::DOUBLE / k_used * union_est, 6) AS a_minus_b_est,
+           ROUND((n_b - n_common)::DOUBLE / k_used * union_est, 6) AS b_minus_a_est
+    FROM counts
+    """,
+)
+def q_kmv_set_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set-operation cardinalities between two persisted corpus
+    sketches (operators.sketches.kmv_set_cardinalities — the
+    theta-sketch-family composition over the KMV store): estimate
+    |A∪B|, |A∩B|, |A\\B|, |B\\A| between the full corpus and its
+    even-doc_id half from two bottom-256 sketches. This is the
+    sketch-store answer to "how many NEW documents does crawl B add" /
+    "how many would dedup remove" — corpus-pair set arithmetic from
+    <= 2k persisted hash rows, raw data untouched after the store
+    build. The md5-arithmetic 60-bit hash lets DuckDB replay the EXACT
+    estimate: same bottom-k integers, same k-th-minimum normalization,
+    same IEEE-double products, hash-compared to 6 decimals. Truth here:
+    B ⊆ A, so intersection ≈ |B|, b_minus_a ≈ 0; the estimator's
+    accuracy band on general overlaps is the pytest witness."""
+    from epic_pandas_spark.operators.sketches import (
+        kmv_set_cardinalities,
+        kmv_sketch,
+    )
+
+    def h60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    a = kmv_sketch(docs.filter(F.col("text").isNotNull()), norm, k=256, hash_expr=h60)
+    b = kmv_sketch(
+        docs.filter(F.col("text").isNotNull() & (F.col("doc_id") % 2 == 0)),
+        norm, k=256, hash_expr=h60,
+    )
+    out = kmv_set_cardinalities(a, b, 256, hash_bits=60)
+    return out.select(
+        "k_used", "n_a", "n_b", "n_common",
+        F.round("union_est", 6).alias("union_est"),
+        F.round("intersection_est", 6).alias("intersection_est"),
+        F.round("a_minus_b_est", 6).alias("a_minus_b_est"),
+        F.round("b_minus_a_est", 6).alias("b_minus_a_est"),
+    )
+
+
+@register(
+    "quantile_anchor_rollup",
+    """
+    WITH d AS (SELECT lang, n_chars::DOUBLE AS v FROM documents
+               WHERE n_chars IS NOT NULL AND lang IS NOT NULL),
+    r AS (SELECT lang, v, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY lang) AS n
+          FROM d),
+    js AS (SELECT UNNEST(generate_series(1, 64)) AS j),
+    a AS (SELECT r.lang, js.j, r.v, r.n
+          FROM r JOIN js ON r.rn = CAST(CEIL(js.j * r.n / 64.0) AS BIGINT)),
+    c AS (SELECT v, SUM(n / 64.0) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cum,
+                 SUM(n / 64.0) OVER () AS total
+          FROM a),
+    p AS (SELECT * FROM (VALUES (0.25), (0.5), (0.75), (0.9), (0.99)) t(prob))
+    SELECT p.prob AS prob,
+           MIN(CASE WHEN c.cum >= p.prob * c.total - 1e-9 THEN c.v END) AS quantile_est
+    FROM c, p GROUP BY p.prob
+    """,
+)
+def q_quantile_anchor_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-free mergeable quantile store (operators.sketches.
+    quantile_anchor_sketches -> quantile_anchor_rollup): build one
+    64-anchor sketch PER LANGUAGE of the document length distribution
+    (exact values at 64 evenly spaced ranks + the group count — q rows
+    per group however large the group, no a-priori [lo, hi] unlike the
+    histogram store), then answer GLOBAL quantiles from the merged
+    step function without re-reading data — the per-shard/per-day
+    percentile question ("p99 length across all crawls") from
+    |groups| x 64 persisted rows. Anchors are a pure function of the
+    sorted data and q=64 keeps every mass n/64 exact in binary, so
+    DuckDB replays the identical store and the identical merged
+    quantiles — hash-compared, not a tolerance band. Rank error of the
+    merge is <= N/q (pytest-witnessed against exact quantiles)."""
+    from epic_pandas_spark.operators.sketches import (
+        quantile_anchor_rollup,
+        quantile_anchor_sketches,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("n_chars").isNotNull() & F.col("lang").isNotNull()
+    )
+    store = quantile_anchor_sketches(docs, ["lang"], "n_chars", q=64)
+    return quantile_anchor_rollup(store, [], [0.25, 0.5, 0.75, 0.9, 0.99], q=64)
 
 
 @register(

@@ -139,6 +139,15 @@ def main() -> None:
         )
         record("windowed_calibration_bins_grouped", n_grouped, sec)
 
+        # ---- Space-Saving windowed top-k over the event stream -------------
+        from epic_pandas_spark.streaming.stateful import windowed_topk
+
+        sec = _to_memory(
+            windowed_topk(_stream_from(spark, events_src), k=5, m=64),
+            "sb_topk", "update",
+        )
+        record("windowed_topk", n_events, sec)
+
         # ---- LM perplexity scoring vs a persisted model -------------------
         from epic_pandas_spark.functions.ngram_lm import (
             ngram_lm_load,

@@ -1989,6 +1989,67 @@ def test_kmv_distinct_estimate_accuracy(spark):
     assert abs(est["n_distinct_est"] - n) / n < 4 / (k - 2) ** 0.5
 
 
+def test_kmv_set_cardinalities_exact_small_sets(spark):
+    """Below k the union sketch IS the union's distinct set, so every
+    set-operation cardinality is exact counting."""
+    from epic_pandas_spark.operators.sketches import (
+        kmv_set_cardinalities,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame([(x,) for x in "abcdef"], "v string")
+    b = spark.createDataFrame([(x,) for x in "defghi"], "v string")
+    sa, sb = kmv_sketch(a, "v", k=100), kmv_sketch(b, "v", k=100)
+    r = kmv_set_cardinalities(sa, sb, 100).collect()[0]
+    assert (r["k_used"], r["n_a"], r["n_b"], r["n_common"]) == (9, 6, 6, 3)
+    assert r["union_est"] == pytest.approx(9.0)
+    assert r["intersection_est"] == pytest.approx(3.0)
+    assert r["a_minus_b_est"] == pytest.approx(3.0)
+    assert r["b_minus_a_est"] == pytest.approx(3.0)
+
+
+def test_kmv_set_cardinalities_estimate_accuracy(spark):
+    """Above k: union estimate within KMV error (~1/sqrt(k-2)); the
+    intersection/difference estimates within the compounded Jaccard +
+    union bands; the four estimates are mutually consistent by
+    construction (inclusion-exclusion holds exactly)."""
+    from epic_pandas_spark.operators.sketches import (
+        kmv_set_cardinalities,
+        kmv_sketch,
+    )
+
+    n, k = 4000, 512
+    a = spark.range(n).selectExpr("concat('item', id) v")
+    b = spark.range(n // 2, n + n // 2).selectExpr("concat('item', id) v")
+    # |A|=|B|=n, |A∩B|=n/2, |A∪B|=3n/2, |A\\B|=|B\\A|=n/2
+    r = kmv_set_cardinalities(kmv_sketch(a, "v", k=k), kmv_sketch(b, "v", k=k), k)
+    row = r.collect()[0]
+    union_true, inter_true, diff_true = 1.5 * n, 0.5 * n, 0.5 * n
+    assert abs(row["union_est"] - union_true) / union_true < 4 / (k - 2) ** 0.5
+    # Jaccard sigma sqrt(J(1-J)/k) with J=1/3, scaled by the union —
+    # allow the compounded 4-sigma band plus the union's own error
+    band = 4 * ((1 / 3 * 2 / 3 / k) ** 0.5 * union_true + union_true / (k - 2) ** 0.5)
+    assert abs(row["intersection_est"] - inter_true) < band
+    assert abs(row["a_minus_b_est"] - diff_true) < band
+    assert abs(row["b_minus_a_est"] - diff_true) < band
+    # inclusion-exclusion is exact on the estimates (same union_est factor)
+    assert row["intersection_est"] + row["a_minus_b_est"] + row["b_minus_a_est"] == (
+        pytest.approx(row["union_est"] * (row["n_common"] + (row["n_a"] - row["n_common"]) + (row["n_b"] - row["n_common"])) / row["k_used"])
+    )
+
+
+def test_kmv_set_cardinalities_rejects_bad_k(spark):
+    from epic_pandas_spark.operators.sketches import (
+        kmv_set_cardinalities,
+        kmv_sketch,
+    )
+
+    a = spark.createDataFrame([("x",)], "v string")
+    s = kmv_sketch(a, "v", k=4)
+    with pytest.raises(ValueError, match="k must be >= 1"):
+        kmv_set_cardinalities(s, s, 0)
+
+
 def test_kmv_store_rollup_associativity(spark):
     """The KMV store's semilattice law: rolling up per-group sketches
     (any grouping, any order) equals sketching the union directly —
@@ -2639,3 +2700,86 @@ def test_grouped_average_precision_matches_per_group_ungrouped(spark):
     nopos = spark.createDataFrame([("a", 1, 0), ("a", 2, 0)], "g string, s int, y int")
     r = grouped_average_precision(nopos, "s", "y", "g").collect()[0]
     assert (r["n_pos"], r["n_neg"], r["ap"]) == (0, 2, None)
+
+
+def test_quantile_anchor_exact_below_q(spark):
+    """A group with n <= q anchors every value, so rolled-up quantiles
+    are EXACT type-1 (lower) quantiles."""
+    import numpy as np
+
+    from epic_pandas_spark.operators.sketches import (
+        quantile_anchor_rollup,
+        quantile_anchor_sketches,
+    )
+
+    vals = [3.0, 1.0, 4.0, 1.0, 5.0, 9.0, 2.0, 6.0]
+    df = spark.createDataFrame([(v,) for v in vals], "x double")
+    store = quantile_anchor_sketches(df, [], "x", q=64)
+    probs = [0.25, 0.5, 0.75, 1.0]
+    got = {
+        r["prob"]: r["quantile_est"]
+        for r in quantile_anchor_rollup(store, [], probs, q=64).collect()
+    }
+    arr = np.sort(np.array(vals))
+    for p in probs:
+        want = float(arr[int(np.ceil(p * len(arr))) - 1])  # type-1 lower
+        assert got[p] == want, (p, got[p], want)
+
+
+def test_quantile_anchor_rollup_rank_error_bound(spark):
+    """Merging per-shard sketches answers global quantiles within the
+    N/q rank-error bound however the data was sharded."""
+    import numpy as np
+
+    from epic_pandas_spark.operators.sketches import (
+        quantile_anchor_rollup,
+        quantile_anchor_sketches,
+    )
+
+    rng = np.random.RandomState(7)
+    n, q, shards = 20000, 128, 16
+    vals = rng.lognormal(3.0, 1.5, n)
+    rows = [(int(i % shards), float(v)) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "shard int, x double")
+    store = quantile_anchor_sketches(df, ["shard"], "x", q=q)
+    assert store.count() == shards * q
+    probs = [0.1, 0.5, 0.9, 0.99]
+    got = {
+        r["prob"]: r["quantile_est"]
+        for r in quantile_anchor_rollup(store, [], probs, q=q).collect()
+    }
+    s = np.sort(vals)
+    for p in probs:
+        # rank of the estimate within the true sorted data must be
+        # within N/q (+1 for the type-1 floor) of the target rank
+        est_rank = np.searchsorted(s, got[p], side="right")
+        target = int(np.ceil(p * n))
+        assert abs(est_rank - target) <= n / q + 1, (p, est_rank, target)
+
+
+def test_quantile_anchor_grouped_rollup_and_validation(spark):
+    """Rollup at the SAME key returns per-group quantiles (each group's
+    own anchors only); bad q/probs raise."""
+    import numpy as np
+
+    from epic_pandas_spark.operators.sketches import (
+        quantile_anchor_rollup,
+        quantile_anchor_sketches,
+    )
+
+    rows = [("a", float(i)) for i in range(1, 101)] + [
+        ("b", float(1000 + i)) for i in range(1, 51)
+    ]
+    df = spark.createDataFrame(rows, "g string, x double")
+    store = quantile_anchor_sketches(df, ["g"], "x", q=32)
+    out = {
+        (r["g"], r["prob"]): r["quantile_est"]
+        for r in quantile_anchor_rollup(store, ["g"], [0.5], q=32).collect()
+    }
+    # 32 anchors on 100 rows: rank error <= 100/32 ~ 3 ranks around 50
+    assert abs(out[("a", 0.5)] - 50.0) <= 4
+    assert abs(out[("b", 0.5)] - 1025.0) <= 2
+    with pytest.raises(ValueError, match="q must be >= 1"):
+        quantile_anchor_sketches(df, ["g"], "x", q=0)
+    with pytest.raises(ValueError, match="probs must be in"):
+        quantile_anchor_rollup(store, ["g"], [0.0], q=32)

@@ -820,3 +820,101 @@ def test_windowed_calibration_bins_grouped_stream_matches_batch(spark, tmp_path)
     assert group_ece("de") > group_ece("en") * 2, (
         group_ece("en"), group_ece("de"),
     )
+
+
+def test_windowed_topk_stream_matches_batch(spark, tmp_path):
+    """Below saturation (distinct values per window <= m) Space-Saving
+    is exact: the stream's final per-window emission equals the exact
+    batch twin — across micro-batches, so counter state must merge
+    correctly between files."""
+    import datetime as dt
+
+    from epic_pandas_spark.streaming.stateful import (
+        batch_windowed_topk,
+        windowed_topk,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(3000):
+        hour = i % 2
+        v = f"type{(i * 13) % 12}"  # 12 distinct values << m=64
+        rows.append((base + dt.timedelta(hours=hour, seconds=i % 3600), v))
+    batch = spark.createDataFrame(rows, "ts timestamp, event_type string")
+
+    src = str(tmp_path / "topk_src")
+    batch.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = windowed_topk(stream, k=5, m=64)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("topk_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    try:
+        # update mode emits per window per batch; the final emission per
+        # window carries the largest n_seen
+        got = {
+            (r["window_start"], r["rank"]): (r["value"], r["count_est"], r["err"])
+            for r in spark.sql(
+                """SELECT * FROM (
+                     SELECT *, MAX(n_seen) OVER (PARTITION BY window_start) mx
+                     FROM topk_out) WHERE n_seen = mx"""
+            ).collect()
+        }
+        want = {
+            (r["window_start"], r["rank"]): (r["value"], r["count_est"], 0)
+            for r in batch_windowed_topk(batch, k=5).collect()
+        }
+        assert got == want
+        assert len({w for w, _ in want}) == 2
+    finally:
+        q.stop()
+
+
+def test_spacesaving_merge_guarantees():
+    """The Metwally et al. invariants on the pure merge kernel, past
+    saturation: (a) every value with true count > N/m is present,
+    (b) count - err <= true <= count for every counter, (c) never more
+    than m counters."""
+    from collections import Counter
+
+    from epic_pandas_spark.streaming.stateful import _spacesaving_merge
+
+    # zipf-ish: value j appears ~ 600/j times, 200 distinct >> m=32
+    stream = [f"v{j:03d}" for j in range(1, 201) for _ in range(600 // j)]
+    # deterministic interleave so heavy items arrive spread out
+    stream.sort(key=lambda v: hash(v) % 7919)
+    true = Counter(stream)
+    n = len(stream)
+    m = 32
+    ctr: dict = {}
+    # feed in 10 chunks to mimic micro-batches, each pre-counted like
+    # the operator does
+    chunk = (n + 9) // 10
+    for i in range(0, n, chunk):
+        vc = Counter(stream[i : i + chunk])
+        _spacesaving_merge(ctr, sorted(vc.items(), key=lambda t: (-t[1], t[0])), m)
+    assert len(ctr) <= m
+    for v, (c, e) in ctr.items():
+        assert c - e <= true[v] <= c, (v, c, e, true[v])
+    for v, t in true.items():
+        if t > n / m:
+            assert v in ctr, f"guaranteed heavy hitter {v} (count {t} > N/m) missing"
+
+
+def test_windowed_topk_rejects_bad_k(spark):
+    from epic_pandas_spark.streaming.stateful import windowed_topk
+
+    df = spark.createDataFrame([], "ts timestamp, event_type string")
+    with pytest.raises(ValueError, match="need 1 <= k <= m"):
+        windowed_topk(df, k=0)
+    with pytest.raises(ValueError, match="need 1 <= k <= m"):
+        windowed_topk(df, k=10, m=5)
