@@ -743,6 +743,86 @@ def kmv_jaccard_matrix(
     )
 
 
+def kmv_setops_matrix(
+    sketches: DataFrame,
+    keys: Sequence[str],
+    k: int,
+    hash_bits: int = 64,
+) -> DataFrame:
+    """Set-operation cardinality estimates between EVERY pair of
+    per-key sketches in a KMV store — :func:`kmv_set_cardinalities`
+    applied all-pairs, the way :func:`kmv_jaccard_matrix` lifts
+    :func:`kmv_jaccard`: the full "how many docs would merging crawl A
+    and crawl B yield / how many are new / how many shared" matrix
+    from persisted k-row summaries, raw data untouched.
+
+    Same plan skeleton as the Jaccard matrix (|groups|-row key dim
+    crossed into a < b pairs and broadcast, sketches joined in by key,
+    one per-pair bottom-k window, one aggregate), plus the union-theta
+    estimate on each pair's merged bottom-k: bounded by |pairs| x 2k
+    hash rows end to end. Columns: the Jaccard-matrix counts plus
+    ``union_est, intersection_est, a_minus_b_est, b_minus_a_est``.
+    Deterministic — oracle-exact under a SQL-replayable hash."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    keys = list(keys)
+    if not keys:
+        raise ValueError("keys must be non-empty (pairs need a key to pair on)")
+    a_keys = [f"{c}_a" for c in keys]
+    b_keys = [f"{c}_b" for c in keys]
+    labels = sketches.select(*keys).distinct()
+    la = labels.select(*[F.col(c).alias(f"{c}_a") for c in keys])
+    lb = labels.select(*[F.col(c).alias(f"{c}_b") for c in keys])
+    pairs = la.crossJoin(lb).filter(F.struct(*a_keys) < F.struct(*b_keys))
+    sa = sketches.select(*[F.col(c).alias(f"{c}_a") for c in keys], "h").withColumn(
+        "__in_a", F.lit(1)
+    )
+    sb = sketches.select(*[F.col(c).alias(f"{c}_b") for c in keys], "h").withColumn(
+        "__in_b", F.lit(1)
+    )
+    rows = (
+        F.broadcast(pairs).join(sa, a_keys)
+        .select(*a_keys, *b_keys, "h", "__in_a", F.lit(0).alias("__in_b"))
+        .unionByName(
+            F.broadcast(pairs).join(sb, b_keys)
+            .select(*a_keys, *b_keys, "h", F.lit(0).alias("__in_a"), "__in_b")
+        )
+        .groupBy(*a_keys, *b_keys, "h")
+        .agg(F.max("__in_a").alias("__in_a"), F.max("__in_b").alias("__in_b"))
+    )
+    w = Window.partitionBy(*a_keys, *b_keys).orderBy("h")
+    topk = rows.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") <= k)
+    if hash_bits == 64:
+        kth = (F.max("h").cast("double") + 9.223372036854776e18) / 1.8446744073709552e19
+    else:
+        kth = F.max("h").cast("double") / float(2 ** hash_bits)
+    kth = F.greatest(kth, F.lit(1.0 / float(2 ** min(hash_bits, 64))))
+    agg = topk.groupBy(*a_keys, *b_keys).agg(
+        F.count(F.lit(1)).alias("k_used"),
+        F.sum("__in_a").alias("n_a"),
+        F.sum("__in_b").alias("n_b"),
+        F.sum(F.col("__in_a") * F.col("__in_b")).alias("n_common"),
+        F.when(F.count(F.lit(1)) < k, F.count(F.lit(1)).cast("double"))
+        .otherwise((F.count(F.lit(1)) - 1) / kth)
+        .alias("union_est"),
+    )
+    return agg.select(
+        *a_keys,
+        *b_keys,
+        "k_used",
+        "n_a",
+        "n_b",
+        "n_common",
+        "union_est",
+        (F.col("n_common") / F.col("k_used") * F.col("union_est"))
+        .alias("intersection_est"),
+        ((F.col("n_a") - F.col("n_common")) / F.col("k_used") * F.col("union_est"))
+        .alias("a_minus_b_est"),
+        ((F.col("n_b") - F.col("n_common")) / F.col("k_used") * F.col("union_est"))
+        .alias("b_minus_a_est"),
+    )
+
+
 def kmv_merge(sketch_a: DataFrame, sketch_b: DataFrame, k: int) -> DataFrame:
     """Union two KMV sketches: distinct bottom-k of the combined hash
     sets — the sketch of the UNION of the underlying corpora. Operates

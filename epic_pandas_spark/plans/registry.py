@@ -3266,6 +3266,81 @@ def q_kmv_set_cardinalities(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmv_setops_matrix",
+    """
+    WITH n AS (SELECT lang,
+                      CAST('0x' || substr(md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')), 1, 15) AS BIGINT) AS h
+               FROM documents WHERE text IS NOT NULL AND lang IS NOT NULL),
+    s AS (SELECT lang, h FROM (
+            SELECT lang, h, ROW_NUMBER() OVER (PARTITION BY lang ORDER BY h) AS rn
+            FROM (SELECT DISTINCT lang, h FROM n))
+          WHERE rn <= 128),
+    langs AS (SELECT DISTINCT lang FROM s),
+    pairs AS (SELECT a.lang AS lang_a, b.lang AS lang_b
+              FROM langs a JOIN langs b ON a.lang < b.lang),
+    u AS (SELECT p.lang_a, p.lang_b, s.h,
+                 MAX(CASE WHEN s.lang = p.lang_a THEN 1 ELSE 0 END) AS in_a,
+                 MAX(CASE WHEN s.lang = p.lang_b THEN 1 ELSE 0 END) AS in_b
+          FROM pairs p JOIN s ON s.lang IN (p.lang_a, p.lang_b)
+          GROUP BY p.lang_a, p.lang_b, s.h),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY lang_a, lang_b ORDER BY h) AS rn
+          FROM u),
+    a AS (SELECT lang_a, lang_b,
+                 COUNT(*) AS k_used, SUM(in_a) AS n_a, SUM(in_b) AS n_b,
+                 SUM(in_a * in_b) AS n_common,
+                 CASE WHEN COUNT(*) < 128 THEN COUNT(*)::DOUBLE
+                      ELSE (COUNT(*) - 1)
+                           / GREATEST(MAX(h)::DOUBLE / 1152921504606846976.0,
+                                      1.0 / 1152921504606846976.0)
+                 END AS union_est
+          FROM r WHERE rn <= 128
+          GROUP BY lang_a, lang_b)
+    SELECT lang_a, lang_b,
+           CAST(k_used AS BIGINT) AS k_used, CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b, CAST(n_common AS BIGINT) AS n_common,
+           ROUND(union_est, 6) AS union_est,
+           ROUND(n_common::DOUBLE / k_used * union_est, 6) AS intersection_est,
+           ROUND((n_a - n_common)::DOUBLE / k_used * union_est, 6) AS a_minus_b_est,
+           ROUND((n_b - n_common)::DOUBLE / k_used * union_est, 6) AS b_minus_a_est
+    FROM a
+    """,
+)
+def q_kmv_setops_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs set-operation cardinalities from the KMV store
+    (operators.sketches.kmv_setops_matrix): every language pair's
+    |A∪B| / |A∩B| / |A\\B| estimates from the persisted per-language
+    bottom-128 sketches — the crawl-merge planning matrix ("how big is
+    each pairwise merge, how much is new") bounded by |pairs| x 2k
+    hash rows, raw data untouched after the store build. Same
+    deterministic md5-arithmetic 60-bit hash as the Jaccard matrix, so
+    DuckDB replays the identical union-theta estimates to 6dp
+    (languages are disjoint text sets here — intersections ~0, unions
+    ~ n_a-plus-n_b-scale; the estimator's accuracy band on overlapping
+    sets is the kmv_set_cardinalities pytest witness)."""
+    from epic_pandas_spark.operators.sketches import (
+        kmv_setops_matrix,
+        kmv_sketches,
+    )
+
+    def h60(c):
+        return F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        F.col("text").isNotNull() & F.col("lang").isNotNull()
+    )
+    norm = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    store = kmv_sketches(docs, ["lang"], norm, k=128, hash_expr=h60)
+    out = kmv_setops_matrix(store, ["lang"], 128, hash_bits=60)
+    return out.select(
+        "lang_a", "lang_b", "k_used", "n_a", "n_b", "n_common",
+        F.round("union_est", 6).alias("union_est"),
+        F.round("intersection_est", 6).alias("intersection_est"),
+        F.round("a_minus_b_est", 6).alias("a_minus_b_est"),
+        F.round("b_minus_a_est", 6).alias("b_minus_a_est"),
+    )
+
+
+@register(
     "quantile_anchor_rollup",
     """
     WITH d AS (SELECT lang, n_chars::DOUBLE AS v FROM documents

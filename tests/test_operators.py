@@ -2783,3 +2783,43 @@ def test_quantile_anchor_grouped_rollup_and_validation(spark):
         quantile_anchor_sketches(df, ["g"], "x", q=0)
     with pytest.raises(ValueError, match="probs must be in"):
         quantile_anchor_rollup(store, ["g"], [0.0], q=32)
+
+
+def test_kmv_setops_matrix_consistent_with_pairwise(spark):
+    """The all-pairs matrix row for (a, b) equals kmv_set_cardinalities
+    run on the two sketches directly; exact counting below k."""
+    from epic_pandas_spark.operators.sketches import (
+        kmv_set_cardinalities,
+        kmv_setops_matrix,
+        kmv_sketch,
+        kmv_sketches,
+    )
+
+    rows = (
+        [("a", f"x{i}") for i in range(40)]
+        + [("b", f"x{i}") for i in range(20, 70)]
+        + [("c", f"y{i}") for i in range(10)]
+    )
+    df = spark.createDataFrame(rows, "g string, v string")
+    store = kmv_sketches(df, ["g"], "v", k=100)
+    got = {
+        (r["g_a"], r["g_b"]): r
+        for r in kmv_setops_matrix(store, ["g"], 100).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c")}
+    ab = got[("a", "b")]
+    # |A|=40, |B|=50, |A∩B|=20 -> exact below k
+    assert (ab["n_a"], ab["n_b"], ab["n_common"]) == (40, 50, 20)
+    assert ab["union_est"] == pytest.approx(70.0)
+    assert ab["intersection_est"] == pytest.approx(20.0)
+    assert ab["a_minus_b_est"] == pytest.approx(20.0)
+    assert ab["b_minus_a_est"] == pytest.approx(30.0)
+    # matrix row == pairwise operator on the same two sketches
+    sa = kmv_sketch(df.filter(F.col("g") == "a"), "v", k=100)
+    sb = kmv_sketch(df.filter(F.col("g") == "b"), "v", k=100)
+    pw = kmv_set_cardinalities(sa, sb, 100).collect()[0]
+    for c in ("k_used", "n_a", "n_b", "n_common", "union_est",
+              "intersection_est", "a_minus_b_est", "b_minus_a_est"):
+        assert ab[c] == pytest.approx(pw[c]), c
+    with pytest.raises(ValueError, match="keys must be non-empty"):
+        kmv_setops_matrix(store, [], 100)
