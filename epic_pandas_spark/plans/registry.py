@@ -1667,6 +1667,46 @@ def q_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "windowed_quantiles",
+    """
+    WITH s AS (SELECT time_bucket(INTERVAL '1 hour', ts) AS window_start,
+                      value::DOUBLE AS v
+               FROM events WHERE value IS NOT NULL),
+    r AS (SELECT window_start, v,
+                 ROW_NUMBER() OVER (PARTITION BY window_start ORDER BY v) AS rn,
+                 COUNT(*) OVER (PARTITION BY window_start) AS n
+          FROM s),
+    p AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(prob))
+    SELECT r.window_start, p.prob AS prob,
+           ROUND(MIN(CASE WHEN r.rn >= CEIL(p.prob * r.n) THEN r.v END), 6)
+             AS quantile_est,
+           CAST(MAX(r.n) AS BIGINT) AS n_seen
+    FROM r, p GROUP BY r.window_start, p.prob
+    """,
+)
+def q_windowed_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-window exact quantiles — the batch twin
+    (streaming.stateful.batch_windowed_quantiles) of the streaming
+    numeric-distribution drift monitor (streaming.stateful.
+    windowed_quantiles: bounded q-anchor state per open window, the
+    streaming form of the quantile-anchor store). This entry anchors
+    the emission semantics — type-1 lower quantile per (event-time
+    window, prob), n_seen alongside — against SQL; the stream==batch
+    equivalence below q values/window and the anchor-compression error
+    bound are pytest witnesses. Plan: one shuffle on the window key,
+    per-window rank + count share its partitioning, |windows| x
+    |probs| output rows; the value column is the only payload."""
+    from epic_pandas_spark.streaming.stateful import batch_windowed_quantiles
+
+    ev = load_table(spark, sf_dir, "events")
+    out = batch_windowed_quantiles(ev, probs=(0.5, 0.9, 0.99))
+    return out.select(
+        "window_start", "prob",
+        F.round("quantile_est", 6).alias("quantile_est"), "n_seen",
+    )
+
+
+@register(
     "grouped_histogram",
     """
     WITH b AS (

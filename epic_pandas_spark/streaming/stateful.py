@@ -264,3 +264,180 @@ def batch_windowed_topk(
             F.lit(0).cast("long").alias("err"),
         )
     )
+
+
+def windowed_quantiles(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_size: str = "1 hour",
+    probs: tuple = (0.5, 0.9, 0.99),
+    q: int = 64,
+) -> DataFrame:
+    """Streaming NUMERIC-DISTRIBUTION drift monitor: per-window
+    quantiles of a value stream with bounded state — the third leg of
+    the streaming drift tier (calibration bins watch probabilities,
+    Space-Saving top-k watches categories, this watches numeric
+    distributions: latency, document length, score magnitudes).
+
+    State per open window is at most ``q`` (value, mass) anchors — the
+    streaming form of :func:`operators.sketches.quantile_anchor_sketches`:
+    each micro-batch's values merge into the window's anchor set as
+    unit masses; past ``q`` entries the merged step function re-anchors
+    to ``q`` equal-mass type-1 anchors (values always drawn FROM the
+    data, deterministic given arrival order). Exact while a window
+    holds <= q values; past that each re-anchoring adds at most
+    total_mass/q rank error (so worst case ~batches x N/q, in practice
+    one compression per batch on an already-compressed prefix).
+
+    Emits per batch: ``(window_start, prob, quantile_est, n_seen)``
+    for each requested prob — the latest emission per window (max
+    ``n_seen``) is the window's current estimate. Use
+    :func:`batch_windowed_quantiles` as the exact batch twin."""
+    from pyspark.sql import functions as F
+
+    if q < 1:
+        raise ValueError("q must be >= 1")
+    for p in probs:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"probs must be in (0, 1], got {p}")
+    probs = [float(p) for p in probs]
+
+    def _compress(vals: list, masses: list, q: int) -> tuple:
+        """Re-anchor a sorted (value, mass) step function to q type-1
+        anchors: anchor j takes the value at cumulative mass
+        ceil(j * total / q)."""
+        import math
+
+        if len(vals) <= q:
+            return vals, masses
+        total = sum(masses)
+        out_v, out_m = [], []
+        cum = 0.0
+        idx = 0
+        prev_t = 0.0
+        for j in range(1, q + 1):
+            target = total * j / q
+            while idx < len(vals) and cum + masses[idx] < target - 1e-9:
+                cum += masses[idx]
+                idx += 1
+            anchor = vals[min(idx, len(vals) - 1)]
+            out_v.append(anchor)
+            out_m.append(target - prev_t)
+            prev_t = target
+        return out_v, out_m
+
+    def update(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        vals, masses, n_seen = (
+            state.get if state.exists else ([], [], 0)
+        )
+        pairs = list(zip(vals, masses))
+        for pdf in pdfs:
+            new = pdf[value_col].dropna().astype(float)
+            n_seen += int(len(new))
+            pairs.extend((float(v), 1.0) for v in new)
+        pairs.sort(key=lambda t: t[0])
+        vals = [v for v, _ in pairs]
+        masses = [m for _, m in pairs]
+        vals, masses = _compress(vals, masses, q)
+        state.update((vals, masses, n_seen))
+        total = sum(masses)
+        out_p, out_q = [], []
+        for p in probs:
+            cum = 0.0
+            est = vals[-1] if vals else None
+            for v, m in zip(vals, masses):
+                cum += m
+                if cum >= p * total - 1e-9:
+                    est = v
+                    break
+            out_p.append(p)
+            out_q.append(est)
+        yield pd.DataFrame(
+            {
+                "window_start": [key[0]] * len(probs),
+                "prob": out_p,
+                "quantile_est": out_q,
+                "n_seen": [n_seen] * len(probs),
+            }
+        )
+
+    win = F.window(ts_col, window_size).getField("start").alias("__win")
+    return (
+        events.select(win, F.col(value_col))
+        .groupBy("__win")
+        .applyInPandasWithState(
+            update,
+            outputStructType=(
+                "window_start timestamp, prob double, quantile_est double, "
+                "n_seen long"
+            ),
+            stateStructType=(
+                "vals array<double>, masses array<double>, n_seen long"
+            ),
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
+def batch_windowed_quantiles(
+    events: DataFrame,
+    ts_col: str = "ts",
+    value_col: str = "value",
+    window_size: str = "1 hour",
+    probs: tuple = (0.5, 0.9, 0.99),
+) -> DataFrame:
+    """Exact batch twin of :func:`windowed_quantiles`: per event-time
+    window, exact type-1 (lower) quantiles at each prob — equal to the
+    streaming sketch whenever a window's values fit in its q anchors.
+    One shuffle on the window key; per-window rank + count ride the
+    same window partitioning."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    if not probs:
+        raise ValueError("probs must be non-empty")
+    for p in probs:
+        if not (0.0 < p <= 1.0):
+            raise ValueError(f"probs must be in (0, 1], got {p}")
+    v = F.col(value_col).cast("double")
+    src = events.filter(v.isNotNull()).select(
+        F.window(ts_col, window_size).getField("start").alias("window_start"),
+        v.alias("v"),
+    )
+    w = W.partitionBy("window_start").orderBy("v")
+    wn = W.partitionBy("window_start")
+    ranked = src.withColumn("__rn", F.row_number().over(w)).withColumn(
+        "__n", F.count(F.lit(1)).over(wn)
+    )
+    per_p = [
+        F.min(
+            F.when(
+                F.col("__rn") >= F.ceil(F.lit(float(p)) * F.col("__n")), F.col("v")
+            )
+        ).alias(f"__q{i}")
+        for i, p in enumerate(probs)
+    ]
+    agg = ranked.groupBy("window_start").agg(
+        *per_p, F.max("__n").alias("n_seen")
+    )
+    stack = F.explode(
+        F.array(
+            *[
+                F.struct(
+                    F.lit(float(p)).alias("prob"),
+                    F.col(f"__q{i}").alias("quantile_est"),
+                )
+                for i, p in enumerate(probs)
+            ]
+        )
+    ).alias("__s")
+    return agg.select("window_start", stack, "n_seen").select(
+        "window_start",
+        F.col("__s.prob").alias("prob"),
+        F.col("__s.quantile_est").alias("quantile_est"),
+        "n_seen",
+    )

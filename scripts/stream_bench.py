@@ -148,6 +148,15 @@ def main() -> None:
         )
         record("windowed_topk", n_events, sec)
 
+        # ---- windowed quantile (numeric drift) monitor --------------------
+        from epic_pandas_spark.streaming.stateful import windowed_quantiles
+
+        sec = _to_memory(
+            windowed_quantiles(_stream_from(spark, events_src), q=64),
+            "sb_wquant", "update",
+        )
+        record("windowed_quantiles", n_events, sec)
+
         # ---- LM perplexity scoring vs a persisted model -------------------
         from epic_pandas_spark.functions.ngram_lm import (
             ngram_lm_load,

@@ -918,3 +918,127 @@ def test_windowed_topk_rejects_bad_k(spark):
         windowed_topk(df, k=0)
     with pytest.raises(ValueError, match="need 1 <= k <= m"):
         windowed_topk(df, k=10, m=5)
+
+
+def test_windowed_quantiles_stream_matches_batch(spark, tmp_path):
+    """Below q values per window the anchor set is the window's exact
+    value multiset, so the stream's final per-window emission equals
+    the exact batch twin — across micro-batches."""
+    import datetime as dt
+
+    from epic_pandas_spark.streaming.stateful import (
+        batch_windowed_quantiles,
+        windowed_quantiles,
+    )
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = []
+    for i in range(100):  # 50 values per hour window << q=64
+        hour = i % 2
+        rows.append((base + dt.timedelta(hours=hour, seconds=i), float((i * 37) % 101)))
+    batch = spark.createDataFrame(rows, "ts timestamp, value double")
+
+    src = str(tmp_path / "wq_src")
+    batch.repartition(3).write.parquet(src)
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    out = windowed_quantiles(stream, probs=(0.5, 0.9, 0.99), q=64)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wq_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    try:
+        got = {
+            (r["window_start"], r["prob"]): (round(r["quantile_est"], 9), r["n_seen"])
+            for r in spark.sql(
+                """SELECT * FROM (
+                     SELECT *, MAX(n_seen) OVER (PARTITION BY window_start) mx
+                     FROM wq_out) WHERE n_seen = mx"""
+            ).collect()
+        }
+        want = {
+            (r["window_start"], r["prob"]): (round(r["quantile_est"], 9), r["n_seen"])
+            for r in batch_windowed_quantiles(batch, probs=(0.5, 0.9, 0.99)).collect()
+        }
+        assert got == want
+        assert len({w for w, _ in want}) == 2
+    finally:
+        q.stop()
+
+
+def test_windowed_quantiles_compression_error_bound(spark, tmp_path):
+    """Past saturation (many more values than q anchors) the streamed
+    estimate must stay within the accumulated anchor-compression rank
+    error of the exact quantile."""
+    import datetime as dt
+
+    import numpy as np
+
+    from epic_pandas_spark.streaming.stateful import windowed_quantiles
+
+    rng = np.random.RandomState(11)
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    vals = rng.lognormal(2.0, 1.0, 4000)
+    rows = [
+        (base + dt.timedelta(seconds=int(i % 3000)), float(v))
+        for i, v in enumerate(vals)
+    ]
+    batch = spark.createDataFrame(rows, "ts timestamp, value double")
+    src = str(tmp_path / "wq_sat_src")
+    batch.repartition(4).write.parquet(src)  # 4 micro-batches
+    stream = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q_anchors = 128
+    out = windowed_quantiles(stream, probs=(0.5, 0.9), q=q_anchors)
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wq_sat_out")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.processAllAvailable()
+    try:
+        got = {
+            r["prob"]: r["quantile_est"]
+            for r in spark.sql(
+                "SELECT prob, quantile_est FROM wq_sat_out "
+                "WHERE n_seen = (SELECT MAX(n_seen) FROM wq_sat_out)"
+            ).collect()
+        }
+    finally:
+        q.stop()
+    s = np.sort(vals)
+    n = len(vals)
+    n_batches = 4
+    for p in (0.5, 0.9):
+        est_rank = np.searchsorted(s, got[p], side="right")
+        target = int(np.ceil(p * n))
+        assert abs(est_rank - target) <= n_batches * n / q_anchors + 1, (
+            p, est_rank, target,
+        )
+
+
+def test_windowed_quantiles_rejects_bad_args(spark):
+    from epic_pandas_spark.streaming.stateful import (
+        batch_windowed_quantiles,
+        windowed_quantiles,
+    )
+
+    df = spark.createDataFrame([], "ts timestamp, value double")
+    with pytest.raises(ValueError, match="q must be >= 1"):
+        windowed_quantiles(df, q=0)
+    with pytest.raises(ValueError, match="probs must be in"):
+        windowed_quantiles(df, probs=(0.0,))
+    with pytest.raises(ValueError, match="probs must be non-empty"):
+        batch_windowed_quantiles(df, probs=())
