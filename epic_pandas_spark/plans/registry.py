@@ -1678,7 +1678,7 @@ def q_windowed_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM s),
     p AS (SELECT * FROM (VALUES (0.5), (0.9), (0.99)) t(prob))
     SELECT r.window_start, p.prob AS prob,
-           ROUND(MIN(CASE WHEN r.rn >= CEIL(p.prob * r.n) THEN r.v END), 6)
+           ROUND(MIN(CASE WHEN r.rn >= CEIL(p.prob * r.n - 1e-9) THEN r.v END), 6)
              AS quantile_est,
            CAST(MAX(r.n) AS BIGINT) AS n_seen
     FROM r, p GROUP BY r.window_start, p.prob

@@ -16,6 +16,30 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+_DURATION_UNITS_MS = {
+    "millisecond": 1,
+    "second": 1000,
+    "minute": 60_000,
+    "hour": 3_600_000,
+    "day": 86_400_000,
+    "week": 604_800_000,
+}
+
+
+def _duration_ms(interval: str) -> int:
+    """Parse a Spark-style interval string ('1 hour', '30 minutes') to
+    milliseconds — needed to compute a window's close time on the Python
+    side of a stateful operator, where Spark's interval parser isn't
+    reachable."""
+    parts = interval.strip().lower().split()
+    if len(parts) != 2:
+        raise ValueError(f"expected '<n> <unit>', got {interval!r}")
+    n, unit = parts
+    unit = unit.rstrip("s") if unit != "ms" else "millisecond"
+    if unit not in _DURATION_UNITS_MS:
+        raise ValueError(f"unsupported interval unit in {interval!r}")
+    return int(float(n) * _DURATION_UNITS_MS[unit])
+
 
 def running_totals(
     events: DataFrame,
@@ -122,6 +146,7 @@ def windowed_topk(
     window_size: str = "1 hour",
     k: int = 10,
     m: int = 64,
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """Streaming heavy hitters per event-time window via SPACE-SAVING
     (Metwally et al., ICDT'05) — the bounded-state answer to "what are
@@ -142,21 +167,34 @@ def windowed_topk(
     (per-batch order: count desc, then value — deterministic across
     reruns), evict the min-count counter on overflow with the standard
     count = min+w, err = min inheritance, and emit the current top-k
-    per update. State per open window is m triples regardless of rate.
+    per update. State per open window is m triples regardless of rate,
+    and state is BOUNDED OVER TIME too: a streaming input gets
+    ``withWatermark(ts_col, watermark)`` and an event-time timeout at
+    each window's close, so counters for windows the watermark has
+    passed are removed instead of accumulating forever.
 
     Batch frames run the same merge in one pass (state machinery
     compiles away conceptually; exactness conditions identical) via
     :func:`batch_windowed_topk` — use that twin for the stream==batch
     equivalence check. Output: (window_start, rank, value, count_est,
-    err) with rank 1..k by (count desc, value)."""
+    err, n_seen) with rank 1..k by (count desc, value); ``n_seen`` is
+    the window's running non-null event count (the sketch's N, for
+    reading ``err`` against the N/m guarantee — the batch twin omits
+    it since its counts are exact)."""
     from pyspark.sql import functions as F
 
     if k < 1 or m < k:
         raise ValueError(f"need 1 <= k <= m, got k={k} m={m}")
+    win_ms = _duration_ms(window_size)
+    use_timeout = events.isStreaming
 
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed this window's close — drop its counters
+            state.remove()
+            return
         values, counts, errs, n_seen = (
             state.get if state.exists else ([], [], [], 0)
         )
@@ -172,6 +210,8 @@ def windowed_topk(
             [ctr[v][1] for v in ctr],
             n_seen,
         ))
+        if use_timeout:
+            _set_window_close_timeout(state, key[0], win_ms)
         top = sorted(ctr.items(), key=lambda t: (-t[1][0], t[0]))[:k]
         yield pd.DataFrame(
             {
@@ -184,9 +224,14 @@ def windowed_topk(
             }
         )
 
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     win = F.window(ts_col, window_size).getField("start").alias("__win")
+    # ts_col rides along un-aggregated: extracting window.start drops the
+    # watermark metadata, and event-time timeout requires a watermarked
+    # column in the stateful operator's child output (it also lets the
+    # engine drop late rows before they reach the state store).
     return (
-        events.select(win, F.col(value_col))
+        src.select(win, F.col(value_col), F.col(ts_col))
         .groupBy("__win")
         .applyInPandasWithState(
             update,
@@ -199,9 +244,26 @@ def windowed_topk(
                 "n_seen long"
             ),
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if events.isStreaming
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
+
+
+def _set_window_close_timeout(state: GroupState, window_start, win_ms: int) -> None:
+    """Arm an event-time timeout at this window's close so its state is
+    dropped once the watermark passes it. Callers invoke this only under
+    EventTimeTimeout with a watermark set (the streaming branch), so both
+    GroupState preconditions hold by construction. setTimeoutTimestamp
+    rejects timestamps at/behind the current watermark, so a window the
+    watermark has already passed gets watermark+1ms and times out on the
+    next micro-batch."""
+    wm = state.getCurrentWatermarkMs()
+    close_ms = int(pd.Timestamp(window_start).timestamp() * 1000) + win_ms
+    state.setTimeoutTimestamp(max(close_ms, wm + 1))
 
 
 def _spacesaving_merge(ctr: dict, weighted_items, m: int) -> dict:
@@ -273,6 +335,7 @@ def windowed_quantiles(
     window_size: str = "1 hour",
     probs: tuple = (0.5, 0.9, 0.99),
     q: int = 64,
+    watermark: str = "2 hours",
 ) -> DataFrame:
     """Streaming NUMERIC-DISTRIBUTION drift monitor: per-window
     quantiles of a value stream with bounded state — the third leg of
@@ -280,7 +343,11 @@ def windowed_quantiles(
     Space-Saving top-k watches categories, this watches numeric
     distributions: latency, document length, score magnitudes).
 
-    State per open window is at most ``q`` (value, mass) anchors — the
+    State per open window is at most ``q`` (value, mass) anchors —
+    and bounded over time: a streaming input gets
+    ``withWatermark(ts_col, watermark)`` plus an event-time timeout at
+    each window's close, so anchor sets for watermark-passed windows
+    are removed rather than retained forever. The anchor set is the
     streaming form of :func:`operators.sketches.quantile_anchor_sketches`:
     each micro-batch's values merge into the window's anchor set as
     unit masses; past ``q`` entries the merged step function re-anchors
@@ -302,13 +369,13 @@ def windowed_quantiles(
         if not (0.0 < p <= 1.0):
             raise ValueError(f"probs must be in (0, 1], got {p}")
     probs = [float(p) for p in probs]
+    win_ms = _duration_ms(window_size)
+    use_timeout = events.isStreaming
 
     def _compress(vals: list, masses: list, q: int) -> tuple:
         """Re-anchor a sorted (value, mass) step function to q type-1
         anchors: anchor j takes the value at cumulative mass
         ceil(j * total / q)."""
-        import math
-
         if len(vals) <= q:
             return vals, masses
         total = sum(masses)
@@ -330,6 +397,10 @@ def windowed_quantiles(
     def update(
         key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            # watermark passed this window's close — drop its anchors
+            state.remove()
+            return
         vals, masses, n_seen = (
             state.get if state.exists else ([], [], 0)
         )
@@ -343,6 +414,8 @@ def windowed_quantiles(
         masses = [m for _, m in pairs]
         vals, masses = _compress(vals, masses, q)
         state.update((vals, masses, n_seen))
+        if use_timeout:
+            _set_window_close_timeout(state, key[0], win_ms)
         total = sum(masses)
         out_p, out_q = [], []
         for p in probs:
@@ -364,9 +437,13 @@ def windowed_quantiles(
             }
         )
 
+    src = events.withWatermark(ts_col, watermark) if events.isStreaming else events
     win = F.window(ts_col, window_size).getField("start").alias("__win")
+    # ts_col kept for the same reason as windowed_topk: the stateful
+    # operator needs a watermarked column in its child output for
+    # event-time timeout + late-row filtering.
     return (
-        events.select(win, F.col(value_col))
+        src.select(win, F.col(value_col), F.col(ts_col))
         .groupBy("__win")
         .applyInPandasWithState(
             update,
@@ -378,7 +455,11 @@ def windowed_quantiles(
                 "vals array<double>, masses array<double>, n_seen long"
             ),
             outputMode="update",
-            timeoutConf=GroupStateTimeout.NoTimeout,
+            timeoutConf=(
+                GroupStateTimeout.EventTimeTimeout
+                if events.isStreaming
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
 
@@ -413,10 +494,16 @@ def batch_windowed_quantiles(
     ranked = src.withColumn("__rn", F.row_number().over(w)).withColumn(
         "__n", F.count(F.lit(1)).over(wn)
     )
+    # epsilon guard matches the streaming twin's `cum >= p*total - 1e-9`:
+    # without it, probs whose double product lands just above an integer
+    # (p=0.07, n=100 -> ceil(7.000000000000001)=8) pick rank+1 and break
+    # the documented stream==batch equality below q.
     per_p = [
         F.min(
             F.when(
-                F.col("__rn") >= F.ceil(F.lit(float(p)) * F.col("__n")), F.col("v")
+                F.col("__rn")
+                >= F.ceil(F.lit(float(p)) * F.col("__n") - F.lit(1e-9)),
+                F.col("v"),
             )
         ).alias(f"__q{i}")
         for i, p in enumerate(probs)

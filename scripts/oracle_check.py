@@ -108,6 +108,10 @@ def main() -> int:
         "total_sec": round(time.perf_counter() - t_start, 1),
         "results": results,
     }
+    if args.only and args.out == "ORACLE_CHECK.json":
+        # a partial run must never clobber the committed full-registry
+        # artifact (the freshness gate requires artifact-n == registry-n)
+        args.out = "ORACLE_CHECK_PARTIAL.json"
     with open(args.out, "w") as f:
         json.dump(summary, f, indent=1, sort_keys=True)
     print(json.dumps({k: v for k, v in summary.items() if k != "results"}))

@@ -2,6 +2,8 @@
 transform → memory sink, compared against the batch twin on the same data
 (the Structured Streaming unification property)."""
 
+import hashlib
+
 import pytest
 from pyspark.sql import functions as F
 
@@ -879,6 +881,152 @@ def test_windowed_topk_stream_matches_batch(spark, tmp_path):
         q.stop()
 
 
+def test_windowed_topk_state_evicted_past_watermark(spark, tmp_path):
+    """Bounded state OVER TIME, not just per window: once the watermark
+    passes a window's close, its Space-Saving counters are removed via
+    the event-time timeout. Witness: re-arriving events for the evicted
+    window must NOT continue the old n_seen — they either get dropped as
+    late or start a fresh counter set. Under the pre-round-9 NoTimeout
+    behavior the state survived forever and n_seen would accumulate."""
+    import datetime as dt
+
+    from epic_pandas_spark.streaming.stateful import windowed_topk
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    far = base + dt.timedelta(hours=10)
+
+    def write_file(name, rows):
+        spark.createDataFrame(rows, "ts timestamp, event_type string").coalesce(
+            1
+        ).write.mode("append").parquet(str(tmp_path / "evict_src"))
+
+    n_a, n_d = 40, 7
+    write_file("a", [(base + dt.timedelta(seconds=i), f"t{i % 3}") for i in range(n_a)])
+    src = (
+        spark.readStream.schema("ts timestamp, event_type string")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(str(tmp_path / "evict_src"))
+    )
+    out = windowed_topk(src, k=3, m=8, watermark="2 hours")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("evict_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()  # batch 1: window A, n_seen = n_a
+        # batch 2: hour 10 — after it, watermark = 8h > window A close (1h)
+        write_file("b", [(far + dt.timedelta(seconds=i), "z") for i in range(5)])
+        q.processAllAvailable()
+        # batch 3: any data; window A's timeout fires during this batch
+        write_file("c", [(far + dt.timedelta(seconds=60 + i), "z") for i in range(5)])
+        q.processAllAvailable()
+        # batch 4: window A events re-arrive late
+        write_file(
+            "d", [(base + dt.timedelta(seconds=i), f"t{i % 3}") for i in range(n_d)]
+        )
+        q.processAllAvailable()
+        seen = {
+            int(r["n_seen"])
+            for r in spark.sql(
+                "SELECT DISTINCT n_seen FROM evict_out WHERE window_start = ?",
+                args=[base],
+            ).collect()
+        }
+        # fresh state (n_d) or late-dropped (nothing new) — never n_a + n_d
+        assert n_a in seen
+        assert n_a + n_d not in seen, "evicted window's counters were resumed"
+        assert seen <= {n_a, n_d}
+    finally:
+        q.stop()
+
+
+def test_windowed_quantiles_state_evicted_past_watermark(spark, tmp_path):
+    """Same eviction witness as the top-k test for the quantile monitor:
+    anchors for a watermark-passed window are removed, so re-arriving
+    values never continue the old n_seen."""
+    import datetime as dt
+
+    from epic_pandas_spark.streaming.stateful import windowed_quantiles
+
+    base = dt.datetime(2026, 1, 1, 0, 0, 0)
+    far = base + dt.timedelta(hours=10)
+    path = str(tmp_path / "wq_evict_src")
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "ts timestamp, value double").coalesce(
+            1
+        ).write.mode("append").parquet(path)
+
+    n_a, n_d = 30, 9
+    write_file([(base + dt.timedelta(seconds=i), float(i)) for i in range(n_a)])
+    src = (
+        spark.readStream.schema("ts timestamp, value double")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(path)
+    )
+    out = windowed_quantiles(src, probs=(0.5,), q=16, watermark="2 hours")
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName("wq_evict_out")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        write_file([(far + dt.timedelta(seconds=i), 1.0) for i in range(5)])
+        q.processAllAvailable()
+        write_file([(far + dt.timedelta(seconds=60 + i), 1.0) for i in range(5)])
+        q.processAllAvailable()
+        write_file([(base + dt.timedelta(seconds=i), float(i)) for i in range(n_d)])
+        q.processAllAvailable()
+        seen = {
+            int(r["n_seen"])
+            for r in spark.sql(
+                "SELECT DISTINCT n_seen FROM wq_evict_out WHERE window_start = ?",
+                args=[base],
+            ).collect()
+        }
+        assert n_a in seen
+        assert n_a + n_d not in seen, "evicted window's anchors were resumed"
+        assert seen <= {n_a, n_d}
+    finally:
+        q.stop()
+
+
+def test_batch_windowed_quantiles_epsilon_guard(spark):
+    """p=0.07, n=100: the double product is 7.000000000000001, so an
+    unguarded CEIL picks rank 8; the epsilon guard (mirroring the
+    streaming twin's `cum >= p*total - 1e-9`) must pick the exact
+    type-1 rank 7."""
+    import datetime as dt
+
+    from epic_pandas_spark.streaming.stateful import batch_windowed_quantiles
+
+    assert 0.07 * 100 > 7  # the representation hazard this test pins
+
+    base = dt.datetime(2026, 1, 1, 0, 30, 0)
+    rows = [(base, float(i)) for i in range(1, 101)]
+    df = spark.createDataFrame(rows, "ts timestamp, value double")
+    [r] = batch_windowed_quantiles(df, probs=(0.07,)).collect()
+    assert r["quantile_est"] == 7.0
+    assert r["n_seen"] == 100
+
+
+def test_duration_ms_parses_spark_intervals():
+    from epic_pandas_spark.streaming.stateful import _duration_ms
+
+    assert _duration_ms("1 hour") == 3_600_000
+    assert _duration_ms("30 minutes") == 1_800_000
+    assert _duration_ms("2 days") == 172_800_000
+    assert _duration_ms("500 milliseconds") == 500
+    with pytest.raises(ValueError):
+        _duration_ms("fortnight")
+    with pytest.raises(ValueError):
+        _duration_ms("3 parsecs")
+
+
 def test_spacesaving_merge_guarantees():
     """The Metwally et al. invariants on the pure merge kernel, past
     saturation: (a) every value with true count > N/m is present,
@@ -890,8 +1038,9 @@ def test_spacesaving_merge_guarantees():
 
     # zipf-ish: value j appears ~ 600/j times, 200 distinct >> m=32
     stream = [f"v{j:03d}" for j in range(1, 201) for _ in range(600 // j)]
-    # deterministic interleave so heavy items arrive spread out
-    stream.sort(key=lambda v: hash(v) % 7919)
+    # deterministic interleave so heavy items arrive spread out —
+    # md5, not hash(): Python string hashing is salted per process
+    stream.sort(key=lambda v: int(hashlib.md5(v.encode()).hexdigest(), 16) % 7919)
     true = Counter(stream)
     n = len(stream)
     m = 32
