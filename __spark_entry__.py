@@ -20,11 +20,13 @@ from epic_pandas_spark.plans import registry
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001: the end-to-end fuzzy-dedup
-    curation pipeline — MinHash+LSH candidates → exact-Jaccard verify →
-    connected components → canonical-doc keep — one lazy plan over the
-    documents corpus (SURVEY.md §7.1 step 9)."""
-    fn, _sql = registry.REGISTRY["near_dedup_curation"]
+    """Flagship query on /root/testdata/sf0.001: the four-stage CCNet-style
+    curation pipeline — order-5 Stupid-Backoff LM perplexity tertiles →
+    quality-classifier scores → MinHash+LSH keep-best dedup → mixture
+    resample — the engine's deepest composed plan (SURVEY.md §7.1 step 9;
+    every stage broadcast- or bucket-shaped, document text never
+    shuffles)."""
+    fn, _sql = registry.REGISTRY["ccnet_curation"]
     return fn(spark, "/root/testdata/sf0.001")
 
 

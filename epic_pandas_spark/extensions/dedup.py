@@ -452,6 +452,27 @@ def minhash_lsh_pairs(
         bands = tune_lsh_bands(threshold, n_hashes)
     elif bands == "auto-recall":
         bands = bands_for_recall(threshold, n_hashes)
+    words, candidates = _lsh_words_and_candidates(
+        df, text_col, id_col, shingle_words, n_hashes, bands, seed
+    )
+    return _verify_jaccard(words, candidates, threshold)
+
+
+def _lsh_words_and_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    shingle_words: int,
+    n_hashes: int,
+    bands,
+    seed: int,
+) -> tuple:
+    """Shared candidate-generation pipeline of :func:`minhash_lsh_pairs`
+    and its instrumentation twin: returns (words, candidates) where
+    ``words`` is the checkpointed (id, shingle-set) table and
+    ``candidates`` the distinct banded pair set pre-verification.
+    ``bands`` must already be resolved to an int (callers handle the
+    "auto"/"auto-recall" modes, which need the threshold)."""
     if n_hashes % bands != 0:
         raise ValueError("bands must divide n_hashes")
     r = n_hashes // bands
@@ -475,7 +496,12 @@ def minhash_lsh_pairs(
         .select("id_a", "id_b")
         .dropDuplicates(["id_a", "id_b"])
     )
-    # verification joins the shingle arrays back onto the candidate pairs
+    return words, candidates
+
+
+def _verify_jaccard(words: DataFrame, candidates: DataFrame, threshold: float) -> DataFrame:
+    """Exact word-set Jaccard verification over candidate pairs — joins the
+    shingle arrays back onto the (id_a, id_b) pair set."""
     wa = words.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a"))
     wb = words.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b"))
     verified = candidates.join(wa, "id_a").join(wb, "id_b")
@@ -487,6 +513,47 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= F.lit(threshold))
         .select("id_a", "id_b", "jaccard")
     )
+
+
+def minhash_lsh_candidate_stats(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float,
+    shingle_words: int = 3,
+    n_hashes: int = 32,
+    bands: int | str = 16,
+    seed: int = 7,
+) -> dict:
+    """Instrumentation twin of :func:`minhash_lsh_pairs` (the LSH analog of
+    :func:`edit_distance_candidate_stats`): one pass over the same shared
+    pipeline returning ``{"n_rows", "n_docs", "n_bands", "n_band_rows",
+    "n_candidate_pairs", "n_verified_pairs"}`` — candidate count is the
+    distinct banded pair set the verification stage pays for, verified
+    count the pairs at exact Jaccard ≥ threshold. Lets scale-trend
+    artifacts attribute superlinear wall growth to duplicate-pair density
+    in-data (pairs can legitimately grow faster than rows in a corpus
+    whose duplicate clusters grow with it) instead of arguing about it."""
+    if bands == "auto":
+        bands = tune_lsh_bands(threshold, n_hashes)
+    elif bands == "auto-recall":
+        bands = bands_for_recall(threshold, n_hashes)
+    n_rows = df.count()
+    words, candidates = _lsh_words_and_candidates(
+        df, text_col, id_col, shingle_words, n_hashes, bands, seed
+    )
+    candidates = candidates.localCheckpoint(eager=False)  # counted AND verified
+    n_docs = words.count()
+    n_cands = candidates.count()
+    n_verified = _verify_jaccard(words, candidates, threshold).count()
+    return {
+        "n_rows": n_rows,
+        "n_docs": n_docs,
+        "n_bands": int(bands),
+        "n_band_rows": n_docs * int(bands),
+        "n_candidate_pairs": n_cands,
+        "n_verified_pairs": n_verified,
+    }
 
 
 def simhash_expr(text: Column, n_bits: int = 64) -> Column:
@@ -514,18 +581,30 @@ def simhash_expr(text: Column, n_bits: int = 64) -> Column:
     return out
 
 
-def simhash_table(df: DataFrame, text_col: str, id_col: str, n_bits: int = 64) -> DataFrame:
+def simhash_table(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    n_bits: int = 64,
+    token_hash=None,
+) -> DataFrame:
     """(id, sh) simhash table via the distributed plan: explode tokens ->
     per-token hash -> ONE hash-aggregate of 64 bit-vote sums -> assemble
     the fingerprint from the aggregated votes. Same numbers as
     `simhash_expr`, but each codegen expression stays small and the
-    shuffle payload is 64 ints per id (partial aggregation)."""
+    shuffle payload is 64 ints per id (partial aggregation).
+
+    ``token_hash`` (Column -> long Column) swaps the per-token hash;
+    default xxhash64. Pass the md5-arithmetic 60-bit hash (with
+    n_bits=60) to make the fingerprint exactly reproducible in DuckDB —
+    the trick the KMV oracles use — at ~2x the hash cost."""
+    hash_fn = token_hash if token_hash is not None else F.xxhash64
     tokens = ensure_parallelism(df).select(
         F.col(id_col).alias("id"),
         F.explode(
             F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
         ).alias("t"),
-    ).withColumn("h", F.xxhash64("t"))
+    ).withColumn("h", hash_fn(F.col("t")))
     one = F.lit(1).cast("long")
     votes = tokens.groupBy("id").agg(
         *[
@@ -616,10 +695,16 @@ def simhash_pairs(
     id_col: str,
     max_hamming: int = 3,
     n_bands: int = 4,
+    n_bits: int = 64,
+    token_hash=None,
 ) -> DataFrame:
     """Near-dup pairs by simhash hamming distance — EXACT, via the shared
     band-blocked hamming join (`hamming_pairs`). Exactness is
-    pytest-proven against a brute-force hamming join."""
+    pytest-proven against a brute-force hamming join, and (with the
+    md5-60-bit token_hash) against a brute-force DuckDB oracle. An
+    n_bits < 64 fingerprint still bands as a 64-bit value — the top
+    zero bits land in the last band and never break the pigeonhole
+    guarantee."""
     if not (0 < n_bands <= 64 and 64 % n_bands == 0):
         raise ValueError("n_bands must divide 64")
     if max_hamming >= n_bands:
@@ -627,7 +712,9 @@ def simhash_pairs(
             f"band blocking is only exact for max_hamming < n_bands "
             f"(got max_hamming={max_hamming}, n_bands={n_bands}); raise n_bands"
         )
-    sh = simhash_table(df, text_col, id_col).localCheckpoint(eager=False)
+    sh = simhash_table(
+        df, text_col, id_col, n_bits=n_bits, token_hash=token_hash
+    ).localCheckpoint(eager=False)
     return hamming_pairs(sh, "sh", "id", max_hamming=max_hamming, n_bands=n_bands)
 
 
@@ -1503,6 +1590,133 @@ def edit_distance_candidate_stats(
     }
 
 
+_POLY_B = 1000003  # odd -> invertible mod 2^64, so the prefix trick below works
+
+
+def _winnow_candidate_ids(
+    docs_n: DataFrame, k: int, window: int, min_doc_freq: int
+) -> DataFrame:
+    """Phase-1 prefilter of :func:`remove_repeated_spans`: the distinct
+    ``__id`` set of documents that CAN contain a >= k-char span shared
+    with >= min_doc_freq - 1 other docs — with ZERO false negatives, by
+    the winnowing guarantee (Schleimer et al., SIGMOD'03): winnowing
+    (k - window + 1)-char grams with a ``window``-gram sliding min means
+    any two docs sharing a verbatim normalized run of >= k chars both
+    select at least one identical fingerprint (the min of a gram window
+    lying fully inside the run — selection is by hash VALUE, so copies
+    at different offsets select the same grams). False positives
+    (shorter shared runs) are harmless: phase 2 recomputes exact
+    doc-freqs. Lossless restriction: a full k-gram with doc-freq >= 2
+    is itself a >= k-char shared run, so every doc it appears in is a
+    candidate and candidate-local doc-freqs equal global ones.
+
+    The win over running phase 2 directly: fingerprints are computed
+    NARROWLY (a numpy rolling hash + rolling min inside mapInPandas —
+    text never shuffles, no per-char explode), and only ~2/(window+1)
+    of the gram count ever reaches a shuffle, vs the per-char
+    (hash, id, pos) stream phase 2 shuffles twice. Docs shorter than k
+    normalized chars emit one whole-string fingerprint, mirroring phase
+    2's whole-string gram for short docs."""
+    import numpy as np
+    import pandas as pd
+
+    if window > k:
+        window = k  # kp=1 below; guarantee still lands exactly at k
+    kp = k - window + 1
+    b_const, binv_const = _POLY_B, pow(_POLY_B, -1, 2**64)
+    id_field = docs_n.schema["__id"]
+
+    def winnow(batches):
+        B = np.uint64(b_const)
+        BINV = np.uint64(binv_const)
+        sliding = np.lib.stride_tricks.sliding_window_view
+        pows: dict = {}  # cached power tables, grown to the longest doc seen
+
+        def pow_table(base, n):
+            tab = pows.get(base)
+            if tab is None or tab.size < n:
+                tab = np.concatenate(
+                    (
+                        [np.uint64(1)],
+                        np.cumprod(np.full(max(n, 1024) - 1, base, dtype=np.uint64)),
+                    )
+                )
+                pows[base] = tab
+            return tab
+
+        for pdf in batches:
+            docs = [
+                (i, np.frombuffer(t.encode("utf-32-le"), dtype=np.uint32))
+                for i, t in zip(pdf["__id"].values, pdf["__t"].values)
+                if t is not None and len(t) > 0
+            ]
+            if not docs:
+                continue
+            ids, fps = [], []
+            # chunk so the (rows x maxlen) work matrix stays ~32M cells
+            start = 0
+            while start < len(docs):
+                end, maxlen = start, 1
+                while end < len(docs):
+                    maxlen = max(maxlen, docs[end][1].size)
+                    if (end - start + 1) * maxlen > 32_000_000 and end > start:
+                        break
+                    end += 1
+                chunk = docs[start:end]
+                start = end
+                L = max(c.size for _, c in chunk)
+                M = np.zeros((len(chunk), L), dtype=np.uint64)
+                for r, (_, c) in enumerate(chunk):
+                    M[r, : c.size] = c
+                # prefix sums of c[j] * BINV^j (mod 2^64); gram content
+                # hash at start i = (S[i+kp-1] - S[i-1]) * B^i — the B^i
+                # rescale cancels the position factor, so equal content
+                # hashes equal anywhere in any doc
+                S = np.cumsum(M * pow_table(BINV, L)[None, :L], axis=1)
+                if L >= kp:
+                    g = (
+                        S[:, kp - 1 :]
+                        - np.concatenate(
+                            (np.zeros((len(chunk), 1), dtype=np.uint64), S[:, : L - kp]),
+                            axis=1,
+                        )
+                    ) * pow_table(B, L)[None, : L - kp + 1]
+                    wins = (
+                        sliding(g, window, axis=1).min(axis=2)
+                        if g.shape[1] >= window
+                        else None
+                    )
+                for r, (doc_id, c) in enumerate(chunk):
+                    n = c.size
+                    if n < k:
+                        sel = S[r, n - 1 : n]  # whole-string fp (short-doc gram twin)
+                    else:
+                        sel = np.unique(wins[r, : n - kp + 1 - window + 1])
+                    ids.append(np.full(sel.size, doc_id))
+                    fps.append(sel)
+            yield pd.DataFrame(
+                {
+                    "__id": np.concatenate(ids),
+                    "__fp": np.concatenate(fps).view(np.int64),
+                }
+            )
+
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    schema = StructType([id_field, StructField("__fp", LongType())])
+    fps = (
+        ensure_parallelism(docs_n)
+        .select("__id", "__t")
+        .mapInPandas(winnow, schema=schema)
+        .localCheckpoint(eager=False)  # doc-freq AND id-extraction reuse it
+    )
+    # per-doc-distinct emission makes count(*) the doc frequency
+    flagged = fps.groupBy("__fp").agg(F.count(F.lit(1)).alias("__df")).filter(
+        F.col("__df") >= min_doc_freq
+    )
+    return fps.join(flagged, on="__fp", how="left_semi").select("__id").distinct()
+
+
 def remove_repeated_spans(
     df: DataFrame,
     text_col: str,
@@ -1511,6 +1725,8 @@ def remove_repeated_spans(
     min_doc_freq: int = 2,
     keep_first: bool = False,
     out_col: str = "cleaned",
+    prefilter: bool = True,
+    prefilter_window: int = 8,
 ) -> DataFrame:
     """The REWRITE step of exact-substring dedup (Lee et al. 2022,
     arXiv:2107.06499 §3.1 — their suffix-array ExactSubstr pass):
@@ -1539,18 +1755,40 @@ def remove_repeated_spans(
     spans-to-doc join) and kept segments reassemble with the same
     array_sort(collect_list) pattern as ``dedup_lines``. Every stage is
     a DataFrame op on keys bounded by doc length — no suffix sort, no
-    UDF, no driver materialization."""
+    driver materialization.
+
+    ``prefilter=True`` (default) runs a lossless winnowing phase first
+    (:func:`_winnow_candidate_ids`): a narrow numpy rolling-hash pass
+    selects the docs that can possibly contain a duplicated span, and
+    the per-char stream below — the operator's dominant shuffle, ~28
+    bytes per character of corpus — runs only over those. On a corpus
+    where duplicated docs are a minority the amplification drops by
+    that minority fraction; output is bit-identical either way (the
+    parity pytest runs both)."""
     k = min_len
     docs_n = df.select(
         F.col(id_col).alias("__id"),
         _normalized_text_expr(F.col(text_col)).alias("__t"),
     ).withColumn("__len", F.length("__t"))
 
+    # phase-1 winnowing prefilter (lossless — see _winnow_candidate_ids):
+    # the per-char machinery below only ever runs over docs that can
+    # contain a duplicated span, cutting its shuffle volume by the
+    # non-duplicated fraction of the corpus (the sf100 disk-ceiling fix,
+    # VERDICT r8 item 2/"what's wrong" 2)
+    if prefilter:
+        cand = _winnow_candidate_ids(docs_n, k, prefilter_window, min_doc_freq)
+        docs_c = docs_n.join(cand, on="__id", how="left_semi").localCheckpoint(
+            eager=False
+        )  # pos stream AND span-reassembly text reuse it
+    else:
+        docs_c = docs_n
+
     # position-tagged gram stream: char position p (1-based), gram covers
     # [p, p + glen); short docs (< k chars) carry one whole-string gram
     starts = F.sequence(F.lit(1), F.greatest(F.col("__len") - F.lit(k - 1), F.lit(1)))
     pos = (
-        ensure_parallelism(docs_n)
+        ensure_parallelism(docs_c)
         .select(
             "__id",
             "__len",
@@ -1601,7 +1839,7 @@ def remove_repeated_spans(
     # the driver (measured at sf10: a 91 MB documents.parquet became a
     # 2.1 GiB broadcast collect and killed the job). Same for the
     # rebuilt-text join below.
-    with_text = spans.join(docs_n.hint("merge"), on="__id")
+    with_text = spans.join(docs_c.hint("merge"), on="__id")
     w2 = Window.partitionBy("__id").orderBy("__s")
     heads = with_text.select(
         "__id",

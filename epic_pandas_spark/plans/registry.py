@@ -1275,17 +1275,46 @@ def q_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_simhash", None)  # cross-engine-portable hash doesn't exist in SQL → rows-only
+@register(
+    "dedup_simhash",
+    """
+    WITH tok AS (
+      SELECT doc_id,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ')) AS t
+      FROM documents),
+    h AS (SELECT doc_id, CAST(('0x' || substr(md5(t), 1, 15)) AS BIGINT) AS h FROM tok),
+    bits AS (SELECT unnest(range(60)) AS b),
+    votes AS (
+      SELECT doc_id, bits.b,
+             SUM(CASE WHEN (h >> bits.b) & 1 = 1 THEN 1 ELSE -1 END) AS v
+      FROM h CROSS JOIN bits GROUP BY doc_id, bits.b),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS sh
+      FROM votes GROUP BY doc_id)
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           CAST(bit_count(xor(a.sh, b.sh)) AS INT) AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sh, b.sh)) <= 3
+    """,
+)
 def q_dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash near-dup pairs (hamming ≤ 3 over 64-bit bag-of-words
-    fingerprints), EXACT via 4×16-bit band blocking (pigeonhole guarantees
-    every hamming≤3 pair shares a band). No oracle: the fingerprint depends
-    on xxhash64, which DuckDB can't reproduce; exactness is proven by a
-    brute-force-vs-banded pytest instead (tests/test_extensions.py)."""
+    """SimHash near-dup pairs (hamming ≤ 3 over 60-bit bag-of-words
+    fingerprints), EXACT via 4-band blocking (pigeonhole guarantees every
+    hamming≤3 pair shares a band). The per-token hash here is the
+    md5-arithmetic 60-bit hash (the KMV-oracle trick), so DuckDB rebuilds
+    the exact fingerprints and brute-forces all pairs — the oracle
+    independently proves both the bit-majority fingerprint AND the band
+    join's exactness. Production default stays xxhash64/64-bit (cheaper);
+    the banded-vs-brute-force pytest covers that path."""
     from epic_pandas_spark.extensions.dedup import simhash_pairs
 
     docs = load_table(spark, sf_dir, "documents")
-    return simhash_pairs(docs, "text", "doc_id", max_hamming=3)
+    md5_60 = lambda c: F.conv(F.substring(F.md5(c), 1, 15), 16, 10).cast("long")  # noqa: E731
+    out = simhash_pairs(
+        docs, "text", "doc_id", max_hamming=3, n_bits=60, token_hash=md5_60
+    )
+    return out.select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
 
 
 # ---------------------------------------------------------------------------

@@ -686,6 +686,46 @@ def test_dedup_family_handles_empty_corpus(spark):
     assert simhash_pairs(empty, "text", "doc_id", max_hamming=3).count() == 0
 
 
+def test_minhash_lsh_candidate_stats(spark):
+    """The LSH instrumentation twin (VERDICT r8 item 2): its counts must be
+    consistent with the production operator on the same arguments —
+    n_verified_pairs == minhash_lsh_pairs().count(), candidates bound
+    verified from above, and n_docs excludes shingle-empty docs — so
+    scale-trend artifacts can attribute wall growth to candidate density
+    measured by the very pipeline they time."""
+    from epic_pandas_spark.extensions.dedup import (
+        minhash_lsh_candidate_stats,
+        minhash_lsh_pairs,
+    )
+
+    base = "the quick brown fox jumps over the lazy dog and then some more words"
+    rows = (
+        [(i, base) for i in range(4)]                      # identical cluster
+        + [(10, base + " extra tail tokens here")]         # near-dup of cluster
+        + [(20, "completely different text about spark partitions and shuffles going on")]
+        + [(30, "xy")]                                     # too short for 3-gram shingles
+    )
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(4)
+    kwargs = dict(threshold=0.6, n_hashes=32, bands=16)
+    stats = minhash_lsh_candidate_stats(df, "text", "doc_id", **kwargs)
+    n_pairs = minhash_lsh_pairs(df, "text", "doc_id", **kwargs).count()
+
+    assert stats["n_rows"] == len(rows)
+    assert stats["n_docs"] == len(rows) - 1  # the 2-char doc has no 3-gram shingles
+    assert stats["n_bands"] == 16
+    assert stats["n_band_rows"] == stats["n_docs"] * 16
+    assert stats["n_verified_pairs"] == n_pairs
+    assert stats["n_candidate_pairs"] >= stats["n_verified_pairs"]
+    # the identical cluster alone gives C(4,2)=6 verified pairs
+    assert stats["n_verified_pairs"] >= 6
+
+    # auto-recall band resolution is recorded in the stats
+    stats_auto = minhash_lsh_candidate_stats(
+        df, "text", "doc_id", threshold=0.8, n_hashes=32, bands="auto-recall"
+    )
+    assert stats_auto["n_bands"] == 16  # bands_for_recall(0.8, 32) == 16
+
+
 def test_curation_family_handles_empty_corpus(spark):
     from epic_pandas_spark.extensions.curation import dedup_lines
     from epic_pandas_spark.extensions.retrieval import bm25_topk
@@ -1289,6 +1329,64 @@ def test_remove_repeated_spans_random_corpus_model(spark):
         for r in remove_repeated_spans(df, "text", "doc_id", min_len=k).collect()
     }
     assert got == want
+
+
+def test_remove_repeated_spans_prefilter_parity(spark):
+    """The winnowing prefilter must be LOSSLESS: prefilter=True and
+    prefilter=False produce bit-identical output on a corpus built to
+    stress it — duplicated long spans, short-doc exact dups (< k chars,
+    the whole-string-gram path), unique docs, empty and null text, and
+    a window larger than k (the kp=1 clamp)."""
+    import random
+
+    from epic_pandas_spark.extensions.dedup import (
+        _winnow_candidate_ids,
+        remove_repeated_spans,
+    )
+    from pyspark.sql import functions as F
+
+    rng = random.Random(99)
+    shared = "this exact sentence is duplicated across several documents verbatim"
+    rows = []
+    for d in range(12):
+        filler = " ".join(
+            "".join(rng.choice("abcdefgh") for _ in range(6)) for _ in range(15)
+        )
+        if d % 3 == 0:
+            rows.append((d, filler[:30] + " " + shared + " " + filler[30:]))
+        else:
+            rows.append((d, filler))
+    rows += [(100, "tiny dup"), (101, "tiny dup"), (102, "tiny unique")]  # < k chars
+    rows += [(200, ""), (201, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
+
+    for window in (8, 100):  # 100 > k exercises the clamp
+        a = {
+            r["doc_id"]: (r["cleaned"], r["n_removed_chars"])
+            for r in remove_repeated_spans(
+                df, "text", "doc_id", min_len=40, prefilter=True, prefilter_window=window
+            ).collect()
+        }
+        b = {
+            r["doc_id"]: (r["cleaned"], r["n_removed_chars"])
+            for r in remove_repeated_spans(
+                df, "text", "doc_id", min_len=40, prefilter=False
+            ).collect()
+        }
+        assert a == b
+        assert len(a) == len(rows)
+    assert a[100][1] > 0 and a[101][1] > 0  # short exact dups caught
+    assert a[102] == ("tiny unique", 0)
+
+    # the prefilter actually prunes: non-duplicated docs are not candidates
+    docs_n = df.select(
+        F.col("doc_id").alias("__id"),
+        F.regexp_replace(F.lower("text"), r"\s+", " ").alias("__t"),
+    )
+    cand = {r["__id"] for r in _winnow_candidate_ids(docs_n, 40, 8, 2).collect()}
+    dup_docs = {d for d, (_, n) in a.items() if n is not None and n > 0}
+    assert dup_docs <= cand, "false negative: a rewritten doc was not a candidate"
+    assert len(cand) < len(rows), "prefilter pruned nothing on a mostly-unique corpus"
 
 
 def test_tune_lsh_bands_scurve_properties():
