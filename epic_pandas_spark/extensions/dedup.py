@@ -1777,7 +1777,9 @@ def remove_repeated_spans(
     # non-duplicated fraction of the corpus (the sf100 disk-ceiling fix,
     # VERDICT r8 item 2/"what's wrong" 2)
     if prefilter:
-        cand = _winnow_candidate_ids(docs_n, k, prefilter_window, min_doc_freq)
+        cand = _winnow_candidate_ids(
+            docs_n.filter(F.col("__id").isNotNull()), k, prefilter_window, min_doc_freq
+        )
         docs_c = docs_n.join(cand, on="__id", how="left_semi").localCheckpoint(
             eager=False
         )  # pos stream AND span-reassembly text reuse it
@@ -1785,10 +1787,14 @@ def remove_repeated_spans(
         docs_c = docs_n
 
     # position-tagged gram stream: char position p (1-based), gram covers
-    # [p, p + glen); short docs (< k chars) carry one whole-string gram
+    # [p, p + glen); short docs (< k chars) carry one whole-string gram.
+    # Null-id docs are excluded up front: their rewritten rows could
+    # never rejoin the corpus anyway (the rebuild join key is __id, and
+    # SQL null never equals), and the window doc-freq below must count
+    # distinct non-null ids exactly like the old count_distinct did.
     starts = F.sequence(F.lit(1), F.greatest(F.col("__len") - F.lit(k - 1), F.lit(1)))
     pos = (
-        ensure_parallelism(docs_c)
+        ensure_parallelism(docs_c.filter(F.col("__id").isNotNull()))
         .select(
             "__id",
             "__len",
@@ -1803,20 +1809,22 @@ def remove_repeated_spans(
         )
     )
 
-    stats = [F.count_distinct("__id").alias("__df")]
+    # exact per-gram doc-frequency WITHOUT a second pos shuffle: the
+    # round-8 form aggregated pos by gram hash and joined the flagged
+    # grams back onto pos, shuffling the per-char stream twice — the
+    # second pass died at sf100 both ways (shuffled-hash: per-partition
+    # build memory; sort-merge: sort-spill disk). One window sort on
+    # (gram, id) yields the same exact doc-freq (max dense_rank), the
+    # same keep-first owner (min id), and keeps each position row's
+    # flag decision local to its one shuffle. The gram table never
+    # materializes, never broadcasts, and there is no join to size.
+    w_gh = Window.partitionBy("__gh")
+    flagged_pos = pos.withColumn(
+        "__dr", F.dense_rank().over(w_gh.orderBy("__id"))
+    ).withColumn("__df", F.max("__dr").over(w_gh))
     if keep_first:
-        stats.append(F.min("__id").alias("__owner"))
-    flagged = (
-        pos.groupBy("__gh")
-        .agg(*stats)
-        .filter(F.col("__df") >= min_doc_freq)
-    )
-    # flagged is corpus-proportional (one row per duplicated gram — the
-    # planted-dup + Zipf-head gram population grows with the corpus), so
-    # it must never broadcast; its hash key is uniform, so a per-partition
-    # shuffled-hash build is the scale-safe strategy (measured at sf10:
-    # the static planner otherwise broadcast-collected 2.1 GiB of grams)
-    hits = pos.join(flagged.hint("shuffle_hash"), on="__gh")
+        flagged_pos = flagged_pos.withColumn("__owner", F.min("__id").over(w_gh))
+    hits = flagged_pos.filter(F.col("__df") >= min_doc_freq)
     if keep_first:
         hits = hits.filter(F.col("__id") != F.col("__owner"))
     hits = hits.select("__id", "__p", (F.col("__p") + F.col("__glen")).alias("__e"))

@@ -128,43 +128,53 @@ def _em_expected_counts(word: str, cnt: int, logp: dict, max_len: int) -> dict:
     NEG = -1e30
     alpha = [NEG] * (n + 1)
     alpha[0] = 0.0
+    get, log, exp = logp.get, math.log, math.exp  # hot loop: skip attr lookups
     spans = []  # (i, j, piece_logp)
+    by_j: list = [()] * (n + 1)  # per-end-position (i, lp) rows, reused by beta
     for j in range(1, n + 1):
+        row = []
         for i in range(max(0, j - max_len), j):
-            lp = logp.get(word[i:j])
+            lp = get(word[i:j])
             if lp is None:
                 continue
+            row.append((i, lp))
             spans.append((i, j, lp))
-            if alpha[i] <= NEG / 2:
+            ai = alpha[i]
+            if ai <= NEG / 2:
                 continue
-            s = alpha[i] + lp
-            if alpha[j] == NEG:
+            s = ai + lp
+            aj = alpha[j]
+            if aj == NEG:
                 alpha[j] = s
             else:
-                m = max(alpha[j], s)
-                alpha[j] = m + math.log(math.exp(alpha[j] - m) + math.exp(s - m))
+                m = max(aj, s)
+                alpha[j] = m + log(exp(aj - m) + exp(s - m))
+        by_j[j] = row
     if alpha[n] <= NEG / 2:
         return {}
     beta = [NEG] * (n + 1)
     beta[n] = 0.0
     for j in range(n, 0, -1):
-        if beta[j] <= NEG / 2:
+        bj = beta[j]
+        if bj <= NEG / 2:
             continue
-        for i in range(max(0, j - max_len), j):
-            lp = logp.get(word[i:j])
-            if lp is None:
-                continue
-            s = lp + beta[j]
-            if beta[i] == NEG:
+        # same (i, lp) sequence the forward pass saw — no second dict probe
+        for i, lp in by_j[j]:
+            s = lp + bj
+            bi = beta[i]
+            if bi == NEG:
                 beta[i] = s
             else:
-                m = max(beta[i], s)
-                beta[i] = m + math.log(math.exp(beta[i] - m) + math.exp(s - m))
+                m = max(bi, s)
+                beta[i] = m + log(exp(bi - m) + exp(s - m))
     out: dict = {}
+    an = alpha[n]
     for i, j, lp in spans:
-        post = math.exp(alpha[i] + lp + beta[j] - alpha[n])
+        post = exp(alpha[i] + lp + beta[j] - an)
         if post > 1e-12:
             piece = word[i:j]
+            # keep the original left-to-right association: a different
+            # float grouping can flip round() at a quantum boundary
             out[piece] = out.get(piece, 0) + int(round(post * cnt * _Q))
     return out
 
@@ -280,7 +290,7 @@ def unigram_train(
     em_rounds_per_prune: int = 2,
     prune_frac: float = 0.25,
     mode: str = "auto",
-    local_vocab_threshold: int = 2_000_000,
+    local_vocab_threshold: int = 50_000,
     prune: str = "count",
 ) -> dict:
     """Learn a unigram-LM piece vocabulary; returns ``{piece: log_prob}``
@@ -292,6 +302,15 @@ def unigram_train(
     kernel is the same function the distributed E-step calls, and the
     integer quantization makes both paths EXACTLY equal); ``"distributed"``
     forces the Spark EM loop; ``"local"`` forces the driver kernel.
+
+    .. versionchanged:: round 9
+       ``local_vocab_threshold`` default dropped 2M -> 50k: the
+       threshold gates a WALL-time crossover, not a memory fit — the
+       driver kernel is single-core while the Spark E-step spreads the
+       same per-word lattices over every core, and both paths are
+       bit-identical, so past ~50k distinct words the distributed loop
+       wins despite per-round job overhead (sf10: ~500k distinct words
+       x ~12 E-step rounds were single-threaded before this).
 
     ``prune='count'`` (default) drops the lowest-expected-mass pieces —
     the standard practical approximation. ``prune='likelihood'`` applies
@@ -434,20 +453,35 @@ def unigram_encode(
     """Viterbi-tokenize ``text_col``: one Arrow-batched pass, vocab in
     the closure, no shuffle. Unknown characters surface as single-char
     tokens (encoding is total), mirroring SentencePiece's byte/char
-    fallback."""
+    fallback.
+
+    A per-executor distinct-word memo caches each word's segmentation:
+    natural corpora are Zipf-distributed, so the same words recur
+    thousands of times and the Viterbi lattice runs once per DISTINCT
+    word instead of once per occurrence (the tokenization is a pure
+    function of the word given a fixed vocab). The memo is capped so a
+    pathological all-unique stream can't grow executor memory."""
     from pyspark.sql.functions import pandas_udf
 
     lp = dict(logp)
     max_len = max((len(p) for p in lp), default=1)
+    memo_cap = 2_000_000
 
     @pandas_udf("array<string>")
     def encode(texts: pd.Series) -> pd.Series:
+        memo: dict = {}
+
         def enc(text):
             if text is None:
                 return []
             toks: list = []
             for word in text.lower().strip().split():
-                toks.extend(_viterbi(word, lp, max_len))
+                seg = memo.get(word)
+                if seg is None:
+                    seg = _viterbi(word, lp, max_len)
+                    if len(memo) < memo_cap:
+                        memo[word] = seg
+                toks.extend(seg)
             return toks
 
         return texts.map(enc)

@@ -26,6 +26,8 @@ import sys
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+import evidence_lock  # noqa: E402  (scripts/ is sys.path[0] when run as a file)
+
 
 def run_bench(only: list[str] | None = None) -> dict:
     """One bench.py run in a FRESH JVM (fresh python, fresh session).
@@ -51,6 +53,7 @@ def run_bench(only: list[str] | None = None) -> dict:
 
 
 def main() -> None:
+    evidence_lock.acquire("bench_map")
     ap = argparse.ArgumentParser()
     ap.add_argument("--prev", default=None, help="previous round's map JSON")
     ap.add_argument("--out", required=True)

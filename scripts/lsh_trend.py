@@ -25,6 +25,8 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+import evidence_lock  # noqa: E402  (scripts/ is sys.path[0] when run as a file)
 TIERS = [
     ("sf0.01", os.path.join(REPO, ".scaledata", "sf0.01"), 1),
     ("sf0.1", os.path.join(REPO, ".scaledata", "sf0.1"), 10),
@@ -63,7 +65,22 @@ def run_tier(sf_dir: str) -> dict:
     return out
 
 
+def _last_json(stdout: str) -> dict:
+    """Parse the child's result line: the JVM can print warnings to stdout
+    (e.g. incubator-module notices under a larger heap), so take the LAST
+    line that parses as a JSON object."""
+    for line in reversed(stdout.strip().splitlines()):
+        line = line.strip()
+        if line.startswith("{"):
+            try:
+                return json.loads(line)
+            except ValueError:
+                continue
+    raise ValueError(f"no JSON line in child stdout: {stdout[-500:]!r}")
+
+
 def main() -> None:
+    evidence_lock.acquire("lsh_trend")
     if len(sys.argv) > 2 and sys.argv[1] == "--tier":
         print(json.dumps(run_tier(sys.argv[2])))
         return
@@ -81,7 +98,7 @@ def main() -> None:
             [sys.executable, os.path.abspath(__file__), "--tier", sf_dir],
             capture_output=True, text=True, check=True,
         )
-        tiers[label] = {"rows_multiplier": mult, **json.loads(proc.stdout.strip())}
+        tiers[label] = {"rows_multiplier": mult, **_last_json(proc.stdout)}
         print(f"{label}: {tiers[label]}", file=sys.stderr)
     base = next(iter(tiers.values()), None)
     base_label = next(iter(tiers), None)

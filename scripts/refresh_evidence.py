@@ -34,6 +34,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+import evidence_lock  # noqa: E402  (scripts/ is sys.path[0] when run as a file)
+
 
 def registry_names() -> set[str]:
     from epic_pandas_spark.plans.registry import REGISTRY
@@ -112,6 +114,7 @@ def run(cmd: list[str], label: str) -> None:
 
 
 def main() -> int:
+    evidence_lock.acquire("refresh_evidence")
     ap = argparse.ArgumentParser()
     ap.add_argument("--bench-out", required=True, help="e.g. BENCH_R8_SF01.json")
     ap.add_argument("--prev", default=None, help="previous bench map for solo-confirm")

@@ -62,6 +62,9 @@ AUDIT_QUERIES = [
                           # bounded by n_buckets x partitions, flat in rows
     "kmv_corpus_jaccard",  # bottom-k sketch build: 8-byte hashes, never text
     "dedup_keep_longest",  # retention-policy window: (fp, id, len), text pruned
+    "remove_repeated_spans",  # winnowing prefilter (r9): per-char gram stream
+                          # shuffles only for candidate docs; fingerprints are
+                          # computed narrowly and ~2/(w+1)-dense
 ]
 
 
@@ -117,6 +120,15 @@ def main() -> None:
             "the build shuffle is task-bounded; the round-6 58x regime "
             "artifact belonged to the removed fixed min_count=40 form, "
             "whose auto-derived width grew with the data (2^16 -> 2^20)."
+        ),
+        "remove_repeated_spans": (
+            "round 9: the winnowing prefilter computes fingerprints "
+            "narrowly (mapInPandas, no shuffle) and restricts the "
+            "per-char (hash, id, pos) stream - the round-8 "
+            "disk-ceiling shuffle - to candidate docs only; shuffled "
+            "bytes now scale with the duplicated fraction of the "
+            "corpus plus the ~2/(w+1)-dense fingerprint stream, not "
+            "with every character."
         ),
     }
     report = {"tiers": dict(TIERS), "row_growth": 10, "queries": {}}

@@ -20,6 +20,8 @@ import json
 import os
 import shutil
 import sys
+
+import evidence_lock  # noqa: E402  (scripts/ is sys.path[0] when run as a file)
 import tempfile
 import time
 
@@ -67,6 +69,7 @@ def _to_memory(stream_df, name: str, mode: str) -> float:
 
 
 def main() -> None:
+    evidence_lock.acquire("stream_bench")
     spark = get_spark(app_name="epic_pandas_spark_stream_bench")
     spark.sparkContext.setLogLevel("ERROR")
     tmp = tempfile.mkdtemp(prefix="stream_bench_")

@@ -1357,7 +1357,7 @@ def test_remove_repeated_spans_prefilter_parity(spark):
         else:
             rows.append((d, filler))
     rows += [(100, "tiny dup"), (101, "tiny dup"), (102, "tiny unique")]  # < k chars
-    rows += [(200, ""), (201, None)]
+    rows += [(200, ""), (201, None), (None, shared + " " + shared)]  # null id: passthrough
     df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
 
     for window in (8, 100):  # 100 > k exercises the clamp
@@ -1383,7 +1383,12 @@ def test_remove_repeated_spans_prefilter_parity(spark):
         F.col("doc_id").alias("__id"),
         F.regexp_replace(F.lower("text"), r"\s+", " ").alias("__t"),
     )
-    cand = {r["__id"] for r in _winnow_candidate_ids(docs_n, 40, 8, 2).collect()}
+    cand = {
+        r["__id"]
+        for r in _winnow_candidate_ids(
+            docs_n.filter(F.col("__id").isNotNull()), 40, 8, 2
+        ).collect()
+    }
     dup_docs = {d for d, (_, n) in a.items() if n is not None and n > 0}
     assert dup_docs <= cand, "false negative: a rewritten doc was not a candidate"
     assert len(cand) < len(rows), "prefilter pruned nothing on a mostly-unique corpus"
