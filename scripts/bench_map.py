@@ -52,6 +52,31 @@ def run_bench(only: list[str] | None = None) -> dict:
     return json.loads(lines[-1])
 
 
+def host_baseline() -> dict:
+    """Fixed deterministic micro-workloads timed on THIS host, recorded
+    in the artifact so cross-round map comparisons can separate
+    host-speed drift (different VM/day/host contention per round — the
+    round-9 map measured a UNIFORM ~1.2-1.4x median elevation across
+    untouched queries on two independent idle-machine runs) from real
+    per-query regressions: if the baseline moved by ~the same factor,
+    the map moved with the host."""
+    import time
+
+    import numpy as np
+
+    a = np.random.default_rng(7).standard_normal((2048, 2048))
+    t0 = time.perf_counter()
+    for _ in range(3):
+        a = a @ a * 1e-3  # keep magnitudes bounded
+    gemm = round(time.perf_counter() - t0, 4)
+    t0 = time.perf_counter()
+    acc = 0
+    for i in range(5_000_000):
+        acc += i ^ (i >> 3)
+    pyloop = round(time.perf_counter() - t0, 4)
+    return {"numpy_gemm_2048_sec": gemm, "python_loop_5m_sec": pyloop}
+
+
 def main() -> None:
     evidence_lock.acquire("bench_map")
     ap = argparse.ArgumentParser()
@@ -96,6 +121,7 @@ def main() -> None:
     full["solo_confirmed"] = solo
     full["solo_threshold"] = args.threshold
     full["prev_map"] = args.prev
+    full["host_baseline"] = host_baseline()
     with open(args.out, "w") as f:
         json.dump(full, f, indent=1, sort_keys=True)
     print(json.dumps({"out": args.out, "n_queries": len(cur),
