@@ -1592,6 +1592,31 @@ def edit_distance_candidate_stats(
 
 _POLY_B = 1000003  # odd -> invertible mod 2^64, so the prefix trick below works
 
+# cap on the heavy-hitter gram set collected by remove_repeated_spans'
+# sampling probe: bounds driver memory and the InSet literal. Grams past
+# the cap just stay on the window path (correct, merely un-split).
+_MAX_HOT_GRAMS = 16384
+
+
+def _position_stream(docs_n: DataFrame, k: int) -> DataFrame:
+    """Position-tagged gram stream over (__id, __t, __len) docs: char
+    position __p (1-based), gram hash __gh of the k chars at __p, gram
+    length __glen; docs shorter than k chars carry one whole-string
+    gram. Shared by remove_repeated_spans' main stream and its
+    hot-gram sampling probe so both hash identically."""
+    starts = F.sequence(F.lit(1), F.greatest(F.col("__len") - F.lit(k - 1), F.lit(1)))
+    return docs_n.select(
+        "__id",
+        "__len",
+        F.explode(starts).alias("__p"),
+        F.col("__t"),
+    ).select(
+        "__id",
+        "__p",
+        F.xxhash64(F.substring(F.col("__t"), F.col("__p"), k)).alias("__gh"),
+        F.least(F.lit(k), F.col("__len")).alias("__glen"),
+    )
+
 
 def _winnow_candidate_ids(
     docs_n: DataFrame, k: int, window: int, min_doc_freq: int
@@ -1727,6 +1752,9 @@ def remove_repeated_spans(
     out_col: str = "cleaned",
     prefilter: bool = True,
     prefilter_window: int = 8,
+    doc_freq_salts: int = 16,
+    hot_gram_sample: float = 0.01,
+    hot_gram_min_sample_docs: int = 32,
 ) -> DataFrame:
     """The REWRITE step of exact-substring dedup (Lee et al. 2022,
     arXiv:2107.06499 §3.1 — their suffix-array ExactSubstr pass):
@@ -1764,7 +1792,18 @@ def remove_repeated_spans(
     bytes per character of corpus — runs only over those. On a corpus
     where duplicated docs are a minority the amplification drops by
     that minority fraction; output is bit-identical either way (the
-    parity pytest runs both)."""
+    parity pytest runs both).
+
+    Heavy-hitter grams are skew-split (round 10): an eager seeded probe
+    over a ``hot_gram_sample`` fraction of docs collects gram hashes
+    seen in >= ``hot_gram_min_sample_docs`` distinct sampled docs; those
+    grams take an exact two-phase salted distinct (``doc_freq_salts``
+    ways) + broadcast flag join instead of the gram-keyed window, whose
+    partitions cannot be split and would otherwise serialize a
+    corpus-wide boilerplate gram through one sort task. Routing is
+    advisory — either path computes exact doc-freqs, so sampling error
+    and the parameters never change output (``hot_gram_sample=0``
+    disables the probe). See the inline note at the doc-freq stage."""
     k = min_len
     docs_n = df.select(
         F.col(id_col).alias("__id"),
@@ -1790,43 +1829,108 @@ def remove_repeated_spans(
     # [p, p + glen); short docs (< k chars) carry one whole-string gram.
     # Null-id docs are excluded up front: their rewritten rows could
     # never rejoin the corpus anyway (the rebuild join key is __id, and
-    # SQL null never equals), and the window doc-freq below must count
-    # distinct non-null ids exactly like the old count_distinct did.
-    starts = F.sequence(F.lit(1), F.greatest(F.col("__len") - F.lit(k - 1), F.lit(1)))
-    pos = (
-        ensure_parallelism(docs_c.filter(F.col("__id").isNotNull()))
-        .select(
-            "__id",
-            "__len",
-            F.explode(starts).alias("__p"),
-            F.col("__t"),
-        )
-        .select(
-            "__id",
-            "__p",
-            F.xxhash64(F.substring(F.col("__t"), F.col("__p"), k)).alias("__gh"),
-            F.least(F.lit(k), F.col("__len")).alias("__glen"),
-        )
+    # SQL null never equals), and the doc-freq below must count distinct
+    # non-null ids exactly like the old count_distinct did. Null-text
+    # and empty docs are excluded in BOTH prefilter branches so they
+    # always pass through untouched: without this, >= min_doc_freq
+    # null-text docs all collide on xxhash64(null)'s seed value, get
+    # flagged, and rebuild to '' on the prefilter=False path while the
+    # prefilter=True path (whose winnowing pass skips them) passes them
+    # through as NULL — breaking the documented bit-identical parity.
+    docs_pos = docs_c.filter(
+        F.col("__id").isNotNull()
+        & F.col("__t").isNotNull()
+        & (F.col("__len") > 0)
     )
+    pos = _position_stream(ensure_parallelism(docs_pos), k)
 
-    # exact per-gram doc-frequency WITHOUT a second pos shuffle: the
-    # round-8 form aggregated pos by gram hash and joined the flagged
-    # grams back onto pos, shuffling the per-char stream twice — the
-    # second pass died at sf100 both ways (shuffled-hash: per-partition
-    # build memory; sort-merge: sort-spill disk). One window sort on
-    # (gram, id) yields the same exact doc-freq (max dense_rank), the
-    # same keep-first owner (min id), and keeps each position row's
-    # flag decision local to its one shuffle. The gram table never
-    # materializes, never broadcasts, and there is no join to size.
-    w_gh = Window.partitionBy("__gh")
-    flagged_pos = pos.withColumn(
-        "__dr", F.dense_rank().over(w_gh.orderBy("__id"))
-    ).withColumn("__df", F.max("__dr").over(w_gh))
-    if keep_first:
-        flagged_pos = flagged_pos.withColumn("__owner", F.min("__id").over(w_gh))
-    hits = flagged_pos.filter(F.col("__df") >= min_doc_freq)
-    if keep_first:
-        hits = hits.filter(F.col("__id") != F.col("__owner"))
+    # exact per-gram doc-frequency. The base shape is the round-9 fused
+    # window — one full-stream shuffle keyed on the gram hash, with the
+    # doc-freq (max dense_rank), keep-first owner (min id), and each
+    # position's flag decision all local to that one sort. Measured at
+    # every local tier it beats the aggregate+join alternative ~3x
+    # (SCALE_TREND_R10_SPANS stage probes): the alternative shuffles the
+    # per-char stream twice, which is also what killed round 8 at sf100.
+    #
+    # Its one scale hazard: a window partition can never be split (no
+    # partial aggregation, and AQE skew handling applies to joins, not
+    # windows), so a corpus-wide boilerplate k-gram — present in 30-50%
+    # of a billion docs — would serialize a corpus-fraction of the
+    # stream through ONE sort task. Round 10 therefore splits heavy
+    # hitters out FIRST, the classic broadcast-the-head / shuffle-the-
+    # tail skew pattern:
+    #
+    #   1. an eager seeded probe greps a small doc sample for gram
+    #      hashes seen in >= hot_gram_min_sample_docs distinct sampled
+    #      docs — by construction a tiny set (<= |sample docs| * len /
+    #      threshold), collected and inlined as an InSet filter. Routing
+    #      is advisory only: a missed hot gram still computes EXACTLY in
+    #      the window (just slower), a false positive computes exactly
+    #      in the hot path, so sampling error can never change output.
+    #   2. hot positions: exact doc-freq via two-phase salted distinct
+    #      (groupBy (__gh, pmod(xxhash64(__id), S)) dedups map-side and
+    #      splits each hot gram's id set S ways; per-salt id sets are
+    #      disjoint so summing per-salt distinct counts is exact), then
+    #      a BROADCAST flag join — the hot gram table is bounded by the
+    #      hot set, positions never shuffle on this path at all.
+    #   3. cold positions: the fused window, now with every partition's
+    #      doc-freq bounded by roughly the sampling detection floor
+    #      (~hot_gram_min_sample_docs / hot_gram_sample docs), so the
+    #      sort task ceiling no longer grows with corpus size.
+    S = doc_freq_salts
+    hot: list = []
+    if hot_gram_sample > 0:
+        hot = [
+            r["__gh"]
+            for r in _position_stream(
+                docs_pos.sample(fraction=hot_gram_sample, seed=7), k
+            )
+            .groupBy("__gh")
+            .agg(F.count_distinct("__id").alias("__c"))
+            .filter(F.col("__c") >= hot_gram_min_sample_docs)
+            .select("__gh")
+            .limit(_MAX_HOT_GRAMS)
+            .collect()
+        ]
+
+    def _exact_hot_hits(pos_hot: DataFrame) -> DataFrame:
+        gram = (
+            pos_hot.groupBy(
+                "__gh", F.pmod(F.xxhash64("__id"), F.lit(S)).alias("__salt")
+            )
+            .agg(
+                F.count_distinct("__id").alias("__pdf"),
+                F.min("__id").alias("__pown"),
+            )
+            .groupBy("__gh")
+            .agg(F.sum("__pdf").alias("__df"), F.min("__pown").alias("__owner"))
+            .filter(F.col("__df") >= min_doc_freq)
+            .select("__gh", "__owner")
+        )
+        out = pos_hot.join(F.broadcast(gram), on="__gh")
+        if keep_first:
+            out = out.filter(F.col("__id") != F.col("__owner"))
+        return out.select("__id", "__p", "__glen")
+
+    def _window_hits(pos_cold: DataFrame) -> DataFrame:
+        w_gh = Window.partitionBy("__gh")
+        flagged_pos = pos_cold.withColumn(
+            "__dr", F.dense_rank().over(w_gh.orderBy("__id"))
+        ).withColumn("__df", F.max("__dr").over(w_gh))
+        if keep_first:
+            flagged_pos = flagged_pos.withColumn("__owner", F.min("__id").over(w_gh))
+        out = flagged_pos.filter(F.col("__df") >= min_doc_freq)
+        if keep_first:
+            out = out.filter(F.col("__id") != F.col("__owner"))
+        return out.select("__id", "__p", "__glen")
+
+    if hot:
+        is_hot = F.col("__gh").isin(hot)
+        hits = _window_hits(pos.filter(~is_hot)).unionByName(
+            _exact_hot_hits(pos.filter(is_hot))
+        )
+    else:
+        hits = _window_hits(pos)
     hits = hits.select("__id", "__p", (F.col("__p") + F.col("__glen")).alias("__e"))
 
     # gaps-and-islands: a new island starts when this gram begins past

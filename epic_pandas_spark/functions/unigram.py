@@ -455,7 +455,9 @@ def unigram_encode(
     tokens (encoding is total), mirroring SentencePiece's byte/char
     fallback.
 
-    A per-executor distinct-word memo caches each word's segmentation:
+    A per-worker distinct-word memo (in the UDF closure, so it lives as
+    long as the deserialized function — across all Arrow batches of a
+    task, not rebuilt per batch) caches each word's segmentation:
     natural corpora are Zipf-distributed, so the same words recur
     thousands of times and the Viterbi lattice runs once per DISTINCT
     word instead of once per occurrence (the tokenization is a pure
@@ -466,11 +468,14 @@ def unigram_encode(
     lp = dict(logp)
     max_len = max((len(p) for p in lp), default=1)
     memo_cap = 2_000_000
+    # One memo per python-worker process, shared across Arrow batches: the
+    # closure (incl. this dict) is deserialized once per worker, while the
+    # UDF body runs per ~10k-row batch — defining the dict inside the body
+    # would rebuild it every batch and forfeit most of the Zipf win.
+    memo: dict = {}
 
     @pandas_udf("array<string>")
     def encode(texts: pd.Series) -> pd.Series:
-        memo: dict = {}
-
         def enc(text):
             if text is None:
                 return []

@@ -10,6 +10,7 @@ events. Keys shuffle once into the state store partitioning.
 
 from __future__ import annotations
 
+import time
 from collections.abc import Iterator
 
 import pandas as pd
@@ -253,6 +254,21 @@ def windowed_topk(
     )
 
 
+def _window_key_epoch_ms(window_start) -> int:
+    """Epoch milliseconds of a grouping-key timestamp, inverting the exact
+    conversion PySpark applied on the way in: applyInPandasWithState keys
+    go through the non-Arrow ``TimestampType.fromInternal``, i.e.
+    ``datetime.fromtimestamp(micros/1e6)`` in the OS-LOCAL timezone
+    (``spark.sql.session.timeZone`` does not control this path), so the
+    naive key must be read back as OS-local. ``pd.Timestamp(...)
+    .timestamp()`` would read it as UTC and shift every close time by the
+    host's UTC offset — on a west-of-UTC host that armed timeouts hours
+    EARLY, evicting live window state mid-window. ``time.mktime`` is the
+    symmetric local-tz inverse."""
+    ts = pd.Timestamp(window_start)
+    return int(time.mktime(ts.timetuple())) * 1000 + ts.microsecond // 1000
+
+
 def _set_window_close_timeout(state: GroupState, window_start, win_ms: int) -> None:
     """Arm an event-time timeout at this window's close so its state is
     dropped once the watermark passes it. Callers invoke this only under
@@ -262,7 +278,7 @@ def _set_window_close_timeout(state: GroupState, window_start, win_ms: int) -> N
     watermark has already passed gets watermark+1ms and times out on the
     next micro-batch."""
     wm = state.getCurrentWatermarkMs()
-    close_ms = int(pd.Timestamp(window_start).timestamp() * 1000) + win_ms
+    close_ms = _window_key_epoch_ms(window_start) + win_ms
     state.setTimeoutTimestamp(max(close_ms, wm + 1))
 
 

@@ -1357,7 +1357,11 @@ def test_remove_repeated_spans_prefilter_parity(spark):
         else:
             rows.append((d, filler))
     rows += [(100, "tiny dup"), (101, "tiny dup"), (102, "tiny unique")]  # < k chars
-    rows += [(200, ""), (201, None), (None, shared + " " + shared)]  # null id: passthrough
+    # TWO null-text docs: >= min_doc_freq of them would all collide on
+    # xxhash64(null)'s seed and rebuild to '' if they ever reached the
+    # pos stream (the round-9 prefilter=False path did exactly that,
+    # while prefilter=True passed them through as NULL — parity break)
+    rows += [(200, ""), (201, None), (202, None), (None, shared + " " + shared)]
     df = spark.createDataFrame(rows, "doc_id long, text string").repartition(5)
 
     for window in (8, 100):  # 100 > k exercises the clamp
@@ -1375,8 +1379,20 @@ def test_remove_repeated_spans_prefilter_parity(spark):
         }
         assert a == b
         assert len(a) == len(rows)
+    # the doc-freq salt count never changes output: S=1 is the unsalted
+    # degenerate form, S=5 doesn't divide anything evenly
+    for salts in (1, 5):
+        c = {
+            r["doc_id"]: (r["cleaned"], r["n_removed_chars"])
+            for r in remove_repeated_spans(
+                df, "text", "doc_id", min_len=40, prefilter=False,
+                doc_freq_salts=salts,
+            ).collect()
+        }
+        assert c == a
     assert a[100][1] > 0 and a[101][1] > 0  # short exact dups caught
     assert a[102] == ("tiny unique", 0)
+    assert a[201] == (None, None) and a[202] == (None, None)  # null text untouched
 
     # the prefilter actually prunes: non-duplicated docs are not candidates
     docs_n = df.select(
