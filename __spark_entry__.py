@@ -25,9 +25,23 @@ def entry(spark: SparkSession) -> DataFrame:
     quality-classifier scores → MinHash+LSH keep-best dedup → mixture
     resample — the engine's deepest composed plan (SURVEY.md §7.1 step 9;
     every stage broadcast- or bucket-shaped, document text never
-    shuffles)."""
+    shuffles), cross-joined with a one-row summary of exact-substring
+    span removal (winnowing prefilter + heavy-hitter-split doc-freq, the
+    round-10 deep plan) so the driver smoke exercises both."""
     fn, _sql = registry.REGISTRY["ccnet_curation"]
-    return fn(spark, "/root/testdata/sf0.001")
+    ccnet = fn(spark, "/root/testdata/sf0.001")
+
+    from pyspark.sql import functions as F
+
+    from epic_pandas_spark.extensions.dedup import remove_repeated_spans
+    from epic_pandas_spark.session import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    spans = remove_repeated_spans(docs, "text", "doc_id", min_len=50).agg(
+        F.count(F.lit(1)).alias("spans_n_docs"),
+        F.sum("n_removed_chars").alias("spans_removed_chars"),
+    )
+    return ccnet.crossJoin(F.broadcast(spans))
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

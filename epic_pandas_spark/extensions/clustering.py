@@ -43,25 +43,35 @@ def kmeans_fit(
     id_col: str = "vec_id",
     max_iterations: int = 10,
     tol: float | None = 1e-6,
+    initial_centroids: list[list[float]] | None = None,
 ) -> tuple[list[list[float]], float]:
     """Lloyd's algorithm; returns (centroids, inertia).
 
     Init: the k corpus vectors with smallest xxhash64(id) — deterministic,
-    seedless. Each iteration = one assignment pass + one posexplode
-    aggregate (which carries BOTH the new per-dimension means and the
-    per-cluster inertia — one driver action per round, not two).
+    seedless — or the caller's ``initial_centroids`` (warm starts,
+    k-means++ seeds picked elsewhere, or a replayable init for the
+    cross-engine oracle). Each iteration = one assignment pass + one
+    posexplode aggregate (which carries BOTH the new per-dimension means
+    and the per-cluster inertia — one driver action per round, not two).
 
     ``tol=None`` runs exactly ``max_iterations`` rounds with NO inertia
     bookkeeping and returns inertia as NaN — the codebook-training mode
     (e.g. IVF) where the caller discards inertia and every extra driver
     action is a wasted job launch."""
-    init_rows = (
-        df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
-        .orderBy(F.xxhash64(F.col(id_col)).asc())
-        .limit(k)
-        .collect()
-    )
-    centroids = [list(r["v"]) for r in init_rows]
+    if initial_centroids is not None:
+        if len(initial_centroids) != k:
+            raise ValueError(
+                f"initial_centroids has {len(initial_centroids)} rows, expected k={k}"
+            )
+        centroids = [[float(x) for x in c] for c in initial_centroids]
+    else:
+        init_rows = (
+            df.select(F.col(id_col), F.col(vec_col).cast("array<double>").alias("v"))
+            .orderBy(F.xxhash64(F.col(id_col)).asc())
+            .limit(k)
+            .collect()
+        )
+        centroids = [list(r["v"]) for r in init_rows]
     prev_inertia = math.inf
     inertia = math.nan
     for _ in range(max_iterations):

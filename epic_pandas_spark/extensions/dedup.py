@@ -23,6 +23,7 @@ word splitting — no Python in the hot path anywhere.
 from __future__ import annotations
 
 import warnings
+from concurrent.futures import ThreadPoolExecutor
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
@@ -1042,7 +1043,6 @@ def minhash_index(
     near-dedup feasible without re-reading the corpus."""
     if n_hashes % bands != 0:
         raise ValueError("bands must divide n_hashes")
-    r = n_hashes // bands
     words = (
         ensure_parallelism(df).select(
             F.col(id_col).alias("id"),
@@ -1056,6 +1056,7 @@ def minhash_index(
         .select("id", "ws", F.size("ws").alias("n"))
         .localCheckpoint(eager=False)  # feeds both signatures and the store
     )
+    r = n_hashes // bands
     signed = minhash_signatures(
         words.select("id", "ws"), n_hashes=n_hashes, seed=seed
     )
@@ -1155,6 +1156,13 @@ def minhash_lsh_pairs_incremental(
     return pairs, updated
 
 
+# After this many micro-batches the streaming near-dup probe's in-memory
+# signature cache folds back into a fresh parquet-store snapshot — bounds
+# executor storage-memory for long-running streams while keeping the
+# common path free of per-epoch store re-reads.
+_STORE_REFRESH_EPOCHS = 64
+
+
 def minhash_neardup_stream(
     stream_df: DataFrame,
     text_col: str,
@@ -1200,11 +1208,44 @@ def minhash_neardup_stream(
     the batch's banded signatures join the standing band store (id +
     two longs per row, ~1-2% of corpus text; bucketable by (band,
     bucket) for a co-located probe), and exact verification touches
-    hashed shingle sets of candidate ids only. The stream never holds
-    LSH state in the streaming checkpoint — the index IS the state,
-    queryable parquet shared with the batch pipeline. Returns the
-    started StreamingQuery."""
+    hashed shingle sets of candidate ids only. The DURABLE state is
+    parquet only — the streaming checkpoint holds no LSH state, and the
+    index stays queryable by the batch pipeline; within a run the probe
+    additionally keeps the store snapshot + its own epochs' signatures
+    as in-memory checkpoints (refreshed from parquet every
+    _STORE_REFRESH_EPOCHS batches) so the growing store is not re-listed
+    and re-read every micro-batch. Returns the started StreamingQuery."""
     spark = stream_df.sparkSession
+    # Standing-index cache across micro-batches (round 10, the 2x
+    # throughput fix): the parquet store stays the DURABLE index — every
+    # epoch still lands there with the same idempotent epoch-partitioned
+    # overwrites — but the probe no longer re-lists and re-reads the
+    # whole growing store every micro-batch. The store is snapshotted
+    # into the plan ONCE (lazily, first epoch of this run), and each
+    # subsequent epoch's signatures join the snapshot plus the run's own
+    # eagerly-checkpointed in-memory epochs (bounded: banded signatures
+    # and hashed shingle sets, ~1-2% of corpus text — never raw text).
+    # Retry safety is unchanged: a replayed epoch is excluded from BOTH
+    # the snapshot (epoch partition filter) and the in-memory dict (key
+    # lookup), so it reconstructs identical output. After
+    # _STORE_REFRESH_EPOCHS in-memory epochs the cache folds back into a
+    # fresh parquet snapshot, bounding executor storage for long runs.
+    state: dict = {"base": None, "epochs": {}}
+
+    def _read_store(exclude_epoch: int):
+        sb = (
+            spark.read.option("basePath", f"{index_dir}/bands")
+            .parquet(f"{index_dir}/bands")
+            .filter(F.col("epoch") != exclude_epoch)  # retry-safe
+            .drop("epoch")
+        )
+        sw = (
+            spark.read.option("basePath", f"{index_dir}/words")
+            .parquet(f"{index_dir}/words")
+            .filter(F.col("epoch") != exclude_epoch)
+            .drop("epoch")
+        )
+        return sb, sw
 
     def probe(batch_df: DataFrame, epoch_id: int) -> None:
         nb, nw = minhash_index(
@@ -1212,33 +1253,56 @@ def minhash_neardup_stream(
         )
         nb = nb.localCheckpoint(eager=False)  # pairs probe + index append
         nw = nw.localCheckpoint(eager=False)
-        index = None
-        # Only the genuinely-missing-index case (first epoch of a fresh
-        # pipeline) may be tolerated; any OTHER read failure — corrupt
-        # store, transient FS error, schema drift — must propagate and
-        # fail the micro-batch, else the epoch silently emits zero
-        # new-vs-history pairs while still appending its partitions.
-        if _hadoop_path_exists(spark, f"{index_dir}/bands") and _hadoop_path_exists(
-            spark, f"{index_dir}/words"
-        ):
-            sb = (
-                spark.read.option("basePath", f"{index_dir}/bands")
-                .parquet(f"{index_dir}/bands")
-                .filter(F.col("epoch") != epoch_id)  # retry-safe
-                .drop("epoch")
+        if len(state["epochs"]) >= _STORE_REFRESH_EPOCHS:
+            state["base"], state["epochs"] = None, {}
+        index = state["base"]
+        if index is None:
+            # Only the genuinely-missing-index case (first epoch of a
+            # fresh pipeline) may be tolerated; any OTHER read failure —
+            # corrupt store, transient FS error, schema drift — must
+            # propagate and fail the micro-batch, else the epoch silently
+            # emits zero new-vs-history pairs while still appending its
+            # partitions.
+            if _hadoop_path_exists(
+                spark, f"{index_dir}/bands"
+            ) and _hadoop_path_exists(spark, f"{index_dir}/words"):
+                index = _read_store(epoch_id)
+                state["base"] = index
+        prior = index
+        for eid, (eb, ew) in state["epochs"].items():
+            if eid == epoch_id:
+                continue  # replayed epoch must not see its failed attempt
+            prior = (
+                (eb, ew)
+                if prior is None
+                else (prior[0].unionByName(eb), prior[1].unionByName(ew))
             )
-            sw = (
-                spark.read.option("basePath", f"{index_dir}/words")
-                .parquet(f"{index_dir}/words")
-                .filter(F.col("epoch") != epoch_id)
-                .drop("epoch")
-            )
-            index = (sb, sw)
-        pairs = _lsh_pairs_vs_store(nb, nw, index, threshold)
+        pairs = _lsh_pairs_vs_store(nb, nw, prior, threshold)
+        # the pairs write runs FIRST as one fused job — it materializes
+        # the batch's lazy nb/nw checkpoints on the way — and the two
+        # index appends then run CONCURRENTLY over the materialized
+        # checkpoint blocks (Spark schedules jobs from separate threads
+        # in parallel), so the epoch pays one fused probe + max(append)
+        # instead of four serial jobs
         pairs.write.mode("overwrite").parquet(f"{out_dir}/epoch={epoch_id}")
         if update_index:
-            nb.write.mode("overwrite").parquet(f"{index_dir}/bands/epoch={epoch_id}")
-            nw.write.mode("overwrite").parquet(f"{index_dir}/words/epoch={epoch_id}")
+            appends = [
+                (nb, f"{index_dir}/bands/epoch={epoch_id}"),
+                (nw, f"{index_dir}/words/epoch={epoch_id}"),
+            ]
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(
+                        lambda d, p: d.write.mode("overwrite").parquet(p), d, p
+                    )
+                    for d, p in appends
+                ]
+                for f in futs:
+                    f.result()  # propagate the first failure — epoch must fail
+            # nb/nw are already localCheckpoint-ed and materialized;
+            # holding the references keeps their checkpoint blocks alive
+            # for later epochs' probes
+            state["epochs"][epoch_id] = (nb, nw)
 
     return (
         stream_df.writeStream.foreachBatch(probe)

@@ -36,6 +36,8 @@ the rest of the curation tier.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, functions as F
 
 # Click/campaign identifiers stripped by the public curation pipelines;
@@ -103,12 +105,13 @@ def url_host_expr(url) -> Column:
 
 def registrable_domain_expr(url) -> Column:
     """Last-two-labels approximation of the registrable domain
-    (``news.site.example.com`` → ``example.com``). DEVIATION from a full
-    Public Suffix List lookup (multi-label suffixes like ``co.uk``
-    collapse to the suffix itself); the PSL is a 15k-line moving dataset
-    — see :func:`psl_domain_expr` for the broadcast-dim longest-match
-    join against a real suffix table. IP literals (bracketed IPv6)
-    pass through unchanged — they have no registrable domain."""
+    (``news.site.example.com`` → ``example.com``) — the cheap
+    expression-only path for pipelines that tolerate multi-label
+    suffixes like ``co.uk`` collapsing to the suffix itself. For TRUE
+    registrable domains use :func:`psl_registrable_domain`, which
+    resolves against the full vendored publicsuffix.org snapshot by
+    default (broadcast-dim longest-match joins). IP literals (bracketed
+    IPv6) pass through unchanged — they have no registrable domain."""
     host = url_host_expr(url)
     two = F.regexp_extract(host, r"([^.]+\.[^.]+)$", 1)
     return F.when(F.startswith(host, F.lit("[")), host).otherwise(
@@ -116,13 +119,28 @@ def registrable_domain_expr(url) -> Column:
     )
 
 
-# Vendored subset of well-known public suffixes (facts about the DNS,
-# assembled from common knowledge — NOT a copy of the PSL file): the
-# multi-label suffixes that actually mis-key under the last-two-labels
-# approximation, plus one wildcard and its exception so the full rule
-# algebra is exercised. Callers with a real PSL snapshot pass its lines
-# to parse_psl_rules instead — same format ('!' exception, '*.'
-# wildcard, comments and blank lines ignored).
+# Vendored real Public Suffix List snapshot (publicsuffix.org, MPL-2.0 —
+# public data shipped by the OS's `publicsuffix` package), ~14k lines.
+# This is the DEFAULT rule source for psl_registrable_domain since round
+# 10, closing the earlier subset-only deviation.
+_PSL_SNAPSHOT_PATH = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+    "data",
+    "public_suffix_list.dat",
+)
+
+
+def psl_snapshot_lines() -> list[str]:
+    """Lines of the vendored Public Suffix List snapshot (comments and
+    blanks included — parse_psl_rules skips them)."""
+    with open(_PSL_SNAPSHOT_PATH, encoding="utf-8") as f:
+        return f.read().splitlines()
+
+
+# Tiny hand-assembled subset of well-known suffixes: kept as a fixture
+# for unit tests that want a readable, enumerable rule set (the
+# wildcard/exception algebra in miniature). Production resolution uses
+# the full vendored snapshot above by default.
 DEFAULT_PSL_RULES = (
     "co.uk", "org.uk", "ac.uk", "gov.uk", "net.uk", "sch.uk",
     "com.au", "net.au", "org.au", "edu.au", "gov.au",
@@ -142,9 +160,10 @@ def parse_psl_rules(spark, lines=None):
     consumed by :func:`psl_registrable_domain`: columns ``(base, kind)``
     where ``base`` is the rule's literal label suffix (wildcards store
     the part after ``*.``) and ``kind`` ∈ {normal, wildcard, exception}.
-    ``lines`` defaults to the vendored :data:`DEFAULT_PSL_RULES` subset;
-    pass the lines of a full PSL snapshot for production keying.
-    Comments (``//``) and blank lines are ignored, per the PSL format."""
+    ``lines`` defaults to the tiny :data:`DEFAULT_PSL_RULES` test
+    fixture; production keying passes :func:`psl_snapshot_lines` (which
+    :func:`psl_registrable_domain` does by default). Comments (``//``)
+    and blank lines are ignored, per the PSL format."""
     rows = []
     for ln in lines if lines is not None else DEFAULT_PSL_RULES:
         r = ln.strip().lower()
@@ -164,7 +183,7 @@ def psl_registrable_domain(
     host_col: str,
     psl=None,
     out_col: str = "registrable_domain",
-    max_suffix_labels: int = 4,
+    max_suffix_labels: int = 5,
 ):
     """Append the TRUE registrable domain (public suffix + one label)
     of ``host_col`` as ``out_col``, resolving multi-label suffixes via
@@ -173,12 +192,17 @@ def psl_registrable_domain(
     else the implicit ``*`` default (unknown TLD = 1 label). Hosts that
     ARE a public suffix, IP literals, and dotless hosts yield null.
 
+    ``psl`` defaults to the full vendored publicsuffix.org snapshot
+    (:func:`psl_snapshot_lines`, ~9.6k distinct rule bases) — the real
+    list, not an approximation; pass ``parse_psl_rules(spark, lines)``
+    to pin a different snapshot.
+
     100 TB shape: the PSL dim (≤ ~15k rows) broadcasts, and each of the
     ``max_suffix_labels`` candidate lengths is one broadcast HASH join —
     a map-side lookup chain with ZERO shuffles of the corpus and no
-    explode/re-aggregate round-trip. ``max_suffix_labels`` = 4 covers
-    every rule in the vendored subset and all but a handful of the full
-    PSL; raise it when loading a snapshot with longer rules."""
+    explode/re-aggregate round-trip. ``max_suffix_labels`` = 5 covers
+    every rule in the vendored snapshot (its longest rule base is 5
+    labels; wildcard bases match one more label via the k+1 term)."""
     if max_suffix_labels < 1:
         raise ValueError("max_suffix_labels must be >= 1")
     spark = df.sparkSession
@@ -190,7 +214,7 @@ def psl_registrable_domain(
     # an in-memory table — the corpus plan carries zero exchanges and
     # the rule aggregation never re-computes per join.
     folded = (
-        (psl if psl is not None else parse_psl_rules(spark))
+        (psl if psl is not None else parse_psl_rules(spark, psl_snapshot_lines()))
         .groupBy(F.lower(F.col("base")).alias("base"))
         .agg(
             F.max(F.col("kind") == "normal").alias("nrm"),

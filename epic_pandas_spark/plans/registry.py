@@ -2340,16 +2340,106 @@ def q_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("kmeans_clusters", None)  # iterative + fp-boundary sensitivity → rows-only
+def _kmeans_oracle_sql(k: int, iters: int) -> str:
+    """Fixed-iteration Lloyd replay for DuckDB: seeds = the k vectors
+    with smallest portable md5 hash of vec_id (cluster index = seed
+    order), each round = argmin assignment (squared euclidean, ties to
+    the lowest cluster index — ROW_NUMBER ordered by (dist, cluster))
+    then per-(cluster, dim) SUM/COUNT means with empty clusters keeping
+    their previous centroid, exactly like kmeans_fit."""
+
+    def assign(i: int, cent: str) -> str:
+        return f"""
+    a{i} AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vd.vec_id, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vd.vec_id
+                 ORDER BY SUM((vd.val - c.val) * (vd.val - c.val)), c.cluster
+               ) AS rnk
+        FROM vd JOIN {cent} c ON vd.pos = c.pos
+        GROUP BY vd.vec_id, c.cluster
+      ) WHERE rnk = 1
+    ),"""
+
+    def update(i: int, prev: str) -> str:
+        return f"""
+    c{i} AS (
+      SELECT p.cluster, p.pos, COALESCE(u.val, p.val) AS val
+      FROM {prev} p LEFT JOIN (
+        SELECT a.cluster, vd.pos, SUM(vd.val) / COUNT(*) AS val
+        FROM a{i} a JOIN vd ON a.vec_id = vd.vec_id
+        GROUP BY a.cluster, vd.pos
+      ) u ON p.cluster = u.cluster AND p.pos = u.pos
+    ),"""
+
+    rounds = "".join(
+        assign(i, f"c{i - 1}") + update(i, f"c{i - 1}") for i in range(1, iters + 1)
+    )
+    return f"""
+    WITH vd AS (
+      SELECT vec_id, p.i AS pos, CAST(p.v AS DOUBLE) AS val
+      FROM (SELECT vec_id,
+                   unnest(list_transform(generate_series(1, len(embedding)),
+                                         i -> struct_pack(i := i, v := embedding[i]))) AS p
+            FROM embeddings)
+    ),
+    seeds AS (
+      SELECT vec_id, CAST(rn - 1 AS INTEGER) AS cluster FROM (
+        SELECT vec_id,
+               ROW_NUMBER() OVER (
+                 ORDER BY CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)
+                               AS BIGINT), vec_id
+               ) AS rn
+        FROM embeddings
+      ) WHERE rn <= {k}
+    ),
+    c0 AS (
+      SELECT s.cluster, vd.pos, vd.val FROM seeds s JOIN vd ON s.vec_id = vd.vec_id
+    ),{rounds}
+    fin AS (
+      SELECT vec_id, cluster FROM (
+        SELECT vd.vec_id, c.cluster,
+               ROW_NUMBER() OVER (
+                 PARTITION BY vd.vec_id
+                 ORDER BY SUM((vd.val - c.val) * (vd.val - c.val)), c.cluster
+               ) AS rnk
+        FROM vd JOIN c{iters} c ON vd.pos = c.pos
+        GROUP BY vd.vec_id, c.cluster
+      ) WHERE rnk = 1
+    )
+    SELECT cluster, CAST(COUNT(*) AS BIGINT) AS n FROM fin GROUP BY cluster
+    """
+
+
+@register("kmeans_clusters", _kmeans_oracle_sql(4, 2))
 def q_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed Lloyd's k-means over the embeddings (extensions.
-    clustering): cluster sizes for k=4 after 2 iterations. Iterative and
-    assignment-boundary fp-sensitive, hence rows-only; convergence and
-    separation properties are unit-tested."""
+    clustering): cluster sizes for k=4 after 2 iterations. Full DuckDB
+    oracle since round 10: the fixed Lloyd rounds unroll as chained CTEs
+    (_kmeans_oracle_sql) and the seeds come from the portable
+    md5-arithmetic hash of vec_id via kmeans_fit's initial_centroids, so
+    both engines start and step identically (assignment boundaries are
+    fp-exact in both engines; only a point equidistant to two centroids
+    within ~1e-15 could diverge). Convergence and separation properties
+    are unit-tested beyond this fixed replay."""
     from epic_pandas_spark.extensions.clustering import kmeans_fit, assign_clusters
 
     emb = load_table(spark, sf_dir, "embeddings")
-    centroids, _ = kmeans_fit(emb, k=4, max_iterations=2)
+    init = (
+        emb.select(F.col("vec_id"), F.col("embedding").cast("array<double>").alias("v"))
+        .orderBy(
+            F.conv(F.substring(F.md5(F.col("vec_id").cast("string")), 1, 15), 16, 10)
+            .cast("long")
+            .asc(),
+            F.col("vec_id").asc(),
+        )
+        .limit(4)
+        .collect()
+    )
+    centroids, _ = kmeans_fit(
+        emb, k=4, max_iterations=2, initial_centroids=[list(r["v"]) for r in init]
+    )
     return assign_clusters(emb, centroids).groupBy("cluster").agg(
         F.count(F.lit(1)).alias("n")
     )
@@ -3998,19 +4088,85 @@ def q_recalibrate_auto(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("quality_classifier_train")
+def _classifier_train_oracle_sql(iters: int, n_buckets: int) -> str:
+    """Fixed-iteration full-batch logistic-GD replay for DuckDB: the
+    hashed mean-pooled feature table (tokens -> portable md5 bucket ->
+    per-doc count / token total, plus the bias pseudo-bucket -1 with
+    x = 1) builds once; each GD step is z = sum(x*w) per doc, residual
+    (sigmoid(z) - y) / n_docs, gradient per bucket, w -= lr * g —
+    unrolled one CTE chain per iteration, exactly train_quality_
+    classifier's update with l2 = 0. Output rounds to 4dp (not 6):
+    cross-engine summation order drifts the 6-step-compounded weights
+    at ~1e-11, far inside 4dp but occasionally at a 6dp boundary."""
+    it = ""
+    for i in range(1, iters + 1):
+        it += f"""
+    z{i} AS (
+      SELECT f.did, f.y, SUM(f.x * COALESCE(w.w, CAST(0 AS DOUBLE))) AS z
+      FROM feat f LEFT JOIN w{i - 1} w USING (bucket) GROUP BY f.did, f.y
+    ),
+    r{i} AS (
+      SELECT did,
+             (CAST(1 AS DOUBLE) / (CAST(1 AS DOUBLE) + EXP(-z)) - y)
+               / (SELECT nd FROM ndocs) AS r
+      FROM z{i}
+    ),
+    g{i} AS (
+      SELECT f.bucket, SUM(f.x * r.r) AS g
+      FROM feat f JOIN r{i} r USING (did) GROUP BY f.bucket
+    ),
+    w{i} AS (
+      SELECT g.bucket,
+             COALESCE(w.w, CAST(0 AS DOUBLE)) - CAST(5 AS DOUBLE) * g.g AS w
+      FROM g{i} g LEFT JOIN w{i - 1} w USING (bucket)
+    ),"""
+    return f"""
+    WITH tok AS (
+      SELECT doc_id AS did,
+             CAST(lang = 'en' AS INT)::DOUBLE AS y,
+             unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
+                                 ' ')) AS token
+      FROM documents
+    ),
+    cnt AS (
+      SELECT did, y,
+             CAST('0x' || substr(md5(token), 1, 15) AS BIGINT) % {n_buckets} AS bucket,
+             COUNT(*) AS c
+      FROM tok WHERE token <> '' GROUP BY did, y, bucket
+    ),
+    feat AS (
+      SELECT did, y, bucket,
+             CAST(c AS DOUBLE) / SUM(c) OVER (PARTITION BY did) AS x
+      FROM cnt
+      UNION ALL
+      SELECT doc_id AS did, CAST(lang = 'en' AS INT)::DOUBLE AS y,
+             CAST(-1 AS BIGINT) AS bucket, CAST(1 AS DOUBLE) AS x
+      FROM documents
+    ),
+    ndocs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+    w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS DOUBLE) AS w
+           WHERE FALSE),{it}
+    fin AS (SELECT * FROM w{iters})
+    SELECT bucket, ROUND(w, 4) AS w FROM fin WHERE bucket <> -1
+    """
+
+
+@register("quality_classifier_train", _classifier_train_oracle_sql(6, 512))
 def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distributed TRAINING of the fastText-style quality classifier
     (extensions.curation.train_quality_classifier) — the wiki-vs-crawl
     model-fitting step that `quality_classifier` then serves. Labels:
     lang == 'en' as the stand-in target domain. Full-batch logistic GD:
     the hashed mean-pooled feature table builds once (pinned doc-id
-    partitioning, eager checkpoint); each of the 6 iterations is one
-    broadcast model join + co-partitioned residual join + ONE bucket-key
-    gradient shuffle; weight state (≤512+1 rows) never leaves the
-    cluster. Iterative (w_t depends on w_{t-1}) — not SQL-expressible;
-    correctness rides the exact numpy-GD parity + planted-separation
-    pytest witnesses. Output is the deterministic trained weight table
+    partitioning, persisted); each of the 6 iterations is one broadcast
+    model join + co-partitioned residual join + ONE bucket-key gradient
+    shuffle; weight state (≤512+1 rows) never leaves the cluster. Full
+    DuckDB oracle since round 10: the 6 GD steps unroll as chained CTEs
+    (_classifier_train_oracle_sql) over the portable md5-arithmetic
+    bucket hash; weights round to 4dp because cross-engine fp summation
+    order compounds ~1e-11 over 6 steps. The exact numpy-GD parity +
+    planted-separation pytest witnesses cover the trainer beyond this
+    fixed replay. Output is the deterministic trained weight table
     (bucket set = buckets present in the corpus)."""
     from epic_pandas_spark.extensions.curation import train_quality_classifier
 
@@ -4019,9 +4175,15 @@ def q_quality_classifier_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", (F.col("lang") == "en").cast("int").alias("label")
     )
     w_df, bias, _n = train_quality_classifier(
-        labeled, "text", "label", "doc_id", n_buckets=512, iters=6, lr=5.0
+        labeled, "text", "label", "doc_id", n_buckets=512, iters=6, lr=5.0,
+        # portable bucket hash so the DuckDB oracle replays the identical
+        # feature table (default is xxhash64, which DuckDB lacks)
+        bucket_expr=lambda tok: F.pmod(
+            F.conv(F.substring(F.md5(tok), 1, 15), 16, 10).cast("long"),
+            F.lit(512),
+        ),
     )
-    return w_df.select("bucket", F.round("w", 6).alias("w")).orderBy("bucket")
+    return w_df.select("bucket", F.round("w", 4).alias("w")).orderBy("bucket")
 
 
 @register(
@@ -5884,21 +6046,76 @@ def q_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("id", "degree", "triangles", F.round("coeff", 6).alias("coeff"))
 
 
-@register("pagerank_events", None)  # iterative linear algebra — no SQL
-# oracle; exact numpy power-iteration + closed-form star witnesses in
-# tests/test_graph.py. The query self-witnesses mass conservation.
+def _pagerank_oracle_sql(n_iter: int) -> str:
+    """Fixed-iteration PageRank replay for DuckDB: the power iteration
+    unrolls to one chained CTE per round (w_t is a pure function of
+    w_{t-1}), so 'iterative linear algebra' IS SQL-expressible once the
+    round count is pinned. Literals are CAST to DOUBLE so DuckDB's
+    decimal-by-default arithmetic matches Spark's double exactly (the
+    teleport term is literally 1.0 - 0.85 in binary64, not 0.15)."""
+    rounds = "".join(
+        f"""
+    r{i} AS (
+      SELECT n.id, (CAST(1 AS DOUBLE) - CAST(0.85 AS DOUBLE))
+                 + CAST(0.85 AS DOUBLE) * COALESCE(c.recv, CAST(0 AS DOUBLE)) AS rank
+      FROM nodes n LEFT JOIN (
+        SELECT ew.dst AS id, SUM(r.rank * ew.w) AS recv
+        FROM ew JOIN r{i - 1} r ON ew.src = r.id GROUP BY ew.dst
+      ) c ON n.id = c.id
+    ),"""
+        for i in range(1, n_iter + 1)
+    )
+    return f"""
+    WITH raw AS (
+      SELECT user_id AS src,
+             CAST('0x' || substr(md5(event_type), 1, 15) AS BIGINT) % 1000
+               + 10000000 AS dst
+      FROM events
+    ),
+    e0 AS (
+      SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM raw UNION ALL SELECT dst AS src, src AS dst FROM raw
+      ) WHERE src <> dst
+    ),
+    nodes AS (SELECT DISTINCT src AS id FROM e0),
+    deg AS (SELECT src, COUNT(*) AS d FROM e0 GROUP BY src),
+    ew AS (SELECT e0.src, e0.dst, CAST(1 AS DOUBLE) / deg.d AS w
+           FROM e0 JOIN deg USING (src)),
+    r0 AS (SELECT id, CAST(1 AS DOUBLE) AS rank FROM nodes),{rounds}
+    fin AS (SELECT * FROM r{n_iter})
+    SELECT COUNT(*) AS n_nodes,
+           (ABS(SUM(rank) - COUNT(*)) / COUNT(*) < 1e-9) AS mass_ok,
+           CAST(SUM(CASE WHEN rank > CAST(1 AS DOUBLE) THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_hubs,
+           ROUND(MAX(rank), 6) AS max_rank
+    FROM fin
+    """
+
+
+@register("pagerank_events", _pagerank_oracle_sql(8))
 def q_pagerank_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """PageRank over the bipartite user↔event-type interaction graph
-    (extensions.graph.pagerank, 8 join-agg rounds). Ranks must sum to
-    the node count (dangling-corrected power iteration conserves mass):
-    the query emits that invariant as `mass_ok` so every run witnesses
-    convergence arithmetic, plus the hub count above the uniform rank."""
+    (extensions.graph.pagerank, 8 join-agg rounds). Full DuckDB oracle
+    since round 10: the 8 power-iteration rounds unroll as chained CTEs
+    (see _pagerank_oracle_sql), and the synthetic event-type node ids
+    use the portable md5-arithmetic hash so both engines build the
+    identical graph. Ranks must sum to the node count (dangling-corrected
+    power iteration conserves mass): the query also emits that invariant
+    as `mass_ok`, plus the hub count above the uniform rank. Exact numpy
+    power-iteration + closed-form star witnesses in tests/test_graph.py
+    cover the operator beyond this fixed replay."""
     from epic_pandas_spark.extensions.graph import pagerank
 
     ev = load_table(spark, sf_dir, "events").select(
         F.col("user_id").alias("src"),
-        # event types become synthetic node ids above the user range
-        (F.xxhash64("event_type") % 1000 + 10_000_000).alias("dst"),
+        # event types become synthetic node ids above the user range;
+        # md5-arithmetic (not xxhash64) so the DuckDB oracle replays the
+        # same node mapping
+        (
+            F.conv(F.substring(F.md5("event_type"), 1, 15), 16, 10).cast("long")
+            % 1000
+            + 10_000_000
+        ).alias("dst"),
     )
     ranks = pagerank(ev, n_iter=8)
     return ranks.agg(

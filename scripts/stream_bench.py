@@ -249,6 +249,29 @@ def main() -> None:
         sec = _timed_run(q)
         record("minhash_neardup_stream", n_docs, sec)
 
+        # same surface, ONE availableNow batch (no maxFilesPerTrigger):
+        # separates per-document cost from per-micro-batch job-launch
+        # latency, which dominates the 4-epoch row at this corpus size
+        # (profiled round 10: ~1.9s/epoch of fixed JVM job+stage latency
+        # vs ~0.5s of compute). A production ingest tick of any real
+        # size runs in this regime.
+        index_dir2 = os.path.join(tmp, "lsh_index_bulk")
+        cb.write.parquet(f"{index_dir2}/bands/epoch=-1")
+        cw.write.parquet(f"{index_dir2}/words/epoch=-1")
+        schema = spark.read.parquet(docs_src).schema
+        bulk_src = (
+            spark.readStream.schema(schema).parquet(docs_src)
+        )
+        q = minhash_neardup_stream(
+            bulk_src, "text", "doc_id",
+            index_dir=index_dir2,
+            out_dir=os.path.join(tmp, "pairs_out_bulk"),
+            checkpoint_dir=os.path.join(tmp, "ckpt_bulk"),
+            threshold=0.8,
+        )
+        sec = _timed_run(q)
+        record("minhash_neardup_stream_bulk", n_docs, sec)
+
         print(json.dumps({
             "sf_dir": SF_DIR,
             "n_shards": N_SHARDS,

@@ -595,6 +595,39 @@ def test_psl_registrable_domain_rule_algebra(spark):
         psl_registrable_domain(df3, "host", max_suffix_labels=0)
 
 
+def test_psl_vendored_snapshot_resolves_real_rules(spark):
+    """The default rule source is the full vendored publicsuffix.org
+    snapshot, not the hand-picked subset: rules that exist ONLY in the
+    real list must resolve — private-section suffixes (github.io),
+    multi-label Japanese geo wildcards (*.kawasaki.jp) and their
+    exceptions (!city.kawasaki.jp), and 3-label ICANN suffixes absent
+    from the fixture (pvt.k12.ma.us)."""
+    from epic_pandas_spark.extensions.web import (
+        DEFAULT_PSL_RULES,
+        psl_registrable_domain,
+        psl_snapshot_lines,
+    )
+
+    lines = psl_snapshot_lines()
+    rules = [ln for ln in lines if ln and not ln.startswith("//")]
+    assert len(rules) > 9000  # a real snapshot, not a subset
+    assert "github.io" in rules and "!city.kawasaki.jp" in rules
+    # the readable test fixture stays a strict subset of the real list
+    assert {"co.uk", "com.au", "co.jp"} <= set(rules)
+    assert {"co.uk", "com.au", "co.jp"} <= set(DEFAULT_PSL_RULES)
+
+    cases = {
+        "project.pages.github.io": "pages.github.io",   # private-section rule
+        "a.b.kawasaki.jp": "a.b.kawasaki.jp",            # *.kawasaki.jp wildcard
+        "x.city.kawasaki.jp": "city.kawasaki.jp",        # !city.kawasaki.jp
+        "school.pvt.k12.ma.us": "school.pvt.k12.ma.us",  # pvt.k12.ma.us IS a suffix
+    }
+    df = spark.createDataFrame([(h,) for h in cases], "host string")
+    out = {r["host"]: r["registrable_domain"]
+           for r in psl_registrable_domain(df, "host").collect()}
+    assert out == cases
+
+
 def test_filter_by_group_quantile_semantics(spark):
     """Per-group threshold: each group's cutoff is its OWN quantile (a
     global cutoff would keep nothing from the low group); keep modes

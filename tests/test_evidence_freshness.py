@@ -53,6 +53,36 @@ def test_oracle_artifacts_cover_registry(artifact):
     assert data["n_fail"] == 0, f"{artifact} records failures"
 
 
+def test_coverage_md_harness_counts_match_artifact():
+    """COVERAGE.md's 'full-registry oracle harness' row must carry the
+    SAME counts as the committed ORACLE_CHECK.json — the prose went
+    stale in round 9 (claimed 161/146/15 while the artifact said
+    181/164/17), so the numbers are now asserted, not trusted."""
+    with open(os.path.join(REPO, "ORACLE_CHECK.json")) as f:
+        data = json.load(f)
+    with open(os.path.join(REPO, "COVERAGE.md")) as f:
+        row = next(
+            (ln for ln in f if "full-registry oracle harness" in ln), None
+        )
+    assert row, "COVERAGE.md lost its 'full-registry oracle harness' row"
+    m = re.search(
+        r"(\d+) queries — (\d+) oracle hash-match, (\d+) rows-only, (\d+) fail",
+        row,
+    )
+    assert m, f"harness row not in the parseable format: {row!r}"
+    got = tuple(int(x) for x in m.groups())
+    want = (
+        len(data["results"]),
+        data["n_match"],
+        data["n_rows_only"],
+        data["n_fail"],
+    )
+    assert got == want, (
+        f"COVERAGE.md harness row says {got}, ORACLE_CHECK.json says {want} "
+        "— update the row when regenerating evidence"
+    )
+
+
 def test_bench_map_covers_registry():
     path = _latest_bench_map()
     assert path, "no BENCH_R*_SF01.json — run scripts/refresh_evidence.py"
