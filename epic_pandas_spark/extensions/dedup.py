@@ -1818,7 +1818,7 @@ def remove_repeated_spans(
     prefilter_window: int = 8,
     doc_freq_salts: int = 16,
     hot_gram_sample: float = 0.01,
-    hot_gram_min_sample_docs: int = 32,
+    hot_gram_min_df: int = 1_000_000,
 ) -> DataFrame:
     """The REWRITE step of exact-substring dedup (Lee et al. 2022,
     arXiv:2107.06499 §3.1 — their suffix-array ExactSubstr pass):
@@ -1860,11 +1860,18 @@ def remove_repeated_spans(
 
     Heavy-hitter grams are skew-split (round 10): an eager seeded probe
     over a ``hot_gram_sample`` fraction of docs collects gram hashes
-    seen in >= ``hot_gram_min_sample_docs`` distinct sampled docs; those
-    grams take an exact two-phase salted distinct (``doc_freq_salts``
-    ways) + broadcast flag join instead of the gram-keyed window, whose
-    partitions cannot be split and would otherwise serialize a
-    corpus-wide boilerplate gram through one sort task. Routing is
+    whose ESTIMATED corpus doc-frequency (sampled distinct docs /
+    sample fraction) reaches ``hot_gram_min_df``; those grams take an
+    exact two-phase salted distinct (``doc_freq_salts`` ways) +
+    broadcast flag join instead of the gram-keyed window, whose
+    partitions cannot be split and would serialize such a gram through
+    one sort task. The default threshold (1M docs) is deliberately at
+    cluster-fatal size: measured at sf10 with a gram planted in 40% of
+    docs (200k-doc frequency), the prefiltered window absorbs it FASTER
+    than splitting does (SCALE_TREND_R10_SPANS skew tiers), so the
+    split only pays for itself where a partition would outgrow an
+    executor — and the absolute-df threshold means local corpora never
+    trigger it while a 100 TB corpus' boilerplate does. Routing is
     advisory — either path computes exact doc-freqs, so sampling error
     and the parameters never change output (``hot_gram_sample=0``
     disables the probe). See the inline note at the doc-freq stage."""
@@ -1925,12 +1932,13 @@ def remove_repeated_spans(
     # tail skew pattern:
     #
     #   1. an eager seeded probe greps a small doc sample for gram
-    #      hashes seen in >= hot_gram_min_sample_docs distinct sampled
-    #      docs — by construction a tiny set (<= |sample docs| * len /
-    #      threshold), collected and inlined as an InSet filter. Routing
-    #      is advisory only: a missed hot gram still computes EXACTLY in
-    #      the window (just slower), a false positive computes exactly
-    #      in the hot path, so sampling error can never change output.
+    #      hashes whose estimated corpus doc-frequency reaches
+    #      hot_gram_min_df — by construction a tiny set (<= corpus /
+    #      min_df grams), collected and inlined as an InSet filter.
+    #      Routing is advisory only: a missed hot gram still computes
+    #      EXACTLY in the window (just slower), a false positive
+    #      computes exactly in the hot path, so sampling error can
+    #      never change output.
     #   2. hot positions: exact doc-freq via two-phase salted distinct
     #      (groupBy (__gh, pmod(xxhash64(__id), S)) dedups map-side and
     #      splits each hot gram's id set S ways; per-salt id sets are
@@ -1938,20 +1946,27 @@ def remove_repeated_spans(
     #      a BROADCAST flag join — the hot gram table is bounded by the
     #      hot set, positions never shuffle on this path at all.
     #   3. cold positions: the fused window, now with every partition's
-    #      doc-freq bounded by roughly the sampling detection floor
-    #      (~hot_gram_min_sample_docs / hot_gram_sample docs), so the
-    #      sort task ceiling no longer grows with corpus size.
+    #      doc-freq bounded by ~hot_gram_min_df docs, so the sort task
+    #      ceiling no longer grows with corpus size. The default
+    #      min_df (1M) is deliberately cluster-fatal-sized: below it the
+    #      prefiltered window absorbs skew FASTER than splitting does
+    #      (measured at sf10 with a 200k-df planted gram), so local
+    #      corpora pay only the sampling probe.
     S = doc_freq_salts
     hot: list = []
     if hot_gram_sample > 0:
+        # sampled-count threshold for an estimated corpus df of
+        # hot_gram_min_df; floored at 8 so tiny samples can't promote
+        # single-digit-count noise
+        min_sampled = max(8, int(hot_gram_min_df * hot_gram_sample))
         hot = [
             r["__gh"]
             for r in _position_stream(
-                docs_pos.sample(fraction=hot_gram_sample, seed=7), k
+                docs_pos.sample(fraction=min(hot_gram_sample, 1.0), seed=7), k
             )
             .groupBy("__gh")
             .agg(F.count_distinct("__id").alias("__c"))
-            .filter(F.col("__c") >= hot_gram_min_sample_docs)
+            .filter(F.col("__c") >= min_sampled)
             .select("__gh")
             .limit(_MAX_HOT_GRAMS)
             .collect()

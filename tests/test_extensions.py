@@ -1394,6 +1394,48 @@ def test_remove_repeated_spans_prefilter_parity(spark):
     assert a[102] == ("tiny unique", 0)
     assert a[201] == (None, None) and a[202] == (None, None)  # null text untouched
 
+    # HOT-GRAM SPLIT path: with a full deterministic sample and a tiny
+    # df threshold, the boilerplate grams route through the salted
+    # distinct + broadcast flag join instead of the window — output must
+    # be identical to the probe-disabled run (routing is advisory)
+    boiler_rows = [
+        (i, f"unique preamble {i} " + shared + f" unique tail {i}")
+        for i in range(30)
+    ] + [(100 + i, f"no duplicated content here at all number {i} with filler")
+         for i in range(10)]
+    bdf = spark.createDataFrame(boiler_rows, "doc_id long, text string")
+    hot_on = {
+        r["doc_id"]: (r["cleaned"], r["n_removed_chars"])
+        for r in remove_repeated_spans(
+            bdf, "text", "doc_id", min_len=40,
+            hot_gram_sample=1.0, hot_gram_min_df=10,
+        ).collect()
+    }
+    hot_off = {
+        r["doc_id"]: (r["cleaned"], r["n_removed_chars"])
+        for r in remove_repeated_spans(
+            bdf, "text", "doc_id", min_len=40, hot_gram_sample=0.0
+        ).collect()
+    }
+    assert hot_on == hot_off
+    assert sum(v[1] for v in hot_on.values()) > 0  # boiler actually removed
+    # keep_first consistency across the two paths too
+    hot_on_kf = {
+        r["doc_id"]: r["n_removed_chars"]
+        for r in remove_repeated_spans(
+            bdf, "text", "doc_id", min_len=40, keep_first=True,
+            hot_gram_sample=1.0, hot_gram_min_df=10,
+        ).collect()
+    }
+    hot_off_kf = {
+        r["doc_id"]: r["n_removed_chars"]
+        for r in remove_repeated_spans(
+            bdf, "text", "doc_id", min_len=40, keep_first=True,
+            hot_gram_sample=0.0,
+        ).collect()
+    }
+    assert hot_on_kf == hot_off_kf
+
     # the prefilter actually prunes: non-duplicated docs are not candidates
     docs_n = df.select(
         F.col("doc_id").alias("__id"),
