@@ -1230,19 +1230,28 @@ def minhash_neardup_stream(
     # lookup), so it reconstructs identical output. After
     # _STORE_REFRESH_EPOCHS in-memory epochs the cache folds back into a
     # fresh parquet snapshot, bounding executor storage for long runs.
-    state: dict = {"base": None, "epochs": {}}
+    state: dict = {"base": None, "epochs": {}, "since_snapshot": 0}
 
-    def _read_store(exclude_epoch: int):
+    def _read_store(exclude_epochs: list):
+        # Excludes the CURRENT epoch (retry safety: a replayed epoch must
+        # not probe its own failed attempt's partitions) AND every epoch
+        # already held in state["epochs"]: on a fresh pipeline the store
+        # does not exist at epoch 0, so the snapshot is adopted at a LATER
+        # epoch from parquet that already contains the run's earlier
+        # appends — without the exclusion those docs would sit in both the
+        # snapshot and the in-memory cache and every pair touching them
+        # would be emitted twice (duplicate rows, not just candidates).
+        excl = F.col("epoch").isin(exclude_epochs)
         sb = (
             spark.read.option("basePath", f"{index_dir}/bands")
             .parquet(f"{index_dir}/bands")
-            .filter(F.col("epoch") != exclude_epoch)  # retry-safe
+            .filter(~excl)
             .drop("epoch")
         )
         sw = (
             spark.read.option("basePath", f"{index_dir}/words")
             .parquet(f"{index_dir}/words")
-            .filter(F.col("epoch") != exclude_epoch)
+            .filter(~excl)
             .drop("epoch")
         )
         return sb, sw
@@ -1253,7 +1262,21 @@ def minhash_neardup_stream(
         )
         nb = nb.localCheckpoint(eager=False)  # pairs probe + index append
         nw = nw.localCheckpoint(eager=False)
-        if len(state["epochs"]) >= _STORE_REFRESH_EPOCHS:
+        # Refresh the snapshot from parquet once the in-memory epoch cache
+        # is full (update_index=True: those epochs' appends are durable, so
+        # the fresh snapshot covers them) OR once enough epochs have
+        # elapsed since the last adoption (update_index=False: the cache
+        # never grows, but an externally-appended shared store must still
+        # become visible within _STORE_REFRESH_EPOCHS micro-batches —
+        # round 10 snapshotted forever on that path). External appends are
+        # invisible between refreshes by design; do not append to the
+        # shared store from outside a run that also appends to it, or a
+        # replayed-epoch partition overwrite could clobber them.
+        state["since_snapshot"] += 1
+        if state["base"] is not None and (
+            len(state["epochs"]) >= _STORE_REFRESH_EPOCHS
+            or state["since_snapshot"] > _STORE_REFRESH_EPOCHS
+        ):
             state["base"], state["epochs"] = None, {}
         index = state["base"]
         if index is None:
@@ -1266,8 +1289,9 @@ def minhash_neardup_stream(
             if _hadoop_path_exists(
                 spark, f"{index_dir}/bands"
             ) and _hadoop_path_exists(spark, f"{index_dir}/words"):
-                index = _read_store(epoch_id)
+                index = _read_store([epoch_id, *state["epochs"]])
                 state["base"] = index
+                state["since_snapshot"] = 0
         prior = index
         for eid, (eb, ew) in state["epochs"].items():
             if eid == epoch_id:

@@ -4126,7 +4126,7 @@ def _classifier_train_oracle_sql(iters: int, n_buckets: int) -> str:
              CAST(lang = 'en' AS INT)::DOUBLE AS y,
              unnest(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'),
                                  ' ')) AS token
-      FROM documents
+      FROM documents WHERE lang IS NOT NULL
     ),
     cnt AS (
       SELECT did, y,
@@ -4141,9 +4141,13 @@ def _classifier_train_oracle_sql(iters: int, n_buckets: int) -> str:
       UNION ALL
       SELECT doc_id AS did, CAST(lang = 'en' AS INT)::DOUBLE AS y,
              CAST(-1 AS BIGINT) AS bucket, CAST(1 AS DOUBLE) AS x
-      FROM documents
+      FROM documents WHERE lang IS NOT NULL
     ),
-    ndocs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd FROM documents),
+    -- null-lang docs carry no label: the trainer filters them and divides
+    -- by the LABELED count, so the oracle must too (matches regardless of
+    -- whether the corpus generator ever emits null lang)
+    ndocs AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd
+              FROM documents WHERE lang IS NOT NULL),
     w0 AS (SELECT CAST(NULL AS BIGINT) AS bucket, CAST(NULL AS DOUBLE) AS w
            WHERE FALSE),{it}
     fin AS (SELECT * FROM w{iters})

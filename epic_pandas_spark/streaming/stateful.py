@@ -12,6 +12,7 @@ from __future__ import annotations
 
 import time
 from collections.abc import Iterator
+from datetime import datetime
 
 import pandas as pd
 from pyspark.sql import DataFrame
@@ -264,9 +265,27 @@ def _window_key_epoch_ms(window_start) -> int:
     .timestamp()`` would read it as UTC and shift every close time by the
     host's UTC offset — on a west-of-UTC host that armed timeouts hours
     EARLY, evicting live window state mid-window. ``time.mktime`` is the
-    symmetric local-tz inverse."""
+    symmetric local-tz inverse, except during a DST fall-back hour, where
+    the naive local key is ambiguous (``timetuple()`` yields
+    ``tm_isdst=-1`` and mktime guesses the fold): there we resolve the
+    fold explicitly by trying both isdst interpretations, keeping those
+    whose ``datetime.fromtimestamp`` ROUND-TRIPS back to the key, and
+    picking the LATER epoch — fromInternal collapsed two UTC instants
+    onto this key, and a late timeout only holds window state one extra
+    hour while an early one would evict a live window mid-stream."""
     ts = pd.Timestamp(window_start)
-    return int(time.mktime(ts.timetuple())) * 1000 + ts.microsecond // 1000
+    tt = ts.timetuple()
+    naive = ts.replace(microsecond=0, nanosecond=0).to_pydatetime()
+    candidates = []
+    for isdst in (0, 1):
+        try:
+            sec = int(time.mktime(tt[:8] + (isdst,)))
+        except (OverflowError, OSError, ValueError):
+            continue
+        if datetime.fromtimestamp(sec) == naive:
+            candidates.append(sec)
+    sec = max(candidates) if candidates else int(time.mktime(tt))
+    return sec * 1000 + ts.microsecond // 1000
 
 
 def _set_window_close_timeout(state: GroupState, window_start, win_ms: int) -> None:

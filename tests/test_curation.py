@@ -858,3 +858,43 @@ def test_train_quality_classifier_validation(spark):
     empty = df.filter("label IS NULL")
     with pytest.raises(ValueError, match="no labeled"):
         train_quality_classifier(empty, "text", "label", "doc_id")
+
+
+def test_classifier_train_oracle_replays_null_label_filtering(spark, tmp_path):
+    """Round-10 advisory: the registry's DuckDB classifier-train oracle
+    must replay the trainer's null-label filtering — a null-lang doc
+    carries no label, so the trainer drops it and divides residuals by
+    the LABELED count. Before round 11 the oracle's tok/bias/ndocs CTEs
+    scanned ALL documents (null-y rows silently dropped out of SUM but
+    still inflated ndocs), matching only because the generated corpora
+    never emit null lang. Planted corpus with nulls; full Spark-vs-DuckDB
+    parity on the trained weight table."""
+    import duckdb
+
+    from epic_pandas_spark.plans.registry import REGISTRY
+    from tests.conftest import assert_matches_oracle
+
+    rows = [
+        (1, "the quick brown fox jumps over the lazy dog", "en"),
+        (2, "pack my box with five dozen liquor jugs", "en"),
+        (3, "le renard brun rapide saute par dessus le chien", "fr"),
+        (4, "der schnelle braune fuchs springt ueber den hund", "de"),
+        (5, "this doc has no language label at all whatsoever", None),
+        (6, "ce document non plus aucune etiquette de langue", None),
+        (7, "sphinx of black quartz judge my vow", "en"),
+        (8, "zwei boxkaempfer jagen eva quer durch sylt", "de"),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string, lang string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    fn, sql = REGISTRY["quality_classifier_train"]
+    got = fn(spark, str(tmp_path))
+    con = duckdb.connect()
+    try:
+        con.execute(
+            "CREATE VIEW documents AS SELECT * FROM "
+            f"'{tmp_path}/documents.parquet/*.parquet'"
+        )
+        assert_matches_oracle(got, con, sql)
+    finally:
+        con.close()

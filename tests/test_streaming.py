@@ -699,6 +699,74 @@ def test_streaming_minhash_neardup_matches_sequential_batches(spark, tmp_path):
     assert epochs == {-1, 0, 1}
 
 
+def test_streaming_minhash_neardup_fresh_pipeline_no_double_count(spark, tmp_path):
+    """FRESH pipeline — no seeded ``epoch=-1`` corpus index. The store
+    does not exist at epoch 0, so the in-plan snapshot is lazily adopted
+    at a LATER epoch from parquet that already contains epoch 0's appends;
+    those docs must be excluded from the snapshot (they are also held in
+    the in-memory epoch cache) or every pair touching them is emitted as
+    DUPLICATE ROWS — `_lsh_pairs_vs_store` dedups candidate ids but not
+    store-word rows (the round-10 regression this test pins). Output must
+    be bit-equal to the sequential batch operator started from index=None,
+    with zero duplicated (id_a, id_b) rows in any epoch."""
+    import time
+
+    from epic_pandas_spark.extensions.dedup import (
+        minhash_lsh_pairs_incremental,
+        minhash_neardup_stream,
+    )
+
+    shards = [
+        spark.createDataFrame(
+            [(10, "a b c d e f g h i j"), (11, "m n o p q r s t u v")],
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(20, "a b c d e f g h i j")],  # dup of epoch-0 doc 10
+            "doc_id long, text string",
+        ),
+        spark.createDataFrame(
+            [(30, "a b c d e f g h i j")],  # dup of 10 AND 20
+            "doc_id long, text string",
+        ),
+    ]
+    src = str(tmp_path / "stream_src")
+    for i, sh in enumerate(shards):
+        sh.coalesce(1).write.mode("append" if i else "overwrite").parquet(src)
+        time.sleep(1.1)  # distinct mtimes pin the file-source epoch order
+
+    out_dir = str(tmp_path / "pairs_out")
+    stream = (
+        spark.readStream.schema(shards[0].schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    q = minhash_neardup_stream(
+        stream, "text", "doc_id",
+        index_dir=str(tmp_path / "lsh_index"), out_dir=out_dir,
+        checkpoint_dir=str(tmp_path / "ckpt"), threshold=0.8,
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    rows = spark.read.parquet(out_dir).drop("epoch").collect()
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in rows}
+    assert len(rows) == len(got), (
+        f"duplicate pair rows emitted: {len(rows)} rows, {len(got)} distinct"
+    )
+    index = None
+    want = {}
+    for sh in shards:
+        p, index = minhash_lsh_pairs_incremental(
+            sh, "text", "doc_id", threshold=0.8, index=index
+        )
+        want.update({(r["id_a"], r["id_b"]): r["jaccard"] for r in p.collect()})
+    assert got == want
+    # the cross-epoch hops actually happened: 20-vs-10 through the lazily
+    # adopted snapshot, 30-vs-{10,20} through snapshot + in-memory cache
+    assert (20, 10) in got and (30, 10) in got and (30, 20) in got
+
+
 def test_windowed_calibration_bins_stream_matches_batch(spark, tmp_path):
     """The calibration-drift monitor over a scored event stream equals
     its batch twin on the same data (Structured Streaming unification):

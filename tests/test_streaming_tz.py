@@ -52,6 +52,36 @@ def test_window_key_epoch_ms_inverts_fromInternal_on_non_utc_host(la_tz):
         assert int(pd.Timestamp(key).timestamp() * 1000) != epoch_s * 1000
 
 
+def test_window_key_epoch_ms_dst_transition_hours(la_tz):
+    """The DST transition hours themselves (the round-10 advisory gap):
+
+    - FALL-BACK (2025-11-02 01:30 PDT/PST): fromInternal collapses TWO
+      UTC instants onto one naive local key; ``timetuple()`` hands
+      mktime ``tm_isdst=-1`` and it guesses the fold. The helper must
+      resolve it deterministically to the LATER epoch (early timeouts
+      evict live window state; late ones just hold it an extra hour) —
+      and that epoch must round-trip back to the key.
+    - SPRING-FORWARD neighborhood: unambiguous instants right around
+      the gap must still invert exactly.
+    """
+    from epic_pandas_spark.streaming.stateful import _window_key_epoch_ms
+
+    # 2025-11-02 08:30 UTC = 01:30 PDT (first pass) and 09:30 UTC =
+    # 01:30 PST (second pass) — identical naive local keys.
+    first, second = 1_762_072_200, 1_762_075_800
+    k1 = dt.datetime.fromtimestamp(first)
+    k2 = dt.datetime.fromtimestamp(second)
+    assert k1 == k2, "fold instants must collapse to one naive key"
+    got = _window_key_epoch_ms(k1)
+    assert got == second * 1000  # deterministic: the LATER (PST) instant
+    assert dt.datetime.fromtimestamp(got // 1000) == k1  # round-trips
+    # spring-forward 2025-03-09: 01:59:59 PST and 03:00:00 PDT straddle
+    # the nonexistent 02:xx hour; both are unambiguous and must invert.
+    for epoch_s in (1_741_513_199, 1_741_513_200):
+        key = dt.datetime.fromtimestamp(epoch_s)
+        assert _window_key_epoch_ms(key) == epoch_s * 1000
+
+
 _SCENARIO = r"""
 import datetime as dt
 import json
