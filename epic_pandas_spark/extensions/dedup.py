@@ -1105,7 +1105,12 @@ def _lsh_pairs_vs_store(
         cand = cand.unionByName(cross)
         all_words = new_words.unionByName(store_words)
     cand = cand.dropDuplicates(["id_a", "id_b"])
-    wa = all_words.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a"))
+    # id_a is ALWAYS from the new batch (new-vs-new keeps both sides new;
+    # the cross join aliases new as id_a, store as id_b), so the id_a
+    # word dimension never needs the store union — per epoch that join
+    # touches |batch| word sets instead of |store|, which is what keeps
+    # the per-micro-batch probe cost O(batch), not O(corpus)
+    wa = new_words.select(F.col("id").alias("id_a"), F.col("ws").alias("ws_a"))
     wb = all_words.select(F.col("id").alias("id_b"), F.col("ws").alias("ws_b"))
     verified = cand.join(wa, "id_a").join(wb, "id_b")
     jac = (
@@ -1408,28 +1413,59 @@ def winnowed_fingerprints(
     )
 
 
+# A gram (or winnowed fingerprint) present in D docs contributes
+# D(D-1)/2 rows to the pair self-join's output THROUGH ONE JOIN KEY —
+# i.e. one shuffle task, un-splittable by AQE because the skew IS the
+# output, not the plan. _AUTO_GRAM_FREQ is the doc-frequency cap whose
+# worst single-key pair count (~5e7 rows) a task absorbs in seconds;
+# above it the gram is site boilerplate whose pair output is itself
+# quadratic at corpus scale (one 50-char template string across 40% of
+# a 100-TB crawl would emit ~1e13 pairs from one key) — no physical
+# plan fixes an ANSWER that size, so the default drops such grams from
+# the signal. Same sizing discipline as remove_repeated_spans'
+# hot_gram_min_df: a constant derived from the single-task-fatal size,
+# not from a tunable someone must remember to set.
+_AUTO_GRAM_FREQ = 10_000  # floor(sqrt(2 * 5e7)) — ≤ ~5e7 pairs per key
+
+
+def _drop_hot_grams(inv: DataFrame, key: str, max_freq: int) -> DataFrame:
+    """Drop inverted-index entries whose key's doc-frequency exceeds
+    ``max_freq`` via a broadcast ANTI join against the HOT key set. The
+    hot side is the boilerplate tail — bounded by |index| / max_freq
+    keys and in practice a handful — where the pre-round-11 shape
+    broadcast the COLD keys (nearly the whole gram vocabulary, a
+    driver-fatal broadcast on any real corpus). ``inv`` is distinct per
+    (id, key), so count(*) per key IS doc frequency."""
+    hot = (
+        inv.groupBy(key)
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") > max_freq)
+        .select(key)
+    )
+    return inv.join(F.broadcast(hot), key, "left_anti")
+
+
 def repeated_passage_pairs_winnowed(
     df: DataFrame,
     text_col: str,
     id_col: str,
     min_len: int = 50,
     window: int = 8,
-    max_fp_freq: int | None = None,
+    max_fp_freq: int | None = _AUTO_GRAM_FREQ,
 ) -> DataFrame:
     """Scale path of :func:`repeated_passage_pairs`: candidate doc pairs
     sharing at least one winnowed fingerprint. Complete for pairs whose
     shared verbatim run is >= ``min_len + window - 1`` normalized chars
     (the winnowing guarantee); pairs sharing only shorter runs are
     best-effort. The inverted index carries ~2/(window+1) of the
-    full-gram entries, same join shape, same ``max_fp_freq`` hot-key
-    guard. Returns (id_a, id_b, n_shared_fp)."""
+    full-gram entries, same join shape, same hot-key guard (ON by
+    default since round 11 — see :data:`_AUTO_GRAM_FREQ`; pass
+    ``max_fp_freq=None`` for the unguarded exhaustive join). Returns
+    (id_a, id_b, n_shared_fp)."""
     inv = winnowed_fingerprints(df, text_col, id_col, k=min_len, window=window)
     inv = inv.localCheckpoint(eager=False)  # both sides of the self-join
     if max_fp_freq is not None:
-        freq = inv.groupBy("fp").agg(F.count(F.lit(1)).alias("df"))
-        inv = inv.join(
-            F.broadcast(freq.filter(F.col("df") <= max_fp_freq)), "fp", "left_semi"
-        )
+        inv = _drop_hot_grams(inv, "fp", max_fp_freq)
     a = inv.select(F.col("id").alias("id_a"), "fp")
     b = inv.select(F.col("id").alias("id_b"), "fp")
     return (
@@ -1445,7 +1481,7 @@ def repeated_passage_pairs(
     text_col: str,
     id_col: str,
     min_len: int = 50,
-    max_gram_freq: int | None = None,
+    max_gram_freq: int | None = _AUTO_GRAM_FREQ,
 ) -> DataFrame:
     """Exact repeated-passage detection (the signal behind Lee et al.
     2022's substring dedup): all doc pairs sharing at least one VERBATIM
@@ -1463,7 +1499,14 @@ def repeated_passage_pairs(
     zero shuffles (per-doc distinct == per-(id, gram) distinct);
     ``max_gram_freq`` drops boilerplate grams present in more than that
     many docs — the hot-key guard that keeps the join linear when a
-    site template repeats across millions of pages."""
+    site template repeats across millions of pages. ON BY DEFAULT since
+    round 11 (:data:`_AUTO_GRAM_FREQ` = 10k docs, the single-join-task
+    pair bound): a gram above it contributes a quadratic number of
+    OUTPUT pairs through one shuffle key, which no plan survives at
+    corpus scale — pass ``max_gram_freq=None`` to get the exhaustive
+    (and exhaustively sized) answer on small corpora. The guard costs
+    one map-side-combinable count per gram plus a broadcast anti-join
+    against the hot tail (bounded by |index| / max_gram_freq keys)."""
     inv = (
         ensure_parallelism(df).select(
             F.col(id_col).alias("id"),
@@ -1478,10 +1521,7 @@ def repeated_passage_pairs(
         .localCheckpoint(eager=False)  # both sides of the self-join
     )
     if max_gram_freq is not None:
-        freq = inv.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
-        inv = inv.join(
-            F.broadcast(freq.filter(F.col("df") <= max_gram_freq)), "gh", "left_semi"
-        )
+        inv = _drop_hot_grams(inv, "gh", max_gram_freq)
     a = inv.select(F.col("id").alias("id_a"), "gh")
     b = inv.select(F.col("id").alias("id_b"), "gh")
     return (
@@ -1685,6 +1725,12 @@ _POLY_B = 1000003  # odd -> invertible mod 2^64, so the prefix trick below works
 # the cap just stay on the window path (correct, merely un-split).
 _MAX_HOT_GRAMS = 16384
 
+# broadcast bound for the prefilter's flagged-fingerprint semi join:
+# 4M rows of 8-byte hashes ≈ 32 MB on the wire — comfortably inside
+# driver/executor budgets; above it the join is pinned to shuffle-hash
+# (both sides hash-partition on __fp; no driver collection at all).
+_FLAGGED_BROADCAST_MAX_ROWS = 4_000_000
+
 
 def _position_stream(docs_n: DataFrame, k: int) -> DataFrame:
     """Position-tagged gram stream over (__id, __t, __len) docs: char
@@ -1824,10 +1870,28 @@ def _winnow_candidate_ids(
         .localCheckpoint(eager=False)  # doc-freq AND id-extraction reuse it
     )
     # per-doc-distinct emission makes count(*) the doc frequency
-    flagged = fps.groupBy("__fp").agg(F.count(F.lit(1)).alias("__df")).filter(
-        F.col("__df") >= min_doc_freq
+    flagged = (
+        fps.groupBy("__fp")
+        .agg(F.count(F.lit(1)).alias("__df"))
+        .filter(F.col("__df") >= min_doc_freq)
+        .select("__fp")
+        .localCheckpoint(eager=False)  # count + semi join share one compute
     )
-    return fps.join(flagged, on="__fp", how="left_semi").select("__id").distinct()
+    # Join strategy is pinned on the EXACT flagged row count, never left
+    # to AQE: on a duplication-saturated corpus the flagged set runs to
+    # millions of rows whose COMPRESSED size estimate can sit under the
+    # broadcast threshold while the driver-collected build side blows
+    # past spark.driver.maxResultSize (hit once at sf10-skew via a
+    # merge-hinted sibling probe, round 10). The count() is one
+    # map-side-combinable aggregate over 8-byte hashes and materializes
+    # the checkpoint the join then reuses.
+    n_flagged = flagged.count()
+    build = (
+        F.broadcast(flagged)
+        if n_flagged <= _FLAGGED_BROADCAST_MAX_ROWS
+        else flagged.hint("shuffle_hash")
+    )
+    return fps.join(build, on="__fp", how="left_semi").select("__id").distinct()
 
 
 def remove_repeated_spans(

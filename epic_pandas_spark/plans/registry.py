@@ -1365,15 +1365,108 @@ def q_knn_bruteforce_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("query_id", "vec_id", F.round("cosine", 6).alias("cosine"))
 
 
-@register("lsh_bucketed_knn", None)  # approximate by design → rows-only check
-def q_lsh_bucketed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Approximate top-k via random-hyperplane buckets; recall vs
-    bruteforce is unit-tested (tests/test_extensions.py), not
-    oracle-matched (approximation is the point)."""
-    from epic_pandas_spark.extensions.similarity import lsh_bucketed_knn
+def _ann_witness_sql(k: int, floor: float) -> str:
+    """Contract oracle for a self-witnessing ANN query (round 11,
+    VERDICT r10 item 7): the Spark side recomputes every stated fact
+    from its ACTUAL output — structural counts, exact-cosine
+    verification of returned scores, and recall@k against the in-plan
+    brute-force top-k — and the oracle states the expected contract.
+    A recall regression below the floor, a wrong cosine, or a
+    short-changed query flips a value and hash-mismatches."""
+    nq = "(SELECT COUNT(*) FROM embeddings WHERE vec_id < 5)"
+    return f"""
+    SELECT CAST({nq} AS BIGINT) AS n_queries,
+           CAST({k} * {nq} AS BIGINT) AS n_results,
+           TRUE AS per_query_k_ok,
+           CAST(0 AS BIGINT) AS n_cosine_mismatch,
+           CAST({floor} AS DOUBLE) AS recall_floor,
+           TRUE AS recall_ge_floor
+    """
+
+
+def _ann_recall_witness(
+    spark: SparkSession, sf_dir: str, ann_fn, k: int, floor: float
+) -> DataFrame:
+    """One-row witness over an ANN operator's real output: structural
+    counts, per-query k completeness, |reported - recomputed| cosine
+    mismatches (1e-9), and recall@k vs the exact brute-force top-k on
+    the same (corpus, queries). All component aggregates are one-row
+    frames cross-joined together; the ANN result and the exact top-k
+    are tiny (|queries| * k rows), so the witness costs one extra
+    brute-force pass over the query set — nothing corpus-quadratic."""
+    from epic_pandas_spark.extensions.similarity import knn_bruteforce
+    from epic_pandas_spark.functions.vectors import dot_expr, norm_expr
 
     emb = load_table(spark, sf_dir, "embeddings")
-    return lsh_bucketed_knn(emb, emb.filter(F.col("vec_id") < 5), dim=64, k=5, n_planes=4)
+    qs = emb.filter(F.col("vec_id") < 5)
+    ann = ann_fn(emb, qs).localCheckpoint(eager=False)  # 4 witnesses reuse it
+    exact = knn_bruteforce(emb, qs, k=k).select("query_id", "vec_id")
+
+    s_counts = ann.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_results"),
+    )
+    s_perq = (
+        ann.groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(
+            ((F.min("c") == F.lit(k)) & (F.max("c") == F.lit(k))).alias(
+                "per_query_k_ok"
+            )
+        )
+    )
+    qv = emb.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").cast("array<double>").alias("__qv"),
+    )
+    cv = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("__cv")
+    )
+    true_cos = dot_expr(F.col("__qv"), F.col("__cv")) / (
+        norm_expr(F.col("__qv")) * norm_expr(F.col("__cv"))
+    )
+    s_cos = (
+        ann.join(F.broadcast(qv), "query_id")
+        .join(cv, "vec_id")
+        .agg(
+            F.sum(
+                (F.abs(F.col("cosine") - true_cos) > 1e-9).cast("long")
+            ).alias("n_cosine_mismatch")
+        )
+    )
+    s_recall = exact.join(ann, ["query_id", "vec_id"], "left_semi").agg(
+        F.count(F.lit(1)).alias("__hits")
+    ).crossJoin(exact.agg(F.count(F.lit(1)).alias("__n_exact"))).select(
+        F.lit(float(floor)).alias("recall_floor"),
+        (F.col("__hits") / F.col("__n_exact") >= F.lit(floor)).alias(
+            "recall_ge_floor"
+        ),
+    )
+    return s_counts.crossJoin(s_perq).crossJoin(s_cos).crossJoin(s_recall)
+
+
+# floors sit under the measured recall band across sf0.001/0.01/0.1
+# (ivf 0.68-0.76, lsh@5probes 0.56-0.60, ivf-pq 0.60-0.72) — tight
+# enough that a bucketing/rank/rerank regression trips them, loose
+# enough that corpus regeneration noise does not
+@register("lsh_bucketed_knn", _ann_witness_sql(5, 0.5))
+def q_lsh_bucketed_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-k via random-hyperplane buckets with
+    query-directed multi-probe (n_probes=5 of 16 buckets — the single
+    -probe point has ~0.2 recall on this corpus, a useless operating
+    point to pin). FULL witness oracle since round 11: structure,
+    exact-cosine verification of reported scores, and recall@5 >= 0.5
+    vs in-plan brute force (measured 0.56-0.60 across tiers); recall
+    band details remain unit-tested."""
+    from epic_pandas_spark.extensions.similarity import lsh_bucketed_knn
+
+    return _ann_recall_witness(
+        spark,
+        sf_dir,
+        lambda emb, qs: lsh_bucketed_knn(emb, qs, dim=64, k=5, n_planes=4, n_probes=5),
+        k=5,
+        floor=0.5,
+    )
 
 
 @register(
@@ -1970,40 +2063,56 @@ def q_corpus_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("ivf_knn", None)  # approximate by design → rows-only check
+@register("ivf_knn", _ann_witness_sql(5, 0.6))
 def q_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF coarse-quantization ANN (extensions.similarity.ivf_knn):
-    recall-vs-bruteforce properties are unit-tested; full-probe equals
-    exact search (oracle-proven by `ivf_knn_fullprobe`)."""
+    """IVF coarse-quantization ANN (extensions.similarity.ivf_knn).
+    FULL witness oracle since round 11: structural counts, exact-cosine
+    verification of the reported scores, and recall@5 >= 0.6 vs the
+    in-plan brute-force top-k (measured 0.68-0.76 across tiers);
+    full-probe equals exact search (oracle-proven by
+    `ivf_knn_fullprobe`) and recall bands remain unit-tested."""
     from epic_pandas_spark.extensions.similarity import ivf_knn
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_knn(emb, emb.filter(F.col("vec_id") < 5), n_centroids=8, n_probe=4, k=5)
+    return _ann_recall_witness(
+        spark,
+        sf_dir,
+        lambda emb, qs: ivf_knn(emb, qs, n_centroids=8, n_probe=4, k=5),
+        k=5,
+        floor=0.6,
+    )
 
 
-@register("ivf_pq_knn", None)  # PQ is lossy by design → rows-only check
+@register("ivf_pq_knn", _ann_witness_sql(5, 0.5))
 def q_ivf_pq_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-PQ ANN (extensions.similarity.ivf_pq_knn, Jégou et al. 2011):
     product-quantized corpus codes + asymmetric-distance ranking + exact
     re-rank of the bounded candidate set. Codes (n_sub small ints), not
     raw vectors, are what the candidate join shuffles — the 100 TB
-    representation. Recall bands and the exact-cosine property of the
-    refined output are pinned by unit tests against brute force (ADC
-    replication verified in pure numpy); no SQL oracle exists for a
-    trained-codebook lossy quantizer, so this records rows-only."""
+    representation. No SQL oracle exists for a trained-codebook lossy
+    quantizer's RANKING, but the refined output's exact-cosine property
+    and its recall ARE oracle-expressible as a contract — FULL witness
+    oracle since round 11: structure, |reported - recomputed| cosine
+    == 0 (the refine step returns true cosines), recall@5 >= 0.5 vs
+    in-plan brute force (measured 0.60-0.72 across tiers). ADC
+    replication stays verified in pure-numpy unit tests."""
     from epic_pandas_spark.extensions.similarity import ivf_pq_knn
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    return ivf_pq_knn(
-        emb,
-        emb.filter(F.col("vec_id") < 5),
-        n_centroids=8,
-        n_probe=4,
-        n_sub=16,
-        n_codes=64,
+    return _ann_recall_witness(
+        spark,
+        sf_dir,
+        lambda emb, qs: ivf_pq_knn(
+            emb,
+            qs,
+            n_centroids=8,
+            n_probe=4,
+            n_sub=16,
+            n_codes=64,
+            k=5,
+            refine_factor=4,
+            sample_max=4096,
+        ),
         k=5,
-        refine_factor=4,
-        sample_max=4096,
+        floor=0.5,
     )
 
 
@@ -4356,7 +4465,15 @@ def q_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
                ELSE [s] END AS gs
       FROM t
     ),
-    inv AS (SELECT doc_id, unnest(gs) AS g FROM g)
+    inv0 AS (SELECT doc_id, unnest(gs) AS g FROM g),
+    -- replay the default hot-gram guard (_AUTO_GRAM_FREQ = 10000):
+    -- grams in more docs than that are boilerplate the engine drops
+    -- before the pair join; inv0 is distinct per (doc, gram), so
+    -- COUNT(*) per gram IS doc frequency. A no-op on the generated
+    -- corpora (500/5000 docs) — the guard's effect is priced in the
+    -- planted-skew trend, its semantics pinned here.
+    cold AS (SELECT g FROM inv0 GROUP BY g HAVING COUNT(*) <= 10000),
+    inv AS (SELECT inv0.doc_id, inv0.g FROM inv0 JOIN cold USING (g))
     SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(COUNT(*) AS BIGINT) AS n_shared
     FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
     GROUP BY 1, 2
@@ -4368,7 +4485,12 @@ def q_repeated_passages(spark: SparkSession, sf_dir: str) -> DataFrame:
     the injected copies must surface with their full gram counts, plus
     any natural near-dups that share long runs. The char-gram inverted
     index IS the answer (k-gram sharing == k-substring sharing); no
-    verification pass exists to hide recall loss."""
+    verification pass exists to hide recall loss. Runs with the DEFAULT
+    hot-gram guard (round 11: max_gram_freq=_AUTO_GRAM_FREQ, the
+    single-join-task pair bound) and the oracle replays the same
+    doc-frequency cutoff, so the registry pins the guarded semantics —
+    the shipping default — rather than an unguarded variant nobody
+    should run on a real corpus."""
     from epic_pandas_spark.extensions.dedup import repeated_passage_pairs
 
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")

@@ -272,6 +272,57 @@ def main() -> None:
         sec = _timed_run(q)
         record("minhash_neardup_stream_bulk", n_docs, sec)
 
+        # ---- per-epoch FLOOR control (round 11, VERDICT r10 item 6) ----
+        # the same foreachBatch job STRUCTURE as the near-dup probe —
+        # one fused read job, then two concurrent tiny parquet writes —
+        # with near-zero compute. What this measures is the fixed
+        # per-micro-batch cost of the host (micro-batch planning, file
+        # listing, job/stage launch, checkpoint WAL+commit, parquet
+        # committer): the irreducible floor a real cluster hides by
+        # running many concurrent triggers. neardup_residual_per_epoch
+        # below = how much of the 4-epoch near-dup row is actual
+        # near-dup compute above that floor.
+        from concurrent.futures import ThreadPoolExecutor
+
+        floor_out = os.path.join(tmp, "floor_out")
+
+        def floor_probe(batch_df, epoch_id: int) -> None:
+            tiny = batch_df.limit(1).select("doc_id").localCheckpoint(
+                eager=False
+            )
+            n = tiny.count()  # the fused "probe" job
+            assert n >= 0
+            with ThreadPoolExecutor(max_workers=2) as pool:
+                futs = [
+                    pool.submit(
+                        lambda p: tiny.write.mode("overwrite").parquet(p),
+                        f"{floor_out}/{sub}/epoch={epoch_id}",
+                    )
+                    for sub in ("a", "b")
+                ]
+                for f in futs:
+                    f.result()
+
+        q = (
+            _stream_from(spark, docs_src)
+            .writeStream.foreachBatch(floor_probe)
+            .option("checkpointLocation", os.path.join(tmp, "ckpt_floor"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        sec = _timed_run(q)
+        record("foreachbatch_epoch_floor", n_docs, sec)
+        nd, fl = out["minhash_neardup_stream"], out["foreachbatch_epoch_floor"]
+        out["neardup_epoch_attribution"] = {
+            "epochs": N_SHARDS,
+            "floor_sec_per_epoch": round(fl["sec"] / N_SHARDS, 3),
+            "neardup_sec_per_epoch": round(nd["sec"] / N_SHARDS, 3),
+            "residual_compute_sec_per_epoch": round(
+                (nd["sec"] - fl["sec"]) / N_SHARDS, 3
+            ),
+            "floor_fraction": round(fl["sec"] / nd["sec"], 3),
+        }
+
         print(json.dumps({
             "sf_dir": SF_DIR,
             "n_shards": N_SHARDS,

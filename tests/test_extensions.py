@@ -515,6 +515,65 @@ def test_repeated_passage_pairs_shared_run(spark):
     assert guarded.count() == 0
 
 
+def test_repeated_passage_pairs_guard_on_by_default(spark):
+    """Round-11 default flip (VERDICT r10 "what's wrong" #1): the
+    hot-gram guard is ON by default at the single-join-task pair bound
+    (_AUTO_GRAM_FREQ docs). A boilerplate gram above the threshold must
+    be dropped from both pair generation AND n_shared counts; pairs
+    connected only by boilerplate disappear; max_gram_freq=None restores
+    the exhaustive answer. Exercised with a tiny threshold via
+    monkeypatched default so the test corpus stays small."""
+    from epic_pandas_spark.extensions import dedup as dd
+
+    boiler = "copyright notice all rights reserved unauthorized copying prohibited"
+    uniq = "the quick brown fox jumps over the lazy dog 0123456789abcde"
+    rows = [(i, boiler + f" filler{i}") for i in range(1, 6)]  # boiler df=7
+    rows += [(6, "xx " + uniq + " " + boiler), (7, "yy " + uniq + " " + boiler)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # guard at freq<=4: boiler grams (df=7) drop; (6,7) survives on uniq
+    guarded = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dd.repeated_passage_pairs(
+            df, "text", "doc_id", min_len=50, max_gram_freq=4
+        ).collect()
+    }
+    assert set(guarded) == {(6, 7)}
+    unguarded = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dd.repeated_passage_pairs(
+            df, "text", "doc_id", min_len=50, max_gram_freq=None
+        ).collect()
+    }
+    # unguarded: every pair of the 7 boiler-carrying docs shares grams
+    assert len(unguarded) == 21 and (6, 7) in unguarded
+    # guarded n_shared excludes the hot grams (strictly fewer than full)
+    assert 0 < guarded[(6, 7)] < unguarded[(6, 7)]
+    # the DEFAULT is the guard (10k), not None — a corpus that small is
+    # untouched, so default == unguarded here, and the signature default
+    # is the documented constant
+    import inspect
+
+    sig = inspect.signature(dd.repeated_passage_pairs)
+    assert sig.parameters["max_gram_freq"].default == dd._AUTO_GRAM_FREQ
+    sigw = inspect.signature(dd.repeated_passage_pairs_winnowed)
+    assert sigw.parameters["max_fp_freq"].default == dd._AUTO_GRAM_FREQ
+    default_out = {
+        (r["id_a"], r["id_b"]): r["n_shared"]
+        for r in dd.repeated_passage_pairs(df, "text", "doc_id", min_len=50).collect()
+    }
+    assert default_out == unguarded
+
+    # winnowed variant honors the same guard semantics
+    winn = {
+        (r["id_a"], r["id_b"])
+        for r in dd.repeated_passage_pairs_winnowed(
+            df, "text", "doc_id", min_len=50, window=4, max_fp_freq=4
+        ).collect()
+    }
+    assert (6, 7) in winn and not any(p for p in winn if p[0] < 6)
+
+
 def test_winnowed_fingerprints_guarantee_and_density(spark):
     from epic_pandas_spark.extensions.dedup import (
         repeated_passage_pairs_winnowed,
@@ -1776,3 +1835,48 @@ def test_soft_dedup_weights(spark):
     assert out[4] == (1, 1.0)
     # total expected mass == number of distinct texts
     assert sum(w for _, w in out.values()) == pytest.approx(2.0)
+
+
+def test_winnow_flagged_join_strategy_pinned(spark, monkeypatch):
+    """Round-11 (VERDICT r10 "what's wrong" #2): the prefilter's
+    flagged-fingerprint semi join picks its strategy from the EXACT
+    flagged row count, not AQE's compressed-size estimate — above
+    _FLAGGED_BROADCAST_MAX_ROWS the build side must NOT become a driver
+    broadcast (duplication-saturated corpora blew past
+    spark.driver.maxResultSize in a round-10 probe). Forces the
+    shuffle-hash path with a 0 threshold: the plan must carry no
+    BroadcastExchange and the candidate set must equal the broadcast
+    path's — and the full operator must stay bit-identical."""
+    from epic_pandas_spark.extensions import dedup as dd
+    from pyspark.sql import functions as F
+
+    # duplication-SATURATED corpus: every doc shares the boiler sentence
+    shared = "every single document in this corpus carries this very sentence"
+    rows = [(i, f"prefix {i} " + shared + f" suffix {i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    docs_n = df.select(
+        F.col("doc_id").alias("__id"),
+        dd._normalized_text_expr(F.col("text")).alias("__t"),
+    ).withColumn("__len", F.length("__t"))
+
+    cand_bc = dd._winnow_candidate_ids(docs_n, 40, 8, 2)
+    assert "BroadcastExchange" in cand_bc._jdf.queryExecution().executedPlan().toString()
+    ids_bc = {r["__id"] for r in cand_bc.collect()}
+
+    monkeypatch.setattr(dd, "_FLAGGED_BROADCAST_MAX_ROWS", 0)
+    cand_sh = dd._winnow_candidate_ids(docs_n, 40, 8, 2)
+    plan = cand_sh._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" not in plan, plan
+    assert {r["__id"] for r in cand_sh.collect()} == ids_bc == set(range(40))
+
+    # end-to-end parity: the forced shuffle-hash prefilter changes no output
+    a = {
+        r["doc_id"]: (r["cleaned"], r["n_removed_chars"])
+        for r in dd.remove_repeated_spans(df, "text", "doc_id", min_len=40).collect()
+    }
+    monkeypatch.undo()
+    b = {
+        r["doc_id"]: (r["cleaned"], r["n_removed_chars"])
+        for r in dd.remove_repeated_spans(df, "text", "doc_id", min_len=40).collect()
+    }
+    assert a == b and sum(v[1] for v in a.values()) > 0

@@ -3,6 +3,8 @@ transform → memory sink, compared against the batch twin on the same data
 (the Structured Streaming unification property)."""
 
 import hashlib
+import json
+import os
 
 import pytest
 from pyspark.sql import functions as F
@@ -397,56 +399,102 @@ def test_streaming_end_to_end_restart_resume_exactly_once(spark, tmp_path):
     assert {(r["window_start"], r["approx_distinct"]) for r in rows} == want
 
 
+_TWS_SCENARIO = r"""
+import json, os, sys, tempfile
+
+from epic_pandas_spark.session import get_spark, load_table
+from epic_pandas_spark.streaming.stateful import (
+    batch_running_totals,
+    running_totals_tws,
+)
+
+spark = get_spark(
+    app_name="tws_parity_check", master="local[4]", shuffle_partitions=4
+)
+# transformWithState needs multiple state-store column families, which
+# only the RocksDB provider supports (HDFSBacked raises
+# STATE_STORE_MULTIPLE_COLUMN_FAMILIES)
+spark.conf.set(
+    "spark.sql.streaming.stateStore.providerClass",
+    "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+)
+batch = load_table(spark, sys.argv[1], "events").select("user_id", "value")
+src = os.path.join(tempfile.mkdtemp(), "ev")
+batch.repartition(3).write.parquet(src)
+stream = (
+    spark.readStream.schema(batch.schema)
+    .option("maxFilesPerTrigger", 1)
+    .parquet(src)
+)
+q = (
+    running_totals_tws(stream)
+    .writeStream.outputMode("update")
+    .format("memory")
+    .queryName("tws_out")
+    .trigger(availableNow=True)
+    .start()
+)
+q.processAllAvailable()
+q.stop()
+rows = spark.sql(
+    '''SELECT user_id, n_events, sum_value FROM (
+         SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
+         FROM tws_out) WHERE rn = 1'''
+).collect()
+got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in rows}
+want = {
+    r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
+    for r in batch_running_totals(batch).collect()
+}
+print(json.dumps({"match": got == want, "n_keys": len(got), "n_want": len(want)}))
+"""
+
+# test-only protobuf source for the TWS wire protocol where pip installs
+# are unavailable: the google-cloud-sdk's vendored pure-python protobuf,
+# exposed through .pbshim/sitecustomize.py (which also relaxes the
+# runtime>=gencode validation for the one-minor-version gap)
+_PBSHIM = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), ".pbshim")
+_VENDORED_PB = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+
+
 def test_stateful_running_totals_tws_matches_batch(spark, tmp_path):
     """The transformWithStateInPandas twin must produce the same final
     per-key totals as both the batch aggregate and (by transitivity) the
-    applyInPandasWithState implementation. Skips where google.protobuf
-    (the TWS wire-protocol dependency) isn't installed; the gated
-    ImportError contract is asserted instead."""
-    from epic_pandas_spark.streaming.stateful import (
-        batch_running_totals,
-        running_totals_tws,
-    )
+    applyInPandasWithState implementation. google.protobuf (the TWS wire
+    protocol) isn't installed in this sandbox, so the scenario runs in a
+    SUBPROCESS whose PYTHONPATH exposes the cloud-sdk's vendored
+    pure-python protobuf via .pbshim (closing the round-1..10 skip); the
+    product-code ImportError gate is asserted here regardless. Skips
+    only when no protobuf source exists at all."""
+    import subprocess
+    import sys as _sys
+
+    from epic_pandas_spark.streaming.stateful import running_totals_tws
 
     try:
         import google.protobuf  # noqa: F401
+
+        have_pb = True
     except ImportError:
+        have_pb = False
+        # the gate normal environments rely on
         batch = load_table(spark, SF_DIR, "events").select("user_id", "value")
         with pytest.raises(ImportError, match="protobuf"):
             running_totals_tws(batch)
-        pytest.skip("google.protobuf not installed; TWS gated (fallback: running_totals)")
 
-    batch = load_table(spark, SF_DIR, "events").select("user_id", "value")
-    src_dir = str(tmp_path / "ev")
-    batch.repartition(3).write.parquet(src_dir)
-    stream = (
-        spark.readStream.schema(batch.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(src_dir)
+    env = dict(os.environ)
+    if not have_pb:
+        if not (os.path.isdir(_PBSHIM) and os.path.isdir(_VENDORED_PB)):
+            pytest.skip("no google.protobuf and no vendored shim; TWS gated")
+        env["PYTHONPATH"] = _PBSHIM + os.pathsep + env.get("PYTHONPATH", "")
+    proc = subprocess.run(
+        [_sys.executable, "-c", _TWS_SCENARIO, SF_DIR],
+        capture_output=True, text=True, env=env, timeout=600,
     )
-    q = (
-        running_totals_tws(stream)
-        .writeStream.outputMode("update")
-        .format("memory")
-        .queryName("tws_out")
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.processAllAvailable()
-    try:
-        rows = spark.sql(
-            """SELECT user_id, n_events, sum_value FROM (
-                 SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY n_events DESC) rn
-                 FROM tws_out) WHERE rn = 1"""
-        ).collect()
-        got = {r["user_id"]: (r["n_events"], round(r["sum_value"], 6)) for r in rows}
-        want = {
-            r["user_id"]: (r["n_events"], round(r["sum_value"], 6))
-            for r in batch_running_totals(batch).collect()
-        }
-        assert got == want
-    finally:
-        q.stop()
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    line = [l for l in proc.stdout.splitlines() if l.startswith("{")][-1]
+    res = json.loads(line)
+    assert res["match"] is True and res["n_keys"] == res["n_want"] > 0, res
 
 
 def test_streaming_dsir_scores_match_batch(spark, tmp_path):
