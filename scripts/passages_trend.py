@@ -48,15 +48,15 @@ BOILER = (
     "is strictly prohibited"
 )  # ~90 normalized chars -> ~40 overlapping >=50-char hot grams
 
-# the unguarded join emits ~C(0.4 * n_docs, 2) distinct pairs TIMES the
-# ~41 overlapping >=50-char boilerplate grams as INTERMEDIATE join rows
-# (map-side combine can't reduce mostly-unique groups), i.e. ~24 bytes
-# each through a shuffle; cap what we are willing to spill on this host
-# (2e8 rows ~ 5 GB). Above it the unguarded run is skipped with the
-# projection recorded — at sf1-skew it would be ~1.2e10 rows / ~280 GB,
-# more than the node's free disk, which is exactly the regime the
-# default guard exists to refuse.
-_UNGUARDED_INTERMEDIATE_BUDGET = 200_000_000
+# the pair join's INTERMEDIATE row count is exactly sum(C(df,2)) over
+# kept grams (map-side combine can't reduce mostly-unique groups), ~24
+# bytes each through a shuffle; cap what we are willing to spill on this
+# host (1.2e9 rows ~ 30 GB, under half the node's free disk). Variants
+# projecting above it are skipped with the exact projection recorded —
+# unguarded at sf10-skew projects 1.68e12 rows (~40 TB), the regime the
+# default guard exists to refuse, while the 10k default projects 9.7e8
+# and completes.
+_UNGUARDED_INTERMEDIATE_BUDGET = 1_200_000_000
 
 
 def _corpus(spark, sf_dir: str, skew: bool):
@@ -81,6 +81,8 @@ def run_tier(sf_dir: str, skew: bool) -> dict:
 
     from epic_pandas_spark.extensions.dedup import (
         _AUTO_GRAM_FREQ,
+        _gram_hashes_expr,
+        _normalized_text_expr,
         repeated_passage_pairs,
     )
     from epic_pandas_spark.session import get_spark
@@ -92,36 +94,89 @@ def run_tier(sf_dir: str, skew: bool) -> dict:
     n_copies = u.filter(F.col("doc_id") >= 1000000).count()
     res: dict = {"n_input_docs": n_in, "n_injected_copies": n_copies}
 
-    # untimed warmup: codegen + scan warmup must not bias the first variant
-    repeated_passage_pairs(u.limit(500), "text", "doc_id", min_len=50).agg(
-        F.sum("n_shared")
-    ).collect()
+    # EXACT per-gram doc-frequency histogram (the same aggregate the
+    # guard itself runs): for any threshold t, sum(C(df,2)) over kept
+    # grams is the EXACT intermediate row count of the pair join — the
+    # projection that decides whether a variant is survivable on this
+    # host before a single pair row is shuffled. This catches both the
+    # planted boilerplate AND the synthetic corpus's natural template
+    # sentences, whose df grows with N (the sf10 guarded run was killed
+    # at 40+ GB of spill on natural duplication alone before this gate
+    # existed).
+    inv = u.select(
+        F.col("doc_id").alias("id"),
+        _normalized_text_expr(F.col("text")).alias("__t"),
+    ).select(
+        "id",
+        F.explode(F.array_distinct(_gram_hashes_expr(F.col("__t"), 50))).alias("gh"),
+    )
+    freq = (
+        inv.groupBy("gh").agg(F.count(F.lit(1)).alias("df")).filter(F.col("df") >= 2)
+    ).localCheckpoint(eager=False)
+
+    def project(thresh: int | None) -> dict:
+        kept = freq if thresh is None else freq.filter(F.col("df") <= thresh)
+        hot = 0 if thresh is None else freq.filter(F.col("df") > thresh).count()
+        row = kept.agg(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).alias("inter"),
+            F.max("df").alias("max_df"),
+        ).collect()[0]
+        return {
+            "n_hot_grams_dropped": hot,
+            "max_kept_df": row["max_df"],
+            "exact_intermediate_join_rows": int(row["inter"] or 0),
+        }
 
     variants = [("guarded_default", _AUTO_GRAM_FREQ)]
     if skew:
         # force the guard below the planted 0.4N doc frequency so the
         # drop actually routes at tiers where 0.4N < _AUTO_GRAM_FREQ
         variants.append(("guarded_forced", max(4, n_in // 5)))
-    boiler_df = int(0.4 * n_in) if skew else 0
-    n_boiler_grams = len(" ".join(BOILER.split())) - 50 + 1
-    projected_pairs = boiler_df * (boiler_df - 1) // 2
-    projected_intermediate = projected_pairs * n_boiler_grams
-    if not skew or projected_intermediate <= _UNGUARDED_INTERMEDIATE_BUDGET:
-        variants.append(("unguarded", None))
-    else:
-        res["unguarded"] = {
-            "skipped": True,
-            "projected_boilerplate_pairs": projected_pairs,
-            "projected_intermediate_join_rows": projected_intermediate,
-            "reason": (
-                "C(0.4N,2) output pairs x ~41 boilerplate grams of "
-                "intermediate join rows through ONE key exceeds the "
-                "host budget (sf1-skew: ~280 GB shuffle, more than "
-                "free disk) — the regime the default guard refuses"
-            ),
-        }
+    variants.append(("unguarded", None))
+
+    # adaptive fit — the actual 100-TB operating procedure: ONE agg over
+    # the df histogram projects the exact pair-join size at every
+    # candidate threshold; run with the largest one that fits the host
+    # budget. (The default 10k cap bounds the per-KEY task; TOTAL join
+    # size is the corpus's duplication profile, which this histogram
+    # measures before committing to the shuffle.)
+    cand_ts = [2**i for i in range(2, 15)]  # 4 .. 16384
+    fit_row = freq.agg(
+        *[
+            F.sum(
+                F.when(F.col("df") <= t, F.col("df") * (F.col("df") - 1) / 2)
+            ).alias(f"t{t}")
+            for t in cand_ts
+        ]
+    ).collect()[0]
+    t_fit = max(
+        (t for t in cand_ts if (fit_row[f"t{t}"] or 0) <= _UNGUARDED_INTERMEDIATE_BUDGET),
+        default=None,
+    )
+    if t_fit is not None and t_fit < _AUTO_GRAM_FREQ:
+        variants.append(("guarded_fit", t_fit))
+
+    # untimed warmup: codegen + scan warmup must not bias the first variant
+    repeated_passage_pairs(u.limit(500), "text", "doc_id", min_len=50).agg(
+        F.sum("n_shared")
+    ).collect()
 
     for label, thresh in variants:
+        proj = project(thresh)
+        if proj["exact_intermediate_join_rows"] > _UNGUARDED_INTERMEDIATE_BUDGET:
+            res[label] = {
+                "max_gram_freq": thresh,
+                "skipped": True,
+                **proj,
+                "reason": (
+                    "exact projected intermediate join rows exceed the "
+                    "host spill budget — at ~24 B/row this run would "
+                    "outgrow free disk; on a real corpus this projection "
+                    "is the signal to lower max_gram_freq or shard the "
+                    "pair consumer"
+                ),
+            }
+            continue
         t0 = time.monotonic()
         out = repeated_passage_pairs(
             u, "text", "doc_id", min_len=50, max_gram_freq=thresh
@@ -139,6 +194,7 @@ def run_tier(sf_dir: str, skew: bool) -> dict:
             "n_pairs": row["n_pairs"],
             "sum_shared": row["sum_shared"],
             "n_copy_pairs": row["n_copy_pairs"],
+            **proj,
         }
         # the SIGNAL survives the guard: every injected exact copy still
         # pairs with its original (copies share doc-unique grams — the
@@ -147,31 +203,6 @@ def run_tier(sf_dir: str, skew: bool) -> dict:
             f"{label}: injected copy pairs lost: "
             f"{row['n_copy_pairs']} < {n_copies}"
         )
-
-    if skew:
-        # how many grams each threshold actually drops (exact df count —
-        # same aggregate the guard itself runs)
-        from epic_pandas_spark.extensions.dedup import (
-            _gram_hashes_expr,
-            _normalized_text_expr,
-        )
-
-        inv = u.select(
-            F.col("doc_id").alias("id"),
-            _normalized_text_expr(F.col("text")).alias("__t"),
-        ).select(
-            "id",
-            F.explode(F.array_distinct(_gram_hashes_expr(F.col("__t"), 50))).alias(
-                "gh"
-            ),
-        )
-        freq = inv.groupBy("gh").agg(F.count(F.lit(1)).alias("df"))
-        for label, thresh in variants:
-            if thresh is None:
-                continue
-            res[label]["n_hot_grams_dropped"] = freq.filter(
-                F.col("df") > thresh
-            ).count()
     return res
 
 
@@ -237,13 +268,13 @@ def main() -> None:
         print(f"{label}: {tiers[label]}", file=sys.stderr)
     base_label = next(iter(tiers), None)
     if base_label:
-        base = tiers[base_label]
+        base = tiers[base_label].get("guarded_default", {})
         for label, t in tiers.items():
-            if label != base_label and "guarded_default" in t:
+            cur = t.get("guarded_default", {})
+            # a projection-skipped tier has no wall to ratio
+            if label != base_label and "wall_sec" in cur and "wall_sec" in base:
                 t["wall_ratio_vs_" + base_label] = round(
-                    t["guarded_default"]["wall_sec"]
-                    / base["guarded_default"]["wall_sec"],
-                    2,
+                    cur["wall_sec"] / base["wall_sec"], 2
                 )
     report = {
         "query": "repeated_passage_pairs" + ("_boilerplate_skew" if skew else ""),
