@@ -125,3 +125,20 @@ def test_plan_audit_covers_registry():
         f"PLAN_AUDIT.md stale: missing {sorted(reg - names)}, "
         f"extras {sorted(names - reg)} — run scripts/refresh_evidence.py"
     )
+
+
+def test_bench_sf10_covers_registry():
+    """BENCH_SF10.json (the closest committed artifact to the 100-TB
+    target scale) must cover the LIVE registry — it sat two rounds
+    stale at round 10 (VERDICT r10 "what's wrong" #3); this extends the
+    same name-set gate the sf0.1 map already has."""
+    path = os.path.join(REPO, "BENCH_SF10.json")
+    assert os.path.exists(path), "BENCH_SF10.json missing"
+    with open(path) as f:
+        data = json.load(f)
+    names = {n for n in data["queries"] if not n.endswith("_witness")}
+    reg = _registry_names()
+    assert names == reg, (
+        f"BENCH_SF10.json stale: missing {sorted(reg - names)}, "
+        f"extras {sorted(names - reg)} — rerun the sf10 bench"
+    )
