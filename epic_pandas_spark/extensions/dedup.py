@@ -2042,6 +2042,17 @@ def remove_repeated_spans(
     #      corpora pay only the sampling probe.
     S = doc_freq_salts
     hot: list = []
+    # Probe gate (round 11, guide §1.2 "don't compute things you throw
+    # away"): a gram's doc-frequency is bounded by the corpus doc count,
+    # so when |docs| < hot_gram_min_df NO gram can reach the hot
+    # threshold and the sampling probe (sample + per-char explode +
+    # count_distinct + collect — measured ~20% of the operator at sf0.1,
+    # round 10's one attributed regression) is provably a no-op. One
+    # cheap count-star replaces it below the bound; routing is advisory
+    # (either path computes exact doc-freqs), so the gate can never
+    # change output — only skip a probe that could not have fired.
+    if hot_gram_sample > 0 and df.count() < hot_gram_min_df:
+        hot_gram_sample = 0.0
     if hot_gram_sample > 0:
         # sampled-count threshold for an estimated corpus df of
         # hot_gram_min_df; floored at 8 so tiny samples can't promote

@@ -207,33 +207,36 @@ def identity_series(df: DataFrame, key: str | Sequence[str] | None = None, value
 def alignable_frame(df1: DataFrame, df2: DataFrame, key: str | Sequence[str] | None = None) -> DataFrame:
     """Lazy single-plan `alignable`: a 1-row DataFrame with the boolean.
 
-    Fused formulation: each side aggregates ONCE to per-key
-    multiplicities, then one full-outer join checks everything —
-    uniqueness is "every key count is exactly 1 on both sides" and
-    key-set equality is "no join side is null". The join is null-safe
-    (eqNullSafe — still a hash-joinable key), so a null key aligns with
-    a null key, matching pandas' NaN-label matching the way the
-    reference's alignable (utils.py:492-513, via Index.equals /
-    is_unique) does. 2 scans + 1 join + 1 final aggregate, versus the
-    naive 4 scans + 2 distinct aggregates; empty vs empty stays
+    Fused formulation (round 11, guide §2.4 "remove shuffles outright"):
+    alignable <=> every key occurs EXACTLY ONCE on each side, so tag
+    each side's keys, union them, and aggregate per key once — the
+    side-tagged counts answer uniqueness (max per-side count is 1) and
+    key-set equality (min per-side count is 1, i.e. no key missing from
+    either side) in the same pass. One union scan + ONE keyed hash
+    aggregate + a 1-row reduction, versus the previous 2 keyed
+    aggregates + full-outer sort-merge join (the eqNullSafe join
+    condition also defeated exchange reuse, so that shape paid 4
+    exchanges + 2 sorts — measured plan: plans/r11/alignable_*.txt).
+    GroupBy treats null keys as one group, matching pandas' NaN-label
+    semantics the way the old null-safe join did; empty vs empty stays
     alignable via the coalesce defaults."""
     keys = as_keys(key)
-    c1 = df1.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c1")).alias("__al_l")
-    c2 = df2.groupBy(*keys).agg(F.count(F.lit(1)).alias("__c2")).alias("__al_r")
-    joined = c1.join(c2, on=null_safe_key_cond("__al_l", "__al_r", keys), how="full_outer")
-    return joined.agg(
+    s1 = df1.select(*[F.col(k) for k in keys], F.lit(0).alias("__side"))
+    s2 = df2.select(*[F.col(k) for k in keys], F.lit(1).alias("__side"))
+    per_key = (
+        s1.unionByName(s2)
+        .groupBy(*keys)
+        .agg(
+            F.sum(F.when(F.col("__side") == 0, 1).otherwise(0)).alias("__c1"),
+            F.sum(F.when(F.col("__side") == 1, 1).otherwise(0)).alias("__c2"),
+        )
+    )
+    return per_key.agg(
         (
             (F.coalesce(F.max("__c1"), F.lit(1)) == 1)
+            & (F.coalesce(F.min("__c1"), F.lit(1)) == 1)
             & (F.coalesce(F.max("__c2"), F.lit(1)) == 1)
-            & (
-                F.coalesce(
-                    F.sum(
-                        (F.col("__c1").isNull() | F.col("__c2").isNull()).cast("long")
-                    ),
-                    F.lit(0),
-                )
-                == 0
-            )
+            & (F.coalesce(F.min("__c2"), F.lit(1)) == 1)
         ).alias("alignable")
     )
 

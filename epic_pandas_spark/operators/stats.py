@@ -430,7 +430,7 @@ def roc_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
     (range partition + broadcast offsets; never a single-partition
     window), and the operating points derive arithmetically. Null
     scores/labels are excluded."""
-    from epic_pandas_spark.operators.windows import global_cumsum
+    from epic_pandas_spark.operators.windows import global_cumsums
 
     y = F.col(label_col).cast("double")
     t = (
@@ -441,8 +441,9 @@ def roc_curve(df: DataFrame, score_col: str, label_col: str) -> DataFrame:
             F.sum(F.when(y == 1.0, 0).otherwise(1)).alias("__nn"),
         )
     )
-    t = global_cumsum(t, "__np", "score", out_col="__cum_np")
-    t = global_cumsum(t, "__nn", "score", out_col="__cum_nn")
+    t = global_cumsums(
+        t, ["__np", "__nn"], "score", out_cols=["__cum_np", "__cum_nn"]
+    )
     totals = t.agg(
         F.sum("__np").alias("__p"), F.sum("__nn").alias("__n")
     )
@@ -700,7 +701,7 @@ def average_precision(df: DataFrame, score_col: str, label_col: str) -> DataFram
     aggregate as the AUC/ROC family, one ``global_cumsum`` prefix
     (range partition + broadcast offsets — never a single-partition
     window), then a 1-row reduction. Null scores/labels excluded."""
-    from epic_pandas_spark.operators.windows import global_cumsum
+    from epic_pandas_spark.operators.windows import global_cumsums
 
     y = F.col(label_col).cast("double")
     t = (
@@ -711,8 +712,9 @@ def average_precision(df: DataFrame, score_col: str, label_col: str) -> DataFram
             F.sum(F.when(y == 1.0, 0).otherwise(1)).alias("__nn"),
         )
     )
-    t = global_cumsum(t, "__np", "__s", out_col="__cum_np")
-    t = global_cumsum(t, "__nn", "__s", out_col="__cum_nn")
+    t = global_cumsums(
+        t, ["__np", "__nn"], "__s", out_cols=["__cum_np", "__cum_nn"]
+    )
     totals = t.agg(F.sum("__np").alias("__p"), F.sum("__nn").alias("__n"))
     t = t.crossJoin(F.broadcast(totals))
     # predict positive at threshold __s: everything with score >= __s

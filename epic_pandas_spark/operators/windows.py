@@ -301,21 +301,41 @@ def global_cumsum(
     row to one task — this is the scale path for a truly global
     cumulative sum over a total order (``order_by`` values must be
     unique, e.g. a distinct-key aggregate; ties would make the running
-    total order-dependent).
+    total order-dependent). One column; see :func:`global_cumsums` for
+    the shared-pass multi-column form callers should prefer when they
+    need several prefixes over the same order (ROC/AP compute np and nn
+    together — round 11 halved their range shuffles this way)."""
+    return global_cumsums(df, [col], order_by, out_cols=[out_col or f"{col}_cumsum"])
+
+
+def global_cumsums(
+    df: DataFrame,
+    cols: list[str],
+    order_by: str,
+    out_cols: list[str] | None = None,
+) -> DataFrame:
+    """Multi-column :func:`global_cumsum`: ALL listed columns get their
+    global running total in ONE pass — one range shuffle, one pinned
+    layout, one bounded per-partition-totals job, one Arrow stamp —
+    where N chained single-column calls would pay N of each.
 
     Same two-job shape as ``zip_with_index`` (keyed.py), generalized
     from counts to sums: range-partition + sort by ``order_by`` and PIN
     the layout (eager localCheckpoint — both jobs must observe identical
-    partitions), one bounded job collects the per-partition SUM (one
-    long per task), cumulative offsets broadcast, and a ``mapInArrow``
-    pass stamps ``offset + local running total`` per batch. Rows never
-    funnel through one task and never leave Arrow."""
+    partitions), one bounded job collects the per-partition SUM of every
+    column (a few longs per task), cumulative offsets broadcast, and a
+    ``mapInArrow`` pass stamps ``offset + local running total`` per
+    batch. Rows never funnel through one task and never leave Arrow."""
     import numpy as np
     import pyarrow as pa
     from pyspark import TaskContext
     from pyspark.sql.types import DoubleType, LongType, StructField, StructType
 
-    out_col = out_col or f"{col}_cumsum"
+    if not cols:
+        raise ValueError("cols must be non-empty")
+    out_cols = out_cols or [f"{c}_cumsum" for c in cols]
+    if len(out_cols) != len(cols):
+        raise ValueError("out_cols must match cols")
     t = (
         df.repartitionByRange(F.col(order_by))
         .sortWithinPartitions(order_by)
@@ -323,35 +343,50 @@ def global_cumsum(
     )
     totals = (
         t.groupBy(F.spark_partition_id().alias("__pid"))
-        .agg(F.sum(F.col(col)).alias("__s"))
+        .agg(*[F.sum(F.col(c)).alias(f"__s{i}") for i, c in enumerate(cols)])
         .collect()  # bounded: one row per partition
     )
-    offsets: dict[int, float] = {}
-    acc = 0
+    offsets: dict[int, list[float]] = {}
+    acc = [0] * len(cols)
     for r in sorted(totals, key=lambda row: row["__pid"]):
-        offsets[r["__pid"]] = acc
-        acc += r["__s"] or 0
+        offsets[r["__pid"]] = list(acc)
+        for i in range(len(cols)):
+            acc[i] += r[f"__s{i}"] or 0
     off_b = t.sparkSession.sparkContext.broadcast(offsets)
 
-    is_integral = dict(t.dtypes)[col] in ("bigint", "int", "smallint", "tinyint")
-    field = StructField(out_col, LongType() if is_integral else DoubleType(), True)
-    out_schema = StructType([*t.schema.fields, field])
+    dtypes = dict(t.dtypes)
+    integral = [
+        dtypes[c] in ("bigint", "int", "smallint", "tinyint") for c in cols
+    ]
+    fields = [
+        StructField(oc, LongType() if ig else DoubleType(), True)
+        for oc, ig in zip(out_cols, integral)
+    ]
+    out_schema = StructType([*t.schema.fields, *fields])
     out_names = [f.name for f in out_schema.fields]
-    np_type = np.int64 if is_integral else np.float64
-    pa_type = pa.int64() if is_integral else pa.float64()
-    col_idx = t.columns.index(col)
+    np_types = [np.int64 if ig else np.float64 for ig in integral]
+    pa_types = [pa.int64() if ig else pa.float64() for ig in integral]
+    col_idxs = [t.columns.index(c) for c in cols]
+    zeros = [0] * len(cols)
 
     def stamp(batches):
         import pyarrow.compute as pc
 
-        run = np_type(off_b.value.get(TaskContext.get().partitionId(), 0))
+        part_off = off_b.value.get(TaskContext.get().partitionId(), zeros)
+        runs = [np_types[i](part_off[i]) for i in range(len(col_idxs))]
         for batch in batches:
-            # nulls contribute 0 to the running total (SUM semantics)
-            vals = pc.fill_null(batch.column(col_idx), 0).to_numpy(zero_copy_only=False)
-            cs = np.cumsum(vals.astype(np_type)) + run
-            run = cs[-1] if len(cs) else run
+            stamped = []
+            for i, ci in enumerate(col_idxs):
+                # nulls contribute 0 to the running total (SUM semantics)
+                vals = pc.fill_null(batch.column(ci), 0).to_numpy(
+                    zero_copy_only=False
+                )
+                cs = np.cumsum(vals.astype(np_types[i])) + runs[i]
+                if len(cs):
+                    runs[i] = cs[-1]
+                stamped.append(pa.array(cs, type=pa_types[i]))
             yield pa.RecordBatch.from_arrays(
-                [*batch.columns, pa.array(cs, type=pa_type)], names=out_names
+                [*batch.columns, *stamped], names=out_names
             )
 
     return t.mapInArrow(stamp, out_schema)

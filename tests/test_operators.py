@@ -2185,6 +2185,34 @@ def test_global_cumsum_null_contributes_zero(spark):
     assert got == {1: 10, 2: 10, 3: 15}
 
 
+def test_global_cumsums_multi_column_shared_pass(spark):
+    """The round-11 shared-pass form: N columns stamped in ONE
+    range-shuffle + stamp job must equal N chained single-column calls
+    (which the ROC/AP operators used to make), for mixed long/double
+    columns and across many partitions."""
+    import pandas as pd
+
+    from epic_pandas_spark.operators.windows import global_cumsums
+
+    pdf = pd.DataFrame(
+        {
+            "k": range(997),
+            "a": [(i * 37) % 101 for i in range(997)],
+            "b": [((i * 13) % 7) * 0.25 for i in range(997)],
+        }
+    )
+    df = spark.createDataFrame(pdf).repartition(13)
+    out = (
+        global_cumsums(df, ["a", "b"], "k", out_cols=["ca", "cb"])
+        .orderBy("k")
+        .toPandas()
+    )
+    assert list(out["ca"]) == list(pdf["a"].cumsum())
+    assert out["cb"].tolist() == pytest.approx(pdf["b"].cumsum().tolist())
+    assert str(out["ca"].dtype) == "int64"
+    assert str(out["cb"].dtype) == "float64"
+
+
 def _bf_auc(pairs):
     """Brute-force tie-corrected AUC over (score, label) pairs."""
     pos = [s for s, y in pairs if y == 1]
