@@ -1235,12 +1235,13 @@ def md5_bucket_expr(n_buckets: int):
 
 def dsir_log_ratio_table(
     source: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str,
     n_buckets: int = 1 << 16,
     alpha: float = 1.0,
     ratio_scale: int = 1_000_000,
     bucket_expr=None,
+    target_flag: Column | None = None,
 ) -> DataFrame:
     """The learned DSIR importance model: per-bucket
     ``round(ln(p_target(b) / p_source(b)) * ratio_scale)`` as a LONG,
@@ -1258,14 +1259,74 @@ def dsir_log_ratio_table(
     bucket tables full-outer-join at ``n_buckets`` rows — broadcast
     territory forever after. Totals ride the same aggregates as
     ``grouping sets``-free single-pass counts and land via a 1-row
-    crossJoin, never a collect."""
+    crossJoin, never a collect.
+
+    ``target_flag`` (round 11, guide §1.2 "one pass instead of two"):
+    when the target is a LABELED SUBSET of ``source`` — the standard
+    DSIR shape, target = rows of the corpus matching a predicate — pass
+    the boolean Column instead of a second DataFrame (``target=None``)
+    and both count tables derive from ONE gram scan: the stream carries
+    the flag, one aggregate produces (bucket, c_source, c_target), and
+    the full-outer bucket join disappears (a flagged subset can't
+    contribute buckets the source lacks). A null/False flag counts as
+    non-target, exactly like the row failing the filter that would have
+    built the target frame. Output is identical to the two-frame form
+    with ``target = source.filter(target_flag)``."""
+    am = float(alpha) * n_buckets
+    if target_flag is not None:
+        if target is not None:
+            raise ValueError("pass either target or target_flag, not both")
+        stream = hashed_gram_stream(
+            source.select(F.col(text_col), target_flag.alias("__is_t")),
+            text_col, "__is_t", n_buckets, bucket_expr,
+        )
+        counts = (
+            stream.groupBy("bucket")
+            .agg(
+                F.count(F.lit(1)).alias("__cs"),
+                F.sum(F.when(F.col("__is_t"), 1).otherwise(0)).alias("__ct"),
+            )
+            # bounded (≤ n_buckets rows): pin it so the totals aggregate
+            # below reuses the SAME gram scan instead of re-running it —
+            # the corpus is gram-hashed exactly once for the whole table
+            .localCheckpoint(eager=False)
+        )
+        totals = counts.agg(
+            F.coalesce(F.sum("__cs"), F.lit(0)).cast("double").alias("__ns"),
+            F.coalesce(F.sum("__ct"), F.lit(0)).cast("double").alias("__nt"),
+        )
+        joined = counts.crossJoin(F.broadcast(totals))
+        log_p_t = F.log(
+            (F.coalesce(F.col("__ct"), F.lit(0)) + F.lit(float(alpha)))
+            / (F.col("__nt") + F.lit(am))
+        )
+        log_p_s = F.log(
+            (F.coalesce(F.col("__cs"), F.lit(0)) + F.lit(float(alpha)))
+            / (F.col("__ns") + F.lit(am))
+        )
+        return joined.select(
+            "bucket",
+            F.round((log_p_t - log_p_s) * F.lit(float(ratio_scale)), 0)
+            .cast("long")
+            .alias("ratio_scaled"),
+        )
     sg = hashed_gram_stream(source, text_col, None, n_buckets, bucket_expr)
     tg = hashed_gram_stream(target, text_col, None, n_buckets, bucket_expr)
-    sc = sg.groupBy("bucket").agg(F.count(F.lit(1)).alias("__cs"))
-    tc = tg.groupBy("bucket").agg(F.count(F.lit(1)).alias("__ct"))
+    # bounded (≤ n_buckets rows each): pin both count tables so the totals
+    # aggregates reuse the same gram scans instead of re-running them
+    # (round 11 — each corpus is gram-hashed once, not twice)
+    sc = (
+        sg.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__cs"))
+        .localCheckpoint(eager=False)
+    )
+    tc = (
+        tg.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("__ct"))
+        .localCheckpoint(eager=False)
+    )
     ns = sc.agg(F.coalesce(F.sum("__cs"), F.lit(0)).cast("double").alias("__ns"))
     nt = tc.agg(F.coalesce(F.sum("__ct"), F.lit(0)).cast("double").alias("__nt"))
-    am = float(alpha) * n_buckets
     joined = (
         sc.join(tc, on="bucket", how="full_outer")
         .crossJoin(F.broadcast(ns))
@@ -1357,7 +1418,7 @@ def dsir_score_stream(
 
 def dsir_select(
     df: DataFrame,
-    target: DataFrame,
+    target: DataFrame | None,
     text_col: str,
     id_col: str,
     k: int,
@@ -1367,6 +1428,7 @@ def dsir_select(
     seed: int = 42,
     ratio_scale: int = 1_000_000,
     bucket_expr=None,
+    target_flag: Column | None = None,
 ) -> DataFrame:
     """DSIR end-to-end: fit the target-vs-``df`` hashed-gram importance
     model, weight every document, keep ``k``.
@@ -1378,11 +1440,17 @@ def dsir_select(
     sample where P(doc) ∝ softmax(logw) — noise is hash-derived from
     (id, seed), so the sample is reproducible and shuffle-free; still a
     TakeOrdered on the perturbed key. Returns ``(id_col, logw)`` rows of
-    the selected documents."""
+    the selected documents.
+
+    ``target_flag``: when the target is a labeled subset of ``df``, pass
+    the boolean Column (with ``target=None``) and the ratio-table fit
+    gram-scans the corpus ONCE instead of once for the source counts and
+    once for the target counts — see :func:`dsir_log_ratio_table`."""
     if mode not in ("top", "gumbel"):
         raise ValueError("mode must be 'top' or 'gumbel'")
     ratio = dsir_log_ratio_table(
-        df, target, text_col, n_buckets, alpha, ratio_scale, bucket_expr
+        df, target, text_col, n_buckets, alpha, ratio_scale, bucket_expr,
+        target_flag=target_flag,
     )
     wts = dsir_importance_weights(
         df, text_col, id_col, ratio, n_buckets, ratio_scale, bucket_expr

@@ -719,6 +719,13 @@ def simhash_pairs(
     return hamming_pairs(sh, "sh", "id", max_hamming=max_hamming, n_bands=n_bands)
 
 
+# connected_components "auto": edge count at or below which the pair
+# graph is a bounded dim the driver labels directly (16 B/edge -> ~1.6 MB
+# collected at the bound) — the decade below minlabel's 2-tiny-jobs-per-
+# round regime, where job launch latency is the whole cost.
+_CC_DRIVER_MAX_EDGES = 100_000
+
+
 def connected_components(
     pairs: DataFrame,
     id_a: str = "id_a",
@@ -775,7 +782,48 @@ def connected_components(
         raise ValueError("algorithm must be 'auto', 'minlabel', or 'star'")
     if algorithm == "auto":
         pairs = pairs.select(id_a, id_b).localCheckpoint(eager=True)
-        algorithm = "star" if pairs.count() > star_threshold else "minlabel"
+        n_edges = pairs.count()
+        # Third tier (round 11, guide §1.2): below _CC_DRIVER_MAX_EDGES
+        # the edge list is a bounded dim (≤ ~1.6 MB collected), and
+        # minlabel's per-round fixed cost — an eager checkpoint + a
+        # convergence-probe job per round, 2-4 rounds even on a
+        # 256-edge graph — dwarfs the actual work (measured ~3 s of
+        # job round-trips on the flagship sf0.1 pair graph). A driver
+        # union-find labels the same graph in microseconds and returns
+        # one literal frame; output is identical (cluster = min
+        # reachable id, order-independent). The distributed tiers are
+        # untouched above the bound — this is the same probe-and-choose
+        # discipline that already picks minlabel vs star, extended one
+        # decade down. Null ids never occur in pair graphs (both
+        # distributed algorithms would drop them in joins); guarded
+        # anyway by falling through to minlabel.
+        if n_edges <= _CC_DRIVER_MAX_EDGES:
+            rows = pairs.collect()
+            if not any(r[0] is None or r[1] is None for r in rows):
+                parent: dict = {}
+
+                def find(x):
+                    root = x
+                    while parent.get(root, root) != root:
+                        root = parent[root]
+                    while parent.get(x, x) != x:
+                        parent[x], x = root, parent[x]
+                    return root
+
+                for r in rows:
+                    ra, rb = find(r[0]), find(r[1])
+                    if ra != rb:
+                        parent[max(ra, rb)] = min(ra, rb)
+                nodes = {r[0] for r in rows} | {r[1] for r in rows}
+                out = [(n, find(n)) for n in sorted(nodes)]
+                from pyspark.sql.types import StructField, StructType
+
+                dt = pairs.schema[id_a].dataType
+                schema = StructType(
+                    [StructField("id", dt), StructField("cluster", dt)]
+                )
+                return pairs.sparkSession.createDataFrame(out, schema)
+        algorithm = "star" if n_edges > star_threshold else "minlabel"
     if algorithm == "star":
         return _connected_components_star(
             pairs, id_a, id_b, max_iterations, on_nonconverged

@@ -3090,10 +3090,13 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     from epic_pandas_spark.extensions.curation import dsir_select, md5_bucket_expr
 
     docs = load_table(spark, sf_dir, "documents")
-    target = docs.filter(F.col("lang") == "en")
+    # target = the English subset of the corpus: the labeled-subset shape,
+    # so the flag form fits the ratio table in ONE gram scan (round 11)
+    # instead of separate source/target passes — same counts, same table,
+    # same selection (oracle unchanged and still hash-matching)
     out = dsir_select(
         docs,
-        target,
+        None,
         "text",
         "doc_id",
         k=100,
@@ -3101,6 +3104,7 @@ def q_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         alpha=1.0,
         mode="top",
         bucket_expr=md5_bucket_expr(4096),
+        target_flag=F.col("lang") == "en",
     )
     return out.select("doc_id", F.round("logw", 6).alias("logw"))
 

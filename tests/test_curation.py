@@ -399,6 +399,61 @@ def test_dsir_select_prefers_target_like_docs(spark):
         dsir_select(sdf, tdf, "text", "doc_id", k=5, mode="bogus")
 
 
+def test_dsir_target_flag_matches_two_frame_form(spark):
+    """Round 11 one-pass fit: when the target is a labeled subset of the
+    source, passing target_flag must produce the IDENTICAL ratio table
+    (exact integers) and identical selection as target =
+    source.filter(flag)."""
+    from pyspark.sql import functions as F
+
+    from epic_pandas_spark.extensions.curation import (
+        dsir_log_ratio_table,
+        dsir_select,
+    )
+
+    words = ["alpha", "beta", "gamma", "zork", "quux", "fnord"]
+    rows = [
+        (i, " ".join(words[(i + j) % len(words)] for j in range(10)),
+         "en" if i % 3 == 0 else "de")
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    flag = F.col("lang") == "en"
+
+    rt_two = {
+        r["bucket"]: r["ratio_scaled"]
+        for r in dsir_log_ratio_table(
+            df, df.filter(flag), "text", n_buckets=1024
+        ).collect()
+    }
+    rt_flag = {
+        r["bucket"]: r["ratio_scaled"]
+        for r in dsir_log_ratio_table(
+            df, None, "text", n_buckets=1024, target_flag=flag
+        ).collect()
+    }
+    assert rt_two == rt_flag  # exact integer table equality
+
+    sel_two = {
+        (r["doc_id"], r["logw"])
+        for r in dsir_select(
+            df, df.filter(flag), "text", "doc_id", k=15, n_buckets=1024
+        ).collect()
+    }
+    sel_flag = {
+        (r["doc_id"], r["logw"])
+        for r in dsir_select(
+            df, None, "text", "doc_id", k=15, n_buckets=1024, target_flag=flag
+        ).collect()
+    }
+    assert sel_two == sel_flag
+
+    with pytest.raises(ValueError, match="not both"):
+        dsir_log_ratio_table(
+            df, df.filter(flag), "text", n_buckets=1024, target_flag=flag
+        )
+
+
 def test_canonicalize_url_hand_cases(spark):
     from epic_pandas_spark.extensions.web import (
         canonicalize_url_expr,

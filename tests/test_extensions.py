@@ -147,7 +147,9 @@ def test_connected_components_long_path_pointer_doubling(spark):
     )
     got = {
         r["id"]: r["cluster"]
-        for r in connected_components(pairs, max_iterations=8).collect()
+        for r in connected_components(
+            pairs, max_iterations=8, algorithm="minlabel"
+        ).collect()
     }
     assert got == {i: 0 for i in range(41)}
 
@@ -161,9 +163,35 @@ def test_connected_components_nonconverged_raises(spark):
         [(i, i + 1) for i in range(12)], "id_a long, id_b long"
     )
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iterations=1)
+        connected_components(pairs, max_iterations=1, algorithm="minlabel")
     with pytest.warns(RuntimeWarning, match="did not converge"):
-        connected_components(pairs, max_iterations=1, on_nonconverged="warn")
+        connected_components(
+            pairs, max_iterations=1, on_nonconverged="warn", algorithm="minlabel"
+        )
+
+
+def test_connected_components_driver_tier_matches_distributed(spark):
+    """Round 11 added the bounded-dim driver union-find tier under
+    "auto": on a random multi-component graph its labels must equal both
+    distributed algorithms' exactly (cluster = min reachable id)."""
+    import random
+
+    from epic_pandas_spark.extensions.dedup import connected_components
+
+    rng = random.Random(11)
+    edges = [(rng.randrange(200), rng.randrange(200)) for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    auto = {r["id"]: r["cluster"] for r in connected_components(pairs).collect()}
+    ml = {
+        r["id"]: r["cluster"]
+        for r in connected_components(pairs, algorithm="minlabel").collect()
+    }
+    st = {
+        r["id"]: r["cluster"]
+        for r in connected_components(pairs, algorithm="star").collect()
+    }
+    assert auto == ml == st
 
 
 def test_connected_components_star_path_graph_round_bound(spark):
