@@ -176,10 +176,15 @@ def ngram_lm_train(
             )
         # inner join is total: a k-gram's context occurs wherever the
         # k-gram does, so every row finds its c_ctx. Model-sized join.
+        # NOT checkpointed (round 11): each annotated table is consumed
+        # exactly once (the scoring broadcast build, or one save), and
+        # the RAW tables it joins are checkpointed above — so a boundary
+        # here only added order-1 extra materializations per train with
+        # nothing reusing them.
         annotated = gk.join(ctx, on=_ctx_cols(k), how="inner")
         if min_count > 1:
             annotated = annotated.filter(F.col("c") >= min_count)
-        grams.append(annotated.localCheckpoint(eager=False))
+        grams.append(annotated)
     if min_count > 1:
         grams[0] = grams[0].filter(F.col("c") >= min_count)
     return NGramLM(tuple(grams), int(n_tokens or 0), int(vocab_size or 0), order)
