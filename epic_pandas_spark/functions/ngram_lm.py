@@ -135,30 +135,53 @@ def ngram_lm_train(
     if min_count < 1:
         raise ValueError("min_count must be >= 1")
 
-    toks = _token_stream(df, text_col, None, order).localCheckpoint(eager=False)
-    # checkpoint the count tables themselves: scoring joins each table into
-    # its own plan subtree, and without a materialized boundary Spark
-    # re-runs the aggregation once per join (and the totals collect below
-    # pays for the unigram materialization anyway)
-    uni = (
-        toks.groupBy("v")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .localCheckpoint(eager=False)
-    )
-    n_tokens, vocab_size = uni.agg(
-        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
-    ).first()
+    toks = _token_stream(df, text_col, None, order)
+    # ONE corpus-wide aggregate (round 11, guide §1.2 "remove passes"):
+    # group the token stream by its FULL context (u{K-1}..u1, v) with
+    # nulls as values — each token position lands in exactly one row —
+    # and derive every lower-order table by MODEL-sized rollups:
+    # c_k(u{k-1}..u1, v) = Σ c_full over the outer context columns,
+    # restricted to u{k-1} IS NOT NULL (the same positions the old
+    # per-order corpus aggregates counted). The corpus stream is
+    # aggregated once instead of `order` times; the rollup chain then
+    # costs one shuffle per order over |full-gram| rows, never the
+    # corpus. Counts are exact integers either way — identical tables.
+    # Checkpoint the count tables: scoring joins each table into its own
+    # plan subtree, and without a materialized boundary Spark re-runs
+    # the aggregation once per join (and the totals collect below pays
+    # for the unigram materialization anyway).
+    if order == 1:
+        full = toks.groupBy("v").agg(F.count(F.lit(1)).alias("c"))
+    else:
+        full = toks.groupBy(*_ctx_cols(order), "v").agg(
+            F.count(F.lit(1)).alias("c")
+        )
+    full = full.localCheckpoint(eager=False)
 
-    raw: list[DataFrame] = [uni]
-    for k in range(2, order + 1):
-        keys = _ctx_cols(k) + ["v"]
+    raw: list[DataFrame] = []
+    for k in range(order, 0, -1):  # build downward: K, K-1, ..., 1
+        if k == order:
+            raw.append(full)
+            continue
+        keys = (_ctx_cols(k) + ["v"]) if k >= 2 else ["v"]
+        prev = raw[-1]  # the (k+1)-gram table, keys (u{k}..u1, v)
         gk = (
-            toks.filter(F.col(f"u{k - 1}").isNotNull())
-            .groupBy(*keys)
-            .agg(F.count(F.lit(1)).alias("c"))
+            prev.groupBy(*keys)
+            .agg(F.sum("c").alias("c"))
             .localCheckpoint(eager=False)
         )
         raw.append(gk)
+    raw.reverse()  # raw[k-1] = k-gram table, as before
+    # the full-context table counts EVERY position (nulls included); the
+    # stored k-gram tables for k >= 2 carry only positions with enough
+    # context, exactly like the old per-order corpus aggregates
+    for k in range(2, order + 1):
+        raw[k - 1] = raw[k - 1].filter(F.col(f"u{k - 1}").isNotNull())
+
+    uni = raw[0]
+    n_tokens, vocab_size = uni.agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("v")
+    ).first()
 
     grams: list[DataFrame] = [uni]
     for k in range(2, order + 1):
