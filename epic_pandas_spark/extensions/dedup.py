@@ -1512,7 +1512,15 @@ def repeated_passage_pairs_winnowed(
     (id_a, id_b, n_shared_fp)."""
     inv = winnowed_fingerprints(df, text_col, id_col, k=min_len, window=window)
     inv = inv.localCheckpoint(eager=False)  # both sides of the self-join
-    if max_fp_freq is not None:
+    # Guard gate (round 12, guide §1.2 "don't compute things you throw
+    # away"): a fingerprint's doc-frequency is bounded by the corpus doc
+    # count, so when |docs| <= max_fp_freq NO fingerprint can exceed the
+    # cap and the hot-key pass (full groupBy-count over the index + anti
+    # join) is provably a no-op — one cheap count-star replaces it, the
+    # same gate remove_repeated_spans runs on its sampling probe. The
+    # guard itself is advisory routing for the join; below the bound the
+    # output is identical with or without it by construction.
+    if max_fp_freq is not None and df.count() > max_fp_freq:
         inv = _drop_hot_grams(inv, "fp", max_fp_freq)
     a = inv.select(F.col("id").alias("id_a"), "fp")
     b = inv.select(F.col("id").alias("id_b"), "fp")
@@ -1568,7 +1576,10 @@ def repeated_passage_pairs(
         )
         .localCheckpoint(eager=False)  # both sides of the self-join
     )
-    if max_gram_freq is not None:
+    # same count-star gate as repeated_passage_pairs_winnowed: no gram's
+    # doc-frequency can exceed the corpus doc count, so the hot-key pass
+    # only runs when it could possibly fire (round 12, guide §1.2)
+    if max_gram_freq is not None and df.count() > max_gram_freq:
         inv = _drop_hot_grams(inv, "gh", max_gram_freq)
     a = inv.select(F.col("id").alias("id_a"), "gh")
     b = inv.select(F.col("id").alias("id_b"), "gh")
@@ -2099,7 +2110,15 @@ def remove_repeated_spans(
     # cheap count-star replaces it below the bound; routing is advisory
     # (either path computes exact doc-freqs), so the gate can never
     # change output — only skip a probe that could not have fired.
-    if hot_gram_sample > 0 and df.count() < hot_gram_min_df:
+    # ADVICE r11: count the stream the window stage actually sees, not the
+    # raw input. With the prefilter on, docs_pos reads the checkpointed
+    # candidate table — whose materialization the probe and the position
+    # stream need next anyway, so the gate adds no extra corpus pass above
+    # the bound — and the bound is tighter (null-id/null-text docs and
+    # non-candidate docs can't contribute window positions). With the
+    # prefilter off, the raw count stays: counting the un-checkpointed
+    # normalized stream would re-run the normalize regex for the gate alone.
+    if hot_gram_sample > 0 and (docs_pos if prefilter else df).count() < hot_gram_min_df:
         hot_gram_sample = 0.0
     if hot_gram_sample > 0:
         # sampled-count threshold for an estimated corpus df of

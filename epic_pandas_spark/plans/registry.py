@@ -246,18 +246,34 @@ def q_n_distinct_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return with_ids.agg(F.count_distinct("row_id").alias("n_distinct"))
 
 
-@register("n_distinct_approx", None)  # HLL sketch value is engine-specific → rows-only
+@register(
+    "n_distinct_approx",
+    # contract oracle (round 12, VERDICT r11 item 8): the HLL sketch VALUE
+    # is engine-specific, so — like the ANN recall witnesses — the query
+    # returns the facts an oracle CAN state: the exact pair count (computed
+    # on the raw columns, identical in both engines) and the witnessed
+    # error-bound check, which must hold. A sketch regression past the
+    # bound flips within_bound and hash-mismatches.
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_exact, TRUE AS within_bound
+    FROM (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem)
+    """,
+)
 def q_n_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """`approx_count_distinct` (HyperLogLog++) twin of `n_distinct_hash` —
     the 100 TB path: constant memory per partition, partial-merge
-    aggregation, no shuffle of distinct values. The query returns the
-    approx AND exact counts plus `within_bound` (observed relative error
-    vs 3x the requested 2% rsd), so every correctness run witnesses the
-    error bound. The pair is encoded as xxhash64(cols) -- an 8-byte key,
-    never a concatenated string. The exact witness costs far more than
-    the HLL itself, so ``EPS_SKIP_WITNESS=1`` (set by bench.py for the
-    headline number) returns the scale path alone; bench reports the
-    witness run separately."""
+    aggregation, no shuffle of distinct values. The witnessed form
+    computes the approx AND exact counts in one aggregate and returns the
+    ORACLE-EXPRESSIBLE contract row ``(n_exact, within_bound)`` — the
+    exact count plus the check that the HLL landed within 3x the
+    requested 2% rsd — so the driver's correctness run now has a real
+    gate (FULL witness oracle since round 12; previously rows-only
+    because the output carried the engine-specific sketch value). The
+    pair is encoded as xxhash64(cols) -- an 8-byte key, never a
+    concatenated string. The exact witness costs far more than the HLL
+    itself, so ``EPS_SKIP_WITNESS=1`` (set by bench.py for the headline
+    number) returns the scale path alone; bench reports the witness run
+    separately."""
     li = load_table(spark, sf_dir, "lineitem")
     pair = F.xxhash64("l_partkey", "l_suppkey")
     approx = F.approx_count_distinct(pair, 0.02).alias("n_approx")
@@ -269,9 +285,7 @@ def q_n_distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     rel_err = F.abs(F.col("n_approx") - F.col("n_exact")) / F.col("n_exact")
     return row.select(
-        "n_approx",
         "n_exact",
-        F.round(rel_err, 6).alias("rel_err"),
         (rel_err <= F.lit(0.06)).alias("within_bound"),
     )
 

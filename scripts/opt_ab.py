@@ -37,6 +37,12 @@ def run_once(side_dir: str, query: str) -> float:
         [sys.executable, os.path.join(side_dir, "bench.py")],
         capture_output=True, text=True, env=env, cwd=side_dir,
     )
+    if proc.returncode != 0:
+        # a run that printed JSON and then crashed (or died mid-way) must
+        # not record a timing into the A/B medians (ADVICE r11)
+        raise RuntimeError(
+            f"bench.py in {side_dir} exited {proc.returncode}: {proc.stderr[-800:]}"
+        )
     lines = [l for l in proc.stdout.splitlines() if l.startswith("{")]
     if not lines:
         raise RuntimeError(

@@ -90,10 +90,15 @@ def test_approx_sketch_queries_within_error_bound(spark):
     from epic_pandas_spark.plans.registry import REGISTRY
     from tests.conftest import SF_DIR
 
-    for name in ("quantiles_approx", "n_distinct_approx"):
-        row = REGISTRY[name][0](spark, SF_DIR).first()
-        assert row["within_bound"] is True, (name, row.asDict())
-        assert row["max_rel_err" if "quantiles" in name else "rel_err"] >= 0.0
+    row = REGISTRY["quantiles_approx"][0](spark, SF_DIR).first()
+    assert row["within_bound"] is True, row.asDict()
+    assert row["max_rel_err"] >= 0.0
+    # n_distinct_approx returns the oracle-expressible contract row since
+    # round 12 (exact count + bound check; the sketch value itself is
+    # engine-specific and stays out of the compared output)
+    row = REGISTRY["n_distinct_approx"][0](spark, SF_DIR).first()
+    assert row["within_bound"] is True, row.asDict()
+    assert row["n_exact"] > 0
 
 
 @given(
